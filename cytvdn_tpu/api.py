@@ -1,0 +1,202 @@
+"""Public driver API — signature- and semantics-compatible with the
+reference's ``denoise3D`` / ``denoise4D``
+(reference cyTVDN/cyTVDN.py:19-247, 250-435).
+
+numpy in, numpy out; device placement, jit and (optionally) mesh sharding
+happen inside. Deviations from the reference, all documented:
+
+- C-contiguity is not required (XLA handles layout; the reference asserts it
+  at cyTVDN.py:73-75 because Cython memoryviews need it).
+- float64 requires ``jax.config.update("jax_enable_x64", True)``; a clear
+  error is raised otherwise.
+- The 3D parameter assert message correctly states the 1/16 bound (the
+  reference checks 1/16 but prints "1/8", cyTVDN.py:306-308).
+- Memory estimates are honest total-live-array counts (the reference's
+  driver prints and ``check_memory`` disagree with each other,
+  cyTVDN.py:113,456 — see SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions, normalize_iterations
+from cytvdn_tpu.solver.engine import run_solver
+
+__all__ = ["denoise3D", "denoise4D", "denoise"]
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _run_jit(orig, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
+    return run_solver(orig, lambda_inv, lam_mu, opts, reference_data)
+
+
+def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):
+    """Shared parameter validation/derivation
+    (reference cyTVDN/cyTVDN.py:62-78, 289-304)."""
+    datacube = np.asarray(datacube)
+    if datacube.ndim != ndim:
+        raise ValueError(f"datacube must be {ndim}D, got shape {datacube.shape}")
+    if datacube.dtype not in (np.float32, np.float64):
+        raise TypeError("datacube must be float32 or float64.")
+    if datacube.dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise TypeError(
+            "float64 input requires jax.config.update('jax_enable_x64', True)"
+        )
+    mu = np.asarray(mu)
+    if mu.ndim == 0:
+        mu = np.full((ndim,), mu, dtype=datacube.dtype)
+    if lam is None:
+        # default regularization: lam = mu/32 in 4D, mu/16 in 3D
+        # (reference cyTVDN.py:67-68, 294-295)
+        lam = mu * (1.0 / default_lam_div)
+    lam = np.asarray(lam)
+    if lam.dtype != datacube.dtype:
+        raise TypeError("Lambda must have same dtype as datacube.")
+    if mu.dtype != datacube.dtype:
+        raise TypeError("Mu must have same dtype as datacube.")
+    lambda_inv = (1.0 / lam).astype(datacube.dtype)
+    lam_mu = (lam / mu).astype(datacube.dtype)
+    return datacube, mu, lam, lambda_inv, lam_mu
+
+
+def _memory_note(datacube, fista, ndim, quiet):
+    if quiet:
+        return
+    n_arrays = 2 + (2 * ndim if fista else ndim)  # orig+recon+accs(+ds)
+    gib = datacube.nbytes * n_arrays / 2**30
+    label = "FISTA accelerated" if fista else "Unaccelerated"
+    print(
+        f"{label} TV denoising holds {n_arrays} cube-size arrays "
+        f"≈ {gib:.2f} GiB of device memory"
+    )
+
+
+def _finish(result, calculate_mse):
+    """Device→host transfer and the reference's return contract
+    (reference cyTVDN.py:244-247)."""
+    recon = np.asarray(result["recon"])
+    b_norm = np.asarray(result["b_norm"])
+    delta = np.asarray(result["delta"])
+    if calculate_mse:
+        return recon, b_norm, delta, np.asarray(result["mse"])
+    return recon, b_norm, delta
+
+
+def denoise4D(
+    datacube: np.ndarray,
+    mu: np.ndarray,
+    iterations: Union[int, Sequence[int]] = 10,
+    FISTA: bool = True,
+    stopping_relative_change: Optional[float] = None,
+    isotropic_R: bool = False,
+    isotropic_Q: bool = False,
+    reference_data: Optional[np.ndarray] = None,
+    BC_mode: int = 2,
+    lam: Optional[np.ndarray] = None,
+    quiet: bool = False,
+    backend: Union[str, Backend] = Backend.AUTO,
+):
+    """Proximal anisotropic (or half-isotropic) TV denoising of a 4D datacube.
+
+    Signature, defaults and return contract match the reference
+    (reference cyTVDN/cyTVDN.py:19-247): returns
+    ``(recon, b_norm, delta_recon[, MSE])``.
+    """
+    datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+        datacube, mu, lam, 4, 32.0
+    )
+    if not quiet:
+        ratios = ", ".join(f"1/{m / l:.0f}" for m, l in zip(mu, lam))
+        print(f"λ/μ ≈ [{ratios}]")
+    # stability: 0 < λ/μ <= 1/32 — warning only, as in the reference
+    # (reference cyTVDN.py:89-90)
+    if (np.any(lam_mu > (1.0 / 32.0)) or np.any(lam_mu <= 0)) and not quiet:
+        print(
+            "WARNING: Parameters must satisfy 0 < λ/μ <= 1/32 "
+            "or result may diverge!"
+        )
+
+    n_f, n_u = normalize_iterations(iterations, FISTA)
+    calculate_mse = reference_data is not None
+    opts = SolverOptions(
+        ndim=4,
+        iterations_fista=n_f,
+        iterations_unacc=n_u,
+        bc_mode=BCMode(BC_mode),
+        stopping_relative_change=stopping_relative_change,
+        isotropic_R=isotropic_R,
+        isotropic_Q=isotropic_Q,
+        calculate_mse=calculate_mse,
+        backend=Backend(backend),
+    )
+    _memory_note(datacube, n_f > 0, 4, quiet)
+
+    ref = jnp.asarray(reference_data) if calculate_mse else None
+    result = _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
+                      jnp.asarray(lam_mu), opts, ref)
+    return _finish(result, calculate_mse)
+
+
+def denoise3D(
+    datacube: np.ndarray,
+    mu: np.ndarray,
+    iterations: Union[int, Sequence[int]] = 7_500,
+    stopping_relative_change: Optional[float] = None,
+    BC_mode: int = 2,
+    FISTA: bool = False,
+    reference_data: Optional[np.ndarray] = None,
+    lam: Optional[np.ndarray] = None,
+    quiet: bool = False,
+    backend: Union[str, Backend] = Backend.AUTO,
+):
+    """Proximal anisotropic TV denoising of a 3D cube (EELS SI).
+
+    Signature, defaults (``iterations=7500``, ``FISTA=False``) and return
+    contract match the reference (reference cyTVDN/cyTVDN.py:250-435).
+    """
+    datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+        datacube, mu, lam, 3, 16.0
+    )
+    # hard bound in 3D (reference cyTVDN.py:306-308; the reference's message
+    # says 1/8 but its check is 1/16 — we state the actual bound)
+    if not (np.all(lam_mu <= (1.0 / 16.0)) and np.all(lam_mu > 0)):
+        raise ValueError("Parameters must satisfy 0 < λ/μ <= 1/16")
+    if not quiet:
+        ratios = ", ".join(f"1/{m / l:.0f}" for m, l in zip(mu, lam))
+        print(f"λ/μ ≈ [{ratios}]")
+
+    n_f, n_u = normalize_iterations(iterations, FISTA)
+    calculate_mse = reference_data is not None
+    opts = SolverOptions(
+        ndim=3,
+        iterations_fista=n_f,
+        iterations_unacc=n_u,
+        bc_mode=BCMode(BC_mode),
+        stopping_relative_change=stopping_relative_change,
+        calculate_mse=calculate_mse,
+        backend=Backend(backend),
+    )
+    _memory_note(datacube, n_f > 0, 3, quiet)
+
+    ref = jnp.asarray(reference_data) if calculate_mse else None
+    result = _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
+                      jnp.asarray(lam_mu), opts, ref)
+    return _finish(result, calculate_mse)
+
+
+def denoise(datacube, mu, **kwargs):
+    """Rank-dispatching convenience wrapper: calls :func:`denoise3D` or
+    :func:`denoise4D` based on ``datacube.ndim``."""
+    nd = np.asarray(datacube).ndim
+    if nd == 3:
+        return denoise3D(datacube, mu, **kwargs)
+    if nd == 4:
+        return denoise4D(datacube, mu, **kwargs)
+    raise ValueError(f"datacube must be 3D or 4D, got {nd}D")

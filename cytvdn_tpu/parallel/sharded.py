@@ -1,0 +1,135 @@
+"""shard_map solver: the TPU-native replacement for the reference's MPI
+distributed runtime ``run_MPI`` (reference cyTVDN/mpi.py:27-501).
+
+Differences from the reference, by design:
+
+- One engine: the sharded path runs the *same* ``run_solver`` iteration code
+  as the single-device path, just with a :class:`MeshComm` strategy — no
+  drift (the reference's MPI loop lacks FISTA, 3D, convergence metrics and
+  stopping; here all of those work distributed, with ``psum`` providing the
+  reductions the reference never implemented, README.md:34).
+- Any subset of data axes can be split (the reference splits only the two
+  scan axes, mpi.py:357-358); splitting the Q/spectral axes uses the same
+  halo mechanism and enables the 512²×256² north-star config.
+- Exact seams: see ``cytvdn_tpu/parallel/halo.py`` (SURVEY.md §8.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cytvdn_tpu.config import SolverOptions
+from cytvdn_tpu.parallel.halo import MeshComm
+from cytvdn_tpu.parallel.partition import choose_grid
+from cytvdn_tpu.solver.engine import run_solver
+
+
+def resolve_shard(
+    shard: Union[str, Sequence[int], None],
+    shape: Tuple[int, ...],
+    n_devices: int,
+) -> Tuple[int, ...]:
+    """Normalize the ``shard`` argument to a per-data-axis tile-count tuple.
+
+    ``'auto'`` chooses a grid over the two scan axes with the
+    edge-minimizing partitioner (the reference's policy, mpi.py:130-153).
+    """
+    ndim = len(shape)
+    if shard is None:
+        return (1,) * ndim
+    if shard == "auto":
+        grid = choose_grid(n_devices, shape[:2])
+        return tuple(grid) + (1,) * (ndim - 2)
+    shard = tuple(int(s) for s in shard)
+    if len(shard) != ndim:
+        raise ValueError(f"shard must have {ndim} entries, got {shard}")
+    for ax, (w, e) in enumerate(zip(shard, shape)):
+        if e % w:
+            raise ValueError(
+                f"axis {ax} extent {e} not divisible by {w} tiles; choose a "
+                f"divisible tiling (or pad the cube)"
+            )
+    return shard
+
+
+def make_mesh(shard: Sequence[int], devices=None) -> Tuple[Mesh, Dict[int, str]]:
+    """Build a Mesh whose axes correspond to the split data axes.
+
+    Returns ``(mesh, axis_names)`` with ``axis_names`` mapping data axis →
+    mesh axis name (only split axes present).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n_needed = int(np.prod(shard))
+    if n_needed > len(devices):
+        raise ValueError(
+            f"tiling {tuple(shard)} needs {n_needed} devices, have {len(devices)}"
+        )
+    split_axes = [ax for ax, w in enumerate(shard) if w > 1]
+    if not split_axes:
+        split_axes = [0]  # degenerate 1-device mesh still needs an axis
+    names = {ax: f"ax{ax}" for ax in split_axes}
+    mesh_shape = tuple(shard[ax] for ax in split_axes)
+    dev_array = np.array(devices[:n_needed]).reshape(mesh_shape)
+    mesh = Mesh(dev_array, tuple(names[ax] for ax in split_axes))
+    return mesh, names
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
+                      with_ref: bool, devices_key):
+    mesh, names = make_mesh(shard, devices=list(devices_key))
+    data_spec = P(*[names.get(ax) for ax in range(ndim)])
+    scalar_spec = P()
+
+    out_specs = {
+        "recon": data_spec,
+        "b_norm": scalar_spec,
+        "delta": scalar_spec,
+        "iterations_run": scalar_spec,
+    }
+    if opts.calculate_mse:
+        out_specs["mse"] = scalar_spec
+
+    in_specs = (data_spec, scalar_spec, scalar_spec)
+    if with_ref:
+        in_specs = in_specs + (data_spec,)
+
+    def shard_body(orig, lambda_inv, lam_mu, *maybe_ref):
+        comm = MeshComm(names, opts.bc_mode)
+        ref = maybe_ref[0] if maybe_ref else None
+        return run_solver(orig, lambda_inv, lam_mu, opts, ref, comm)
+
+    fn = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn), mesh
+
+
+def run_sharded(
+    orig,
+    lambda_inv,
+    lam_mu,
+    opts: SolverOptions,
+    reference_data=None,
+    shard: Union[str, Sequence[int], None] = "auto",
+    devices=None,
+):
+    """Run the solver sharded over a device mesh. Same return contract as
+    :func:`cytvdn_tpu.solver.engine.run_solver`."""
+    devices = tuple(devices if devices is not None else jax.devices())
+    shard_t = resolve_shard(shard, orig.shape, len(devices))
+    with_ref = reference_data is not None
+    fn, mesh = _build_sharded_fn(
+        opts, shard_t, orig.ndim, with_ref, devices
+    )
+    args = (jnp.asarray(orig), jnp.asarray(lambda_inv), jnp.asarray(lam_mu))
+    if with_ref:
+        args = args + (jnp.asarray(reference_data),)
+    return fn(*args)

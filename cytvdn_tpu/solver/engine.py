@@ -1,0 +1,332 @@
+"""The iteration engine: one ``lax.while_loop`` solver for every path.
+
+The reference has *three* copies of the iteration loop — ``denoise4D``
+(reference cyTVDN/cyTVDN.py:147-242), ``denoise3D`` (cyTVDN.py:368-430) and
+the MPI runtime's inline loop (cyTVDN/mpi.py:314-438), which drifted apart
+(the MPI loop has no FISTA, no 3D, no convergence metrics). Here there is one
+engine, parameterized by
+
+- a :class:`Comm` strategy (``NullComm`` for single device;
+  ``cytvdn_tpu.parallel.MeshComm`` inside ``shard_map`` for a device mesh),
+- a kernel backend (pure-JAX ops or fused Pallas kernels),
+- the static :class:`~cytvdn_tpu.config.SolverOptions`.
+
+Iteration structure per step (SURVEY.md §8.1; reference cyTVDN.py:147-194):
+
+1. per-axis dual accumulator updates (all reading the same ``recon``),
+2. reconstruction update + relative-change statistic,
+3. optional SSE vs reference data,
+4. early stop when ``delta < stopping_relative_change``.
+
+The convergence check runs **on device** inside the while-loop predicate —
+no host sync per iteration (the reference MPI path has no stopping criterion
+at all, reference README.md:34; here the distributed path gets it for free
+via ``psum``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cytvdn_tpu import ops
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions
+
+Array = jax.Array
+
+
+class NullComm:
+    """Single-device communication strategy: no halos, identity reductions."""
+
+    #: data axes that are split across devices (none)
+    split_axes: Tuple[int, ...] = ()
+
+    def prev_halo(self, a: Array, ax: int) -> Optional[Array]:
+        """Neighbor's trailing slab of ``a`` along ``ax`` (backward-diff
+        operand at the shard seam), or None when ``ax`` is not split."""
+        return None
+
+    def next_halo(self, b: Array, ax: int) -> Optional[Array]:
+        """Neighbor's leading slab of the *updated* ``b`` along ``ax``
+        (forward-diff operand), or None when ``ax`` is not split."""
+        return None
+
+    def allsum(self, x: Array) -> Array:
+        return x
+
+
+def fista_tk_ratios(n: int) -> np.ndarray:
+    """Precompute the FISTA momentum schedule on the host in float64,
+    exactly as the reference's Python-float loop does
+    (reference cyTVDN/cyTVDN.py:153-156): ``t' = (1+sqrt(1+4t²))/2``,
+    ``ratio_i = (t-1)/t'`` starting from ``t=1`` (so ``ratio_0 = 0``)."""
+    ratios = np.zeros((max(n, 1),), dtype=np.float64)
+    tk = 1.0
+    for i in range(n):
+        tk_new = (1.0 + np.sqrt(1.0 + 4.0 * tk * tk)) / 2.0
+        ratios[i] = (tk - 1.0) / tk_new
+        tk = tk_new
+    return ratios
+
+
+def _accumulator_phase(
+    recon: Array,
+    accs: Tuple[Array, ...],
+    ds: Optional[Tuple[Array, ...]],
+    tk_ratio: Optional[Array],
+    lambda_inv: Array,
+    opts: SolverOptions,
+    comm,
+) -> Tuple[Tuple[Array, ...], Optional[Tuple[Array, ...]], Array]:
+    """All per-axis dual updates for one iteration.
+
+    Mirrors the driver's dispatch over iso flags
+    (reference cyTVDN/cyTVDN.py:159-180 / 204-225). Returns
+    ``(accs_new, ds_new, bnorm_partial)`` — ``bnorm_partial`` is the local
+    (pre-``psum``) sum of accumulator L1 norms.
+    """
+    ndim = opts.ndim
+    fista = ds is not None
+    halos = [comm.prev_halo(recon, ax) for ax in range(ndim)]
+
+    accs_new = list(accs)
+    ds_new = list(ds) if fista else None
+    bnorm = jnp.zeros((), dtype=recon.dtype)
+
+    def aniso(ax):
+        nonlocal bnorm
+        if fista:
+            b, d, n = ops.accumulator_update_fista(
+                recon, accs[ax], ds[ax], tk_ratio, ax, lambda_inv[ax],
+                opts.bc_mode, halos[ax],
+            )
+            accs_new[ax], ds_new[ax] = b, d
+        else:
+            b, n = ops.accumulator_update(
+                recon, accs[ax], ax, lambda_inv[ax], opts.bc_mode, halos[ax]
+            )
+            accs_new[ax] = b
+        bnorm = bnorm + n
+
+    def iso(ax1, ax2):
+        # the pair shares one clip radius (reference cyTVDN.py:160-162,171-173)
+        nonlocal bnorm
+        if fista:
+            b1, b2, d1, d2, n = ops.iso_accumulator_update_fista(
+                recon, accs[ax1], accs[ax2], ds[ax1], ds[ax2], tk_ratio,
+                ax1, ax2, lambda_inv[ax1], halos[ax1], halos[ax2],
+            )
+            accs_new[ax1], accs_new[ax2] = b1, b2
+            ds_new[ax1], ds_new[ax2] = d1, d2
+        else:
+            b1, b2, n = ops.iso_accumulator_update(
+                recon, accs[ax1], accs[ax2], ax1, ax2, lambda_inv[ax1],
+                halos[ax1], halos[ax2],
+            )
+            accs_new[ax1], accs_new[ax2] = b1, b2
+        bnorm = bnorm + n
+
+    if ndim == 4:
+        if opts.isotropic_R:
+            iso(0, 1)
+        else:
+            aniso(0)
+            aniso(1)
+        if opts.isotropic_Q:
+            iso(2, 3)
+        else:
+            aniso(2)
+            aniso(3)
+    else:
+        for ax in range(3):
+            aniso(ax)
+
+    return tuple(accs_new), (tuple(ds_new) if fista else None), bnorm
+
+
+def iteration_step(
+    orig: Array,
+    recon: Array,
+    accs: Tuple[Array, ...],
+    ds: Optional[Tuple[Array, ...]],
+    tk_ratio: Optional[Array],
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    comm=None,
+):
+    """One full TV iteration (accumulators + reconstruction + statistics).
+
+    Returns ``(recon_new, accs_new, ds_new, bnorm, delta)`` with ``bnorm``
+    and ``delta`` already globally reduced through ``comm.allsum``.
+    """
+    comm = comm or NullComm()
+    accs_new, ds_new, bnorm = _accumulator_phase(
+        recon, accs, ds, tk_ratio, lambda_inv, opts, comm
+    )
+    halos_next = [comm.next_halo(accs_new[k], k) for k in range(opts.ndim)]
+    recon_new, delta_num, recon_norm = ops.datacube_update(
+        orig, recon, accs_new, lam_mu, opts.bc_mode, halos_next
+    )
+    bnorm = comm.allsum(bnorm)
+    delta = comm.allsum(delta_num) / comm.allsum(recon_norm)
+    return recon_new, accs_new, ds_new, bnorm, delta
+
+
+class _PhaseCarry(NamedTuple):
+    i: Array          # trace index (global across phases)
+    j: Array          # iteration counter within this phase
+    done: Array       # early-stop latch
+    recon: Array
+    accs: Tuple[Array, ...]
+    ds: Any           # tuple of arrays, or () when not FISTA
+    b_norm: Array     # full-length trace
+    delta: Array      # full-length trace
+    mse: Array        # full-length (+1) trace, or shape-(0,) placeholder
+
+
+def _run_phase(
+    fista: bool,
+    n_phase: int,
+    carry: _PhaseCarry,
+    orig: Array,
+    tk_ratios: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    comm,
+    reference_data: Optional[Array],
+) -> _PhaseCarry:
+    """Run one phase (FISTA or unaccelerated) as a fixed-structure
+    ``lax.while_loop`` with on-device early stopping.
+
+    Matches the reference's loop semantics: the stop check happens *after*
+    the iteration's traces are recorded, so the converging iteration is
+    included (reference cyTVDN/cyTVDN.py:182-194)."""
+    if n_phase == 0:
+        return carry
+
+    stopping = opts.stopping_relative_change
+
+    def cond(c: _PhaseCarry):
+        return jnp.logical_and(c.j < n_phase, jnp.logical_not(c.done))
+
+    def body(c: _PhaseCarry):
+        tk_ratio = tk_ratios[c.i].astype(orig.dtype) if fista else None
+        ds = c.ds if fista else None
+        recon, accs, ds_new, bnorm, delta = iteration_step(
+            orig, c.recon, c.accs, ds, tk_ratio, lambda_inv, lam_mu, opts, comm
+        )
+        b_norm = c.b_norm.at[c.i].set(bnorm.astype(c.b_norm.dtype))
+        delta_tr = c.delta.at[c.i].set(delta.astype(c.delta.dtype))
+        if opts.calculate_mse:
+            sse = comm.allsum(ops.sum_square_error(reference_data, recon))
+            mse = c.mse.at[c.i + 1].set(sse.astype(c.mse.dtype))
+        else:
+            mse = c.mse
+        done = (
+            delta < stopping if stopping is not None
+            else jnp.zeros((), dtype=bool)
+        )
+        return _PhaseCarry(
+            i=c.i + 1,
+            j=c.j + 1,
+            done=done,
+            recon=recon,
+            accs=accs,
+            ds=ds_new if fista else c.ds,
+            b_norm=b_norm,
+            delta=delta_tr,
+            mse=mse,
+        )
+
+    return lax.while_loop(cond, body, carry)
+
+
+def run_solver(
+    orig: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    reference_data: Optional[Array] = None,
+    comm=None,
+) -> Dict[str, Array]:
+    """Run the full (possibly hybrid) TV-denoising schedule on device.
+
+    Hybrid semantics are faithful to the reference: when both phase lengths
+    are nonzero, the FISTA phase runs first and the unaccelerated phase
+    *always* follows (even if FISTA early-stopped), sharing accumulators;
+    trace entries for skipped iterations remain zero
+    (reference cyTVDN/cyTVDN.py:100-108, 127-128, 195-201).
+
+    Returns a dict with ``recon``, ``b_norm``, ``delta``, ``iterations_run``
+    and (when ``opts.calculate_mse``) ``mse``.
+    """
+    comm = comm or NullComm()
+    dtype = orig.dtype
+    n_f, n_u = opts.iterations_fista, opts.iterations_unacc
+    n_total = n_f + n_u
+
+    # schedule computed on host in float64 then stored at the data dtype —
+    # bitwise identical to the reference passing a Python float into a
+    # ``_float``-typed kernel argument (reference cyTVDN.py:153-156).
+    tk_ratios = jnp.asarray(fista_tk_ratios(n_f), dtype=dtype)
+
+    accs = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim))
+    ds = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim)) if n_f else ()
+    recon = orig  # functional copy-on-write (reference cyTVDN.py:145)
+
+    b_norm = jnp.zeros((n_total,), dtype=dtype)
+    delta = jnp.zeros((n_total,), dtype=dtype)
+    if opts.calculate_mse:
+        mse = jnp.zeros((n_total + 1,), dtype=dtype)
+        sse0 = comm.allsum(ops.sum_square_error(orig, reference_data))
+        mse = mse.at[0].set(sse0.astype(dtype))
+    else:
+        mse = jnp.zeros((0,), dtype=dtype)
+
+    carry = _PhaseCarry(
+        i=jnp.zeros((), jnp.int32),
+        j=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        recon=recon,
+        accs=accs,
+        ds=ds,
+        b_norm=b_norm,
+        delta=delta,
+        mse=mse,
+    )
+
+    if n_f:
+        carry = _run_phase(
+            True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
+            comm, reference_data,
+        )
+        # reset the phase counter; the early-stop latch does NOT carry into
+        # the unaccelerated phase (reference runs it unconditionally)
+        carry = carry._replace(
+            i=jnp.asarray(n_f, jnp.int32),
+            j=jnp.zeros((), jnp.int32),
+            done=jnp.zeros((), bool),
+            ds=(),
+        )
+    if n_u:
+        carry = _run_phase(
+            False, n_u, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
+            comm, reference_data,
+        )
+
+    out = {
+        "recon": carry.recon,
+        "b_norm": carry.b_norm,
+        "delta": carry.delta,
+        "iterations_run": carry.i,
+    }
+    if opts.calculate_mse:
+        out["mse"] = carry.mse
+    return out
