@@ -1,0 +1,521 @@
+"""Fused Pallas TPU kernel: one full TV iteration in a single pass.
+
+The reference needs ~22 cube-size array traversals per 4D FISTA iteration
+(4×(read recon, rw acc, rw d) + (read orig, read 4 accs, rw recon) —
+SURVEY.md §3.1); a two-pass XLA fusion needs ~24. This kernel performs the
+whole iteration — all per-axis dual updates *and* the reconstruction
+update, plus the bnorm/delta reductions — in ONE sweep at the memory-traffic
+floor of ~(4n+3) traversals (19 for 4D FISTA, 11 unaccelerated):
+
+    reads:  orig, recon, n accs [, n shadow duals]   (+O(1/B1) halo columns)
+    writes: recon, n accs [, n shadow duals]
+
+Design (TPU-first, exploits the sequential Pallas grid):
+
+- Grid ``(G1, G0+1)``: axis 1 in ``B1``-column blocks (outer), axis 0 in
+  single-row blocks (inner, fastest). Trailing axes (2..n-1) live whole
+  inside each block — their stencil shifts are in-register.
+- **Software pipeline with VMEM carries**: grid step ``(j, ip)`` computes
+  the dual updates for row-block ``ip`` and the reconstruction update for
+  row-block ``ip-1``. The previous row's recon (the backward-difference
+  operand AND the delta baseline) and its freshly-updated accumulators (the
+  forward-difference operands) are carried in VMEM scratch — never
+  re-fetched from HBM. One trailing grid step (``ip = G0``) drains the
+  pipeline. The axis-0 stencil therefore costs zero extra HBM traffic.
+- Axis-1 seams cost three ``(1,1,tail)`` column operands per step (the
+  neighbor column of recon/acc1/d1), recomputing the neighbor column's
+  updated accumulator instead of waiting for it — O(1/B1) traffic, and the
+  recomputation performs *identical arithmetic* to what the neighbor block
+  computes, so the result is exact, not approximate.
+- Jia-Zhao boundaries are applied by position masks (edge difference zero;
+  trailing forward wrap reads the identically-zero leading slab, so the
+  wrap contributes exactly 0 — the invariant of SURVEY.md §8.1).
+- bnorm / delta reductions are emitted as per-block float32 partials and
+  tree-summed outside: deterministic, unlike the reference's OpenMP
+  reduction order (reference anisotropic.pyx:53).
+- In-place: accumulators and shadow duals are HBM-aliased input→output.
+  ``recon`` is NOT aliased: the axis-1 seam operand reads the previous
+  column-strip's old recon, which an alias would have overwritten. Peak
+  state is therefore 2n+3 cube-size arrays (11 for 4D FISTA).
+
+Scope (round 1): Jia-Zhao BCs, anisotropic axes, single device, float32.
+Periodic/mirror BCs, half-isotropic pairs, float64, and the shard_map path
+use the XLA ops backend (``cytvdn_tpu/ops``), which implements everything.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# VMEM working-set target per block-sized buffer (bytes, after Mosaic
+# (8,128)-tile padding). For FISTA there are ~(4n+3) pipelined in/out blocks
+# (double-buffered) + (n+1) scratch carries ≈ 43 block buffers at n=4; they
+# must fit the 16 MB VMEM.
+_BLOCK_BYTES_TARGET = 256 * 1024
+
+
+def _padded_tail_bytes(shape: Tuple[int, ...], itemsize: int) -> int:
+    """Bytes of the (1, 1, *tail) slab after Mosaic tiling: the lane axis
+    pads to 128, the sublane axis to 8."""
+    tail = list(shape[2:])
+    tail[-1] = -(-tail[-1] // 128) * 128
+    if len(tail) >= 2:
+        tail[-2] = -(-tail[-2] // 8) * 8
+    return int(np.prod(tail)) * itemsize
+
+
+def _pick_b1(shape: Tuple[int, ...], itemsize: int) -> Optional[int]:
+    """Largest divisor of N1 whose block (1, B1, *tail) fits the budget."""
+    tail_bytes = _padded_tail_bytes(shape, itemsize)
+    if tail_bytes > _BLOCK_BYTES_TARGET:
+        return None
+    n1 = shape[1]
+    best = 1
+    for b1 in range(1, n1 + 1):
+        if n1 % b1 == 0 and b1 * tail_bytes <= _BLOCK_BYTES_TARGET:
+            best = b1
+    return best
+
+
+def fused_supported(shape, dtype, bc, isotropic_R=False, isotropic_Q=False):
+    """Whether the fused kernel covers this configuration."""
+    from cytvdn_tpu.config import BCMode
+
+    if dtype != jnp.float32:
+        return False
+    if bc != BCMode.JIA_ZHAO:
+        return False
+    if isotropic_R or isotropic_Q:
+        return False
+    if len(shape) not in (3, 4):
+        return False
+    if shape[0] < 2:
+        return False
+    return _plan(tuple(shape), 4) is not None
+
+
+def _shift_down_inblock(x: Array, ax: int) -> Array:
+    """s_i = x_{i-1} along in-block axis ``ax``; s_0 = x_0 (JZ: diff 0)."""
+    n = x.shape[ax]
+    first = lax.slice_in_dim(x, 0, 1, axis=ax)
+    body = lax.slice_in_dim(x, 0, n - 1, axis=ax)
+    return lax.concatenate([first, body], dimension=ax)
+
+
+def _shift_up_inblock(x: Array, ax: int) -> Array:
+    """s_i = x_{i+1} along in-block axis ``ax``; s_{N-1} = x_0 (wrap — under
+    JZ the leading slab is identically zero, reference utils.pyx:98-101)."""
+    n = x.shape[ax]
+    body = lax.slice_in_dim(x, 1, n, axis=ax)
+    first = lax.slice_in_dim(x, 0, 1, axis=ax)
+    return lax.concatenate([body, first], dimension=ax)
+
+
+def _shift_down_flat(x: Array) -> Array:
+    """Backward shift along the *flattened* pair of trailing axes (2,3) —
+    used when a 3D cube's energy axis is folded to (E1, E2) for efficient
+    (sublane, lane) tiling. JZ at the global first element: the shifted
+    value equals x there, so the difference vanishes."""
+    e2 = x.shape[3]
+    lastcol = lax.slice_in_dim(x, e2 - 1, e2, axis=3)    # x[.., e1, E2-1]
+    patch = _shift_down_inblock(lastcol, 2)              # x[.., e1-1, E2-1]
+    e1_ids = lax.broadcasted_iota(jnp.int32, patch.shape, dimension=2)
+    firstelem = lax.slice_in_dim(
+        lax.slice_in_dim(x, 0, 1, axis=2), 0, 1, axis=3
+    )
+    patch = jnp.where(e1_ids == 0, firstelem, patch)     # JZ: self at (0,0)
+    body = lax.slice_in_dim(x, 0, e2 - 1, axis=3)
+    return lax.concatenate([patch, body], dimension=3)
+
+
+def _shift_up_flat(x: Array) -> Array:
+    """Forward shift along the flattened trailing pair; the global last
+    element wraps to the global first (the JZ zero slab)."""
+    e2 = x.shape[3]
+    firstcol = lax.slice_in_dim(x, 0, 1, axis=3)         # x[.., e1, 0]
+    patch = _shift_up_inblock(firstcol, 2)               # x[.., e1+1, 0]
+    body = lax.slice_in_dim(x, 1, e2, axis=3)
+    return lax.concatenate([body, patch], dimension=3)
+
+
+def _plan(shape: Tuple[int, ...], itemsize: int):
+    """Choose the block layout for a cube shape.
+
+    Returns ``(work_shape, inblock_axes, flat, b1)`` or None if unsupported:
+
+    - 4D: work on the cube directly; in-block stencil axes (2, 3).
+    - 3D "single": if one (1, N1, E) slab fits the VMEM budget, keep the
+      rank-3 layout with axis 1 whole in-block (no seam operands at all).
+    - 3D "flat": fold E → (E1, 128) so the (sublane, lane) tiling is dense,
+      and compute the energy-axis stencil across the fold (exact).
+    """
+    ndim = len(shape)
+    if ndim == 4:
+        b1 = _pick_b1(shape, itemsize)
+        if b1 is None:
+            return None
+        return shape, (2, 3), False, b1
+    n0, n1, e = shape
+    single_bytes = (-(-n1 // 8) * 8) * (-(-e // 128) * 128) * itemsize
+    if single_bytes <= _BLOCK_BYTES_TARGET:
+        return shape, (2,), False, n1
+    if e % 128 == 0:
+        work = (n0, n1, e // 128, 128)
+        b1 = _pick_b1(work, itemsize)
+        if b1 is not None:
+            return work, (), True, b1
+    return None
+
+
+def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
+                 fista: bool, b1: int, has_seam: bool):
+    """Build the kernel body; operand order matches :func:`fused_iteration`.
+
+    Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
+    array axis 1 (gridded in B1-wide blocks, seams via column operands when
+    ``has_seam``), then ``inblock_axes`` and/or the flattened trailing pair
+    (``flat``, for a 3D energy axis folded to (E1, E2)).
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)                       # SMEM (1, 2n+1)
+        orig = next(it)                       # block @ (ip-1, j)
+        recon = next(it)                      # block @ (ip, j)
+        recon_prev1 = next(it) if has_seam else None
+        accs = [next(it) for _ in range(n_ax)]           # blocks @ (ip, j)
+        acc1_next1 = next(it) if has_seam else None
+        ds = [next(it) for _ in range(n_ax)] if fista else None
+        d1_next1 = next(it) if (fista and has_seam) else None
+        recon_next1 = next(it) if has_seam else None
+
+        recon_new = next(it)                  # block @ (ip-1, j)
+        b_outs = [next(it) for _ in range(n_ax)]
+        d_outs = [next(it) for _ in range(n_ax)] if fista else None
+        bnorm_out = next(it)                  # SMEM (1,1), written at end
+        dnum_out = next(it)                   # SMEM (1,1), written at end
+        dden_out = next(it)                   # SMEM (1,1), written at end
+
+        s_recon = next(it)                    # VMEM carry: recon block ip-1
+        s_b = [next(it) for _ in range(n_ax)]  # carry: b_new blocks ip-1
+        s_sums = next(it)                     # SMEM (3,) running reductions
+
+        j = pl.program_id(0)
+        ip = pl.program_id(1)
+        g0 = pl.num_programs(1) - 1
+        g1 = pl.num_programs(0)
+        in_acc_phase = ip < g0
+
+        # reductions run in SMEM scratch across the sequential grid
+        # (deterministic order) and land in the outputs at the final step
+        @pl.when(jnp.logical_and(j == 0, ip == 0))
+        def _():
+            s_sums[0] = jnp.float32(0.0)
+            s_sums[1] = jnp.float32(0.0)
+            s_sums[2] = jnp.float32(0.0)
+
+        lam_inv = [scal[0, k] for k in range(n_ax)]
+        lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
+        rho = scal[0, 2 * n_ax] if fista else None
+
+        # ------------- dual-update phase for row-block ip ----------------
+        # (values computed unconditionally — the drain step ip==G0 computes
+        # garbage that is never written or used; all writes are guarded)
+        a = recon[...]
+        prev_row = s_recon[...]
+
+        diffs = []
+        # axis 0: carried previous row; global row 0 → JZ zero difference
+        diffs.append(jnp.where(ip > 0, a - prev_row, jnp.zeros_like(a)))
+        # axis 1: in-block backward shift; seam column from the operand;
+        # JZ zero at the global leading column (j == 0)
+        if has_seam:
+            seam = lax.slice_in_dim(a, 0, 1, axis=1) - recon_prev1[...]
+            seam = jnp.where(j > 0, seam, jnp.zeros_like(seam))
+        else:
+            seam = jnp.zeros_like(lax.slice_in_dim(a, 0, 1, axis=1))
+        if b1 > 1:
+            body = a - _shift_down_inblock(a, 1)
+            diff1 = lax.concatenate(
+                [seam, lax.slice_in_dim(body, 1, b1, axis=1)], dimension=1
+            )
+        else:
+            diff1 = seam
+        diffs.append(diff1)
+        # trailing axes: in-block JZ shifts (global edges == block edges)
+        for ax in inblock_axes:
+            diffs.append(a - _shift_down_inblock(a, ax))
+        if flat:
+            diffs.append(a - _shift_down_flat(a))
+
+        b_new = []
+        bnorm = jnp.zeros((), jnp.float32)
+        for k in range(n_ax):
+            clipped = jnp.clip(diffs[k] + accs[k][...],
+                               -lam_inv[k], lam_inv[k])
+            if fista:
+                bk = clipped + rho * (clipped - ds[k][...])
+            else:
+                bk = clipped
+            b_new.append(bk)
+            bnorm = bnorm + jnp.sum(jnp.abs(bk))
+            if fista:
+                d_new = clipped
+
+                @pl.when(in_acc_phase)
+                def _(k=k, bk=bk, d_new=d_new):
+                    b_outs[k][...] = bk
+                    d_outs[k][...] = d_new
+            else:
+
+                @pl.when(in_acc_phase)
+                def _(k=k, bk=bk):
+                    b_outs[k][...] = bk
+
+        @pl.when(in_acc_phase)
+        def _():
+            s_sums[0] = s_sums[0] + bnorm
+
+        # ------------- reconstruction phase for row-block ip-1 -----------
+        @pl.when(ip > 0)
+        def _():
+            recon_old = prev_row
+            bp = [s_b[k][...] for k in range(n_ax)]
+
+            fwds = []
+            # axis 0: the row below is exactly this step's fresh b_new[0];
+            # the last row block's JZ wrap reads the zero leading slab.
+            fwds.append(
+                jnp.where(ip < g0, b_new[0], jnp.zeros_like(b_new[0]))
+            )
+            # axis 1: in-block forward shift; seam column recomputed from
+            # the neighbor column's pre-update state (identical arithmetic
+            # to the neighbor block's own update — exact); JZ wrap → 0.
+            if has_seam:
+                seam_diff = recon_next1[...] - lax.slice_in_dim(
+                    recon_old, b1 - 1, b1, axis=1
+                )
+                seam_clip = jnp.clip(seam_diff + acc1_next1[...],
+                                     -lam_inv[1], lam_inv[1])
+                if fista:
+                    seam_b1 = seam_clip + rho * (seam_clip - d1_next1[...])
+                else:
+                    seam_b1 = seam_clip
+                seam_b1 = jnp.where(j < g1 - 1, seam_b1,
+                                    jnp.zeros_like(seam_b1))
+            else:
+                seam_b1 = jnp.zeros_like(
+                    lax.slice_in_dim(bp[1], 0, 1, axis=1)
+                )
+            if b1 > 1:
+                fwd1 = lax.concatenate(
+                    [lax.slice_in_dim(bp[1], 1, b1, axis=1), seam_b1],
+                    dimension=1,
+                )
+            else:
+                fwd1 = seam_b1
+            fwds.append(fwd1)
+            for i_ax, ax in enumerate(inblock_axes):
+                fwds.append(_shift_up_inblock(bp[2 + i_ax], ax))
+            if flat:
+                fwds.append(_shift_up_flat(bp[n_ax - 1]))
+
+            div = jnp.zeros_like(recon_old)
+            for k in range(n_ax):
+                div = div + lam_mu[k] * (bp[k] - fwds[k])
+            newr = orig[...] - div
+            recon_new[...] = newr
+            s_sums[1] = s_sums[1] + jnp.sum(jnp.abs(newr - recon_old))
+            s_sums[2] = s_sums[2] + jnp.sum(jnp.abs(recon_old))
+
+        # ------------- update carries for the next step ------------------
+        @pl.when(in_acc_phase)
+        def _():
+            s_recon[...] = a
+            for k in range(n_ax):
+                s_b[k][...] = b_new[k]
+
+        # ------------- final step: publish the reductions ----------------
+        @pl.when(jnp.logical_and(j == g1 - 1, ip == g0))
+        def _():
+            bnorm_out[0, 0] = s_sums[0]
+            dnum_out[0, 0] = s_sums[1]
+            dden_out[0, 0] = s_sums[2]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fista", "interpret"))
+def fused_iteration(
+    orig: Array,
+    recon: Array,
+    accs: Tuple[Array, ...],
+    ds: Optional[Tuple[Array, ...]],
+    tk_ratio: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    fista: bool = True,
+    interpret: bool = False,
+):
+    """One full TV iteration (Jia-Zhao BCs, anisotropic) as a single fused
+    Pallas pass.
+
+    Returns ``(recon_new, accs_new, ds_new, bnorm, delta_num, recon_norm)``
+    with the reductions as deterministic float32 scalars.
+    """
+    in_shape = orig.shape
+    ndim = len(in_shape)
+    plan = _plan(in_shape, orig.dtype.itemsize)
+    if plan is None:
+        raise ValueError(f"fused kernel does not support shape {in_shape}")
+    shape, inblock_axes, flat, b1 = plan
+
+    def emb(x):
+        return x.reshape(shape)
+
+    orig, recon = emb(orig), emb(recon)
+    accs = tuple(emb(x) for x in accs)
+    if fista:
+        ds = tuple(emb(x) for x in ds)
+
+    n0, n1 = shape[0], shape[1]
+    g0, g1 = n0, n1 // b1
+    has_seam = g1 > 1
+    tail = shape[2:]
+    one_tail = (1, 1) + tail
+    block = (1, b1) + tail
+
+    n_scal = 2 * ndim + 1
+    scal = jnp.concatenate(
+        [
+            lambda_inv.astype(jnp.float32),
+            lam_mu.astype(jnp.float32),
+            jnp.asarray(tk_ratio, jnp.float32).reshape(1),
+        ]
+    ).reshape(1, n_scal)
+
+    def blk(index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    def col(index_map):
+        return pl.BlockSpec(one_tail, index_map, memory_space=pltpu.VMEM)
+
+    zeros_tail = tuple(0 for _ in tail)
+
+    # index maps receive grid coords (j, ip) and return block indices;
+    # axis 0 blocks are single rows, so block index == row index there
+    def at_i_j(j, ip):
+        return (jnp.minimum(ip, g0 - 1), j) + zeros_tail
+
+    def at_im1_j(j, ip):
+        return (jnp.maximum(ip - 1, 0), j) + zeros_tail
+
+    def prev1_map(j, ip):  # element column j*B1-1 (clamped) at row ip
+        return (
+            jnp.minimum(ip, g0 - 1),
+            jnp.maximum(j * b1 - 1, 0),
+        ) + zeros_tail
+
+    def next1_map(j, ip):  # element column (j+1)*B1 (clamped) at row ip-1
+        return (
+            jnp.maximum(ip - 1, 0),
+            jnp.minimum((j + 1) * b1, n1 - 1),
+        ) + zeros_tail
+
+    in_specs = [
+        pl.BlockSpec((1, n_scal), lambda j, ip: (0, 0),
+                     memory_space=pltpu.SMEM),
+        blk(at_im1_j),   # orig
+        blk(at_i_j),     # recon
+    ]
+    inputs = [scal, orig, recon]
+    aliases = {}
+
+    if has_seam:
+        in_specs += [col(prev1_map)]
+        inputs += [recon]
+    acc_base = len(inputs)
+    in_specs += [blk(at_i_j) for _ in range(ndim)]  # accs
+    inputs += [*accs]
+    for k in range(ndim):
+        aliases[acc_base + k] = 1 + k               # acc_k → b_new_k
+    if has_seam:
+        in_specs += [col(next1_map)]                # acc1_next1
+        inputs += [accs[1]]
+    if fista:
+        d_base = len(inputs)
+        in_specs += [blk(at_i_j) for _ in range(ndim)]  # ds
+        inputs += [*ds]
+        for k in range(ndim):
+            aliases[d_base + k] = 1 + ndim + k      # d_k → d_new_k
+        if has_seam:
+            in_specs += [col(next1_map)]            # d1_next1
+            inputs += [ds[1]]
+    if has_seam:
+        in_specs += [col(next1_map)]                # recon_next1
+        inputs += [recon]
+    # NOTE: recon is NOT aliased — with a seam, recon_prev1 reads the
+    # previous column-strip's OLD recon, which an alias would have
+    # overwritten. (With g1 == 1 an alias would be safe; kept uniform.)
+
+    scal_out = pl.BlockSpec(
+        (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
+    )
+
+    out_specs = [blk(at_im1_j)]                       # recon_new
+    out_specs += [blk(at_i_j) for _ in range(ndim)]   # b_new
+    if fista:
+        out_specs += [blk(at_i_j) for _ in range(ndim)]  # d_new
+    out_specs += [scal_out, scal_out, scal_out]       # bnorm, dnum, dden
+
+    dt = orig.dtype
+    out_shape = [jax.ShapeDtypeStruct(shape, dt)]               # recon_new
+    out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim       # b_new
+    if fista:
+        out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim   # d_new
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3
+
+    scratch = [pltpu.VMEM(block, dt) for _ in range(1 + ndim)]
+    scratch += [pltpu.SMEM((3,), jnp.float32)]
+
+    outs = pl.pallas_call(
+        _make_kernel(ndim, inblock_axes, flat, fista, b1, has_seam),
+        grid=(g1, g0 + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*inputs)
+
+    def unemb(x):
+        return x.reshape(in_shape)
+
+    recon_new = unemb(outs[0])
+    accs_new = tuple(unemb(o) for o in outs[1:1 + ndim])
+    if fista:
+        ds_new = tuple(unemb(o) for o in outs[1 + ndim:1 + 2 * ndim])
+        bnorm_p, dnum_p, dden_p = outs[1 + 2 * ndim:]
+    else:
+        ds_new = None
+        bnorm_p, dnum_p, dden_p = outs[1 + ndim:]
+
+    return (
+        recon_new,
+        accs_new,
+        ds_new,
+        bnorm_p[0, 0],
+        dnum_p[0, 0],
+        dden_p[0, 0],
+    )

@@ -149,6 +149,29 @@ def _accumulator_phase(
     return tuple(accs_new), (tuple(ds_new) if fista else None), bnorm
 
 
+def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]:
+    """Decide (use_fused_pallas_kernel, interpret_mode) for this config.
+
+    The fused kernel covers the hot path (single-device, Jia-Zhao,
+    anisotropic, float32); everything else uses the XLA ops. AUTO selects
+    Pallas only on TPU; an explicit PALLAS backend on CPU runs the kernel
+    in interpreter mode (for tests).
+    """
+    if opts.backend == Backend.JAX or opts.backend == Backend.CPP:
+        return False, False
+    if comm is not None and not isinstance(comm, NullComm):
+        return False, False  # sharded path: XLA ops (kernel+halo in round 2)
+    from cytvdn_tpu.kernels.fused import fused_supported
+
+    if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,
+                           opts.isotropic_Q):
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if opts.backend == Backend.PALLAS:
+        return True, not on_tpu
+    return on_tpu, False  # AUTO
+
+
 def iteration_step(
     orig: Array,
     recon: Array,
@@ -164,8 +187,23 @@ def iteration_step(
 
     Returns ``(recon_new, accs_new, ds_new, bnorm, delta)`` with ``bnorm``
     and ``delta`` already globally reduced through ``comm.allsum``.
+    Dispatches to the fused Pallas kernel on the hot path, otherwise to the
+    pure-JAX ops.
     """
     comm = comm or NullComm()
+    use_fused, interpret = _resolve_fused(opts, orig.shape, orig.dtype, comm)
+    if use_fused:
+        from cytvdn_tpu.kernels.fused import fused_iteration
+
+        fista = ds is not None
+        recon_new, accs_new, ds_new, bnorm, dnum, dden = fused_iteration(
+            orig, recon, accs, ds,
+            tk_ratio if fista else jnp.zeros((), orig.dtype),
+            lambda_inv, lam_mu, fista=fista, interpret=interpret,
+        )
+        return recon_new, accs_new, ds_new, bnorm.astype(orig.dtype), \
+            (dnum / dden).astype(orig.dtype)
+
     accs_new, ds_new, bnorm = _accumulator_phase(
         recon, accs, ds, tk_ratio, lambda_inv, opts, comm
     )
