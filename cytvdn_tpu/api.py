@@ -37,6 +37,17 @@ def _run_jit(orig, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
     return run_solver(orig, lambda_inv, lam_mu, opts, reference_data)
 
 
+def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
+    """Dispatch to the native CPU backend or the jitted device solver."""
+    if opts.backend == Backend.CPP:
+        from cytvdn_tpu.cpp.backend import solve_cpp
+
+        return solve_cpp(datacube, lambda_inv, lam_mu, opts, reference_data)
+    ref = jnp.asarray(reference_data) if opts.calculate_mse else None
+    return _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
+                    jnp.asarray(lam_mu), opts, ref)
+
+
 def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):
     """Shared parameter validation/derivation
     (reference cyTVDN/cyTVDN.py:62-78, 289-304)."""
@@ -138,9 +149,7 @@ def denoise4D(
     )
     _memory_note(datacube, n_f > 0, 4, quiet)
 
-    ref = jnp.asarray(reference_data) if calculate_mse else None
-    result = _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
-                      jnp.asarray(lam_mu), opts, ref)
+    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data)
     return _finish(result, calculate_mse)
 
 
@@ -185,9 +194,7 @@ def denoise3D(
     )
     _memory_note(datacube, n_f > 0, 3, quiet)
 
-    ref = jnp.asarray(reference_data) if calculate_mse else None
-    result = _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
-                      jnp.asarray(lam_mu), opts, ref)
+    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data)
     return _finish(result, calculate_mse)
 
 

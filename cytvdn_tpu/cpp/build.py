@@ -1,0 +1,76 @@
+"""Build-on-first-use for the native CPU kernels.
+
+The reference ships a platform-dispatching setup.py that compiles Cython
+extensions at install time (reference setup.py:10-77); here the C++ source
+(csrc/tvdn_cpu.cpp) is compiled once with the system compiler and cached
+next to the package. No Cython, no build-time dependency: ``g++ -O3
+-fopenmp -shared -fPIC`` is the whole build system.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sysconfig
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB_PATH: Optional[str] = None
+_FAILED = False
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(_PKG_DIR)
+_SRC = os.path.join(_REPO_DIR, "csrc", "tvdn_cpu.cpp")
+_OUT = os.path.join(_PKG_DIR, "cpp", "_tvdn_cpu.so")
+
+
+def _compiler() -> Optional[str]:
+    for cc in ("g++", "clang++", "c++"):
+        if shutil.which(cc):
+            return cc
+    return None
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Compile (if needed) and return the shared-library path, or None if
+    no compiler/source is available (the JAX backends remain fully
+    functional without it)."""
+    global _LIB_PATH, _FAILED
+    with _LOCK:
+        if _LIB_PATH and not force:
+            return _LIB_PATH
+        if _FAILED and not force:
+            return None
+        if not os.path.exists(_SRC):
+            _FAILED = True
+            return None
+        if (
+            not force
+            and os.path.exists(_OUT)
+            and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)
+        ):
+            _LIB_PATH = _OUT
+            return _OUT
+        cc = _compiler()
+        if cc is None:
+            _FAILED = True
+            return None
+        cmd = [
+            cc, "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+            "-march=native", _SRC, "-o", _OUT,
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError:
+            # retry without -march=native (unsupported on some toolchains)
+            cmd.remove("-march=native")
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+            except subprocess.CalledProcessError:
+                _FAILED = True
+                return None
+        _LIB_PATH = _OUT
+        return _OUT
