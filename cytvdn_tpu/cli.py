@@ -1,0 +1,174 @@
+"""Command-line launcher — the reference's ``cyTVMPI`` console script
+rebuilt for the TPU runtime (reference cyTVDN/mpi.py:27-501, flag surface
+mpi.py:47-76).
+
+Same flags: ``-i/--input``, ``-o/--output``, ``-d/--dimensions``,
+``-f/--fista``, ``-n/--niterations`` (one value, or two for the hybrid
+schedule), ``-L/--lambda``, ``-m/--mu``, ``-v/--verbose``. TPU additions:
+``--shard`` (device-mesh tiling, 'auto' = edge-minimizing partitioner over
+the scan axes like the reference's mpi.py:130-153), ``--backend``,
+``--bc-mode``, ``--stop`` (the stopping criterion the reference MPI path
+lacks, README.md:34), ``--checkpoint``/``--checkpoint-every`` and
+``--resume`` (periodic solver-state checkpointing; the reference has none,
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def str2bool(v) -> bool:
+    # same accepted spellings as the reference (reference mpi.py:37-45)
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cytv",
+        description="TPU-native TV denoising of 3D/4D microscopy datacubes.",
+    )
+    p.add_argument("-i", "--input", type=os.path.abspath, required=True,
+                   help="input file (.h5/.emd/.dm3/.dm4/.npy)")
+    p.add_argument("-o", "--output", type=os.path.abspath, required=True,
+                   help="output file (written as EMD v0.7, extension "
+                        "forced to .emd)")
+    p.add_argument("-d", "--dimensions", type=int, choices=(3, 4),
+                   help="number of dimensions (inferred from input if "
+                        "omitted)")
+    p.add_argument("-f", "--fista", type=str2bool, default=False,
+                   help="use FISTA acceleration (0 or 1)")
+    p.add_argument("-n", "--niterations", type=int, nargs="+", required=True,
+                   help="iterations (two values = hybrid FISTA+unacc)")
+    p.add_argument("-L", "--lambda", dest="lam", type=float, nargs="+",
+                   help="per-axis lambda (default mu/32 in 4D, mu/16 in 3D)")
+    p.add_argument("-m", "--mu", type=float, nargs="+", required=True,
+                   help="per-axis mu")
+    p.add_argument("-v", "--verbose", type=str2bool, default=True)
+    p.add_argument("--bc-mode", type=int, default=2, choices=(0, 1, 2),
+                   help="boundary conditions: 0 periodic, 1 mirror, "
+                        "2 Jia-Zhao (default)")
+    p.add_argument("--stop", type=float, default=None,
+                   help="stopping_relative_change (e.g. 0.05)")
+    p.add_argument("--iso-r", type=str2bool, default=False,
+                   help="half-isotropic on axes 0,1 (4D only)")
+    p.add_argument("--iso-q", type=str2bool, default=False,
+                   help="half-isotropic on axes 2,3 (4D only)")
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "jax", "pallas", "cpp"))
+    p.add_argument("--shard", default=None,
+                   help="'auto' or comma-separated per-axis tile counts "
+                        "(e.g. 2,4,1,1) to run over a device mesh")
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "float64"))
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for periodic state saves")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save solver state every N iterations")
+    p.add_argument("--resume", type=str2bool, default=False,
+                   help="resume from --checkpoint if it exists")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    verbose = args.verbose
+
+    def log(msg):
+        if verbose:
+            print(f"[cytv] {msg}", flush=True)
+
+    from cytvdn_tpu.io.loaders import load_input
+    from cytvdn_tpu.io.emd import write_emd
+
+    t0 = time.time()
+    data = load_input(args.input, dtype=np.dtype(args.dtype))
+    log(f"loaded {args.input}: shape {data.shape}, {data.dtype}, "
+        f"{data.nbytes / 2**20:.1f} MiB in {time.time() - t0:.2f}s")
+
+    ndim = args.dimensions or data.ndim
+    if data.ndim != ndim:
+        print(f"error: input is {data.ndim}D but -d {ndim} given",
+              file=sys.stderr)
+        return 2
+
+    mu = np.asarray(args.mu, dtype=data.dtype)
+    if mu.size == 1:
+        mu = np.full(ndim, mu[0], dtype=data.dtype)
+    lam = None
+    if args.lam is not None:
+        lam = np.asarray(args.lam, dtype=data.dtype)
+        if lam.size == 1:
+            lam = np.full(ndim, lam[0], dtype=data.dtype)
+
+    iterations = (args.niterations[0] if len(args.niterations) == 1
+                  else tuple(args.niterations[:2]))
+
+    kwargs = dict(
+        mu=mu,
+        lam=lam,
+        iterations=iterations,
+        FISTA=bool(args.fista),
+        stopping_relative_change=args.stop,
+        BC_mode=args.bc_mode,
+        quiet=not verbose,
+        backend=args.backend,
+    )
+
+    t0 = time.time()
+    if args.shard:
+        from cytvdn_tpu.parallel.api import denoise_sharded
+
+        shard = ("auto" if args.shard == "auto"
+                 else tuple(int(s) for s in args.shard.split(",")))
+        result = denoise_sharded(
+            data, shard=shard,
+            isotropic_R=args.iso_r, isotropic_Q=args.iso_q,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            **kwargs,
+        )
+        recon, b_norm, delta = (result["recon"], result["b_norm"],
+                                result["delta"])
+    else:
+        from cytvdn_tpu import denoise3D, denoise4D
+        from cytvdn_tpu.utils.checkpoint import run_with_checkpointing
+
+        if args.checkpoint and args.checkpoint_every:
+            result = run_with_checkpointing(
+                data, checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every, resume=args.resume,
+                isotropic_R=args.iso_r, isotropic_Q=args.iso_q, **kwargs)
+            recon, b_norm, delta = (result["recon"], result["b_norm"],
+                                    result["delta"])
+        elif ndim == 3:
+            recon, b_norm, delta = denoise3D(data, **kwargs)[:3]
+        else:
+            recon, b_norm, delta = denoise4D(
+                data, isotropic_R=args.iso_r, isotropic_Q=args.iso_q,
+                **kwargs)[:3]
+    log(f"denoising took {time.time() - t0:.2f}s; "
+        f"final delta {delta[np.nonzero(delta)][-1] if np.any(delta) else 0:.5f}")
+
+    t0 = time.time()
+    out = write_emd(args.output, recon)
+    log(f"wrote {out} in {time.time() - t0:.2f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

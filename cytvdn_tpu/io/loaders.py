@@ -1,0 +1,98 @@
+"""Input loaders — the reference's memory-mapped open paths rebuilt
+(reference cyTVDN/mpi.py:93-124):
+
+- ``.dm3``/``.dm4`` via ncempy (3D EELS, reference mpi.py:97-101) or
+  py4DSTEM (4D, mpi.py:107-109) — both optional extras, gated imports;
+- ``.h5``/``.emd`` via h5py (mpi.py:111-118) with lazy handles for
+  per-shard block reads (the replacement for MPI-IO collective reads);
+- ``.npy`` via numpy memmap (convenience addition).
+
+The reference's 3D loader bug (x slice used twice, mpi.py:219) has no
+analog here: block reads take explicit per-axis slices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class InputHandle:
+    """Uniform lazy view of an input datacube: ``.shape``, ``.dtype``,
+    ``.read_block(slices)`` and ``.read()``; close when done."""
+
+    def __init__(self, shape, dtype, reader, closer=None):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self._reader = reader
+        self._closer = closer
+
+    def read_block(self, slices: Tuple[slice, ...]) -> np.ndarray:
+        return np.asarray(self._reader(tuple(slices)))
+
+    def read(self) -> np.ndarray:
+        return self.read_block(tuple(slice(None) for _ in self.shape))
+
+    def close(self):
+        if self._closer:
+            self._closer()
+            self._closer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _open_h5(path: str) -> InputHandle:
+    import h5py
+
+    from cytvdn_tpu.io.emd import read_emd
+
+    f, dset = read_emd(path, lazy=True)
+    return InputHandle(dset.shape, dset.dtype,
+                       lambda sel: dset[sel], f.close)
+
+
+def _open_dm(path: str) -> InputHandle:
+    try:
+        from ncempy.io.dm import fileDM
+    except Exception as e:
+        raise RuntimeError(
+            "reading .dm3/.dm4 requires ncempy (install extra 'io'); "
+            f"import failed: {e}"
+        )
+    dmf = fileDM(path)
+    data = dmf.getMemmap(2)
+    # squeeze leading singleton dims while retaining the memmap, as the
+    # reference does (reference mpi.py:100-101)
+    while data.shape[0] == 1:
+        data = data.reshape(data.shape[1:])
+    return InputHandle(data.shape, data.dtype, lambda sel: data[sel])
+
+
+def _open_npy(path: str) -> InputHandle:
+    data = np.load(path, mmap_mode="r")
+    return InputHandle(data.shape, data.dtype, lambda sel: data[sel])
+
+
+def open_input(path: str) -> InputHandle:
+    """Open any supported input as a lazy handle."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".h5", ".hdf5", ".emd"):
+        return _open_h5(path)
+    if ext in (".dm3", ".dm4"):
+        return _open_dm(path)
+    if ext == ".npy":
+        return _open_npy(path)
+    raise ValueError(f"unsupported input format: {path}")
+
+
+def load_input(path: str, dtype=np.float32) -> np.ndarray:
+    """Load a whole input datacube as a contiguous array of ``dtype``
+    (the reference loads float32 contiguous blocks, mpi.py:223-236)."""
+    with open_input(path) as h:
+        return np.ascontiguousarray(h.read()).astype(dtype, copy=False)

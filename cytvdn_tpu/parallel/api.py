@@ -1,0 +1,122 @@
+"""User-level sharded denoising — the ``cyTVMPI`` replacement as a library
+call (the reference exposes distribution only through the MPI console
+script, reference cyTVDN/mpi.py; here it is one keyword away from the
+single-device API, with all solver features available distributed).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions, normalize_iterations
+from cytvdn_tpu.parallel.sharded import run_sharded
+
+
+def denoise_sharded(
+    datacube: np.ndarray,
+    mu,
+    lam=None,
+    iterations=10,
+    FISTA: bool = True,
+    stopping_relative_change: Optional[float] = None,
+    BC_mode: int = 2,
+    isotropic_R: bool = False,
+    isotropic_Q: bool = False,
+    reference_data: Optional[np.ndarray] = None,
+    quiet: bool = True,
+    backend="auto",
+    shard="auto",
+    devices=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> Dict[str, Any]:
+    """Denoise a datacube sharded over a device mesh.
+
+    Returns a dict with ``recon``, ``b_norm``, ``delta``,
+    ``iterations_run`` [, ``mse``] as numpy arrays. Supports everything the
+    single-device path does — FISTA, hybrid schedules, early stopping,
+    MSE tracking, all BC modes, half-isotropic pairs, checkpoint/resume —
+    none of which the reference's MPI runtime implements
+    (reference mpi.py:252-255, 310-311; README.md:22-34).
+    """
+    from cytvdn_tpu.api import _validate_and_derive
+    from cytvdn_tpu.utils.checkpoint import load_state, save_state
+
+    ndim = np.asarray(datacube).ndim
+    datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+        datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
+    )
+    n_f, n_u = normalize_iterations(iterations, FISTA)
+    opts = SolverOptions(
+        ndim=ndim,
+        iterations_fista=n_f,
+        iterations_unacc=n_u,
+        bc_mode=BCMode(BC_mode),
+        stopping_relative_change=stopping_relative_change,
+        isotropic_R=isotropic_R,
+        isotropic_Q=isotropic_Q,
+        calculate_mse=reference_data is not None,
+        backend=Backend(backend),
+    )
+    n_total = opts.total_iterations
+    meta = {
+        "ndim": ndim,
+        "shape": list(datacube.shape),
+        "iterations_fista": n_f,
+        "iterations_unacc": n_u,
+    }
+
+    checkpointing = bool(checkpoint_path and checkpoint_every)
+    state = None
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, ck_meta = load_state(checkpoint_path)
+        if ck_meta["shape"] != list(datacube.shape):
+            raise ValueError("checkpoint shape does not match input")
+
+    if not checkpointing and state is None:
+        out = run_sharded(datacube, lambda_inv, lam_mu, opts,
+                          reference_data, shard, devices)
+    else:
+        out = None
+        while True:
+            i_now = int(state["i"]) if state is not None else 0
+            if i_now >= n_total:
+                break
+            i_stop = (min(i_now + checkpoint_every, n_total)
+                      if checkpoint_every > 0 else n_total)
+            out = run_sharded(
+                datacube, lambda_inv, lam_mu, opts, reference_data, shard,
+                devices, state=state, i_stop=i_stop, keep_state=True,
+            )
+            state = {
+                "recon": out["recon"],
+                "accs": tuple(out["accs"]),
+                "ds": tuple(out["ds"]) if out["ds"] else (),
+                "b_norm": out["b_norm"],
+                "delta": out["delta"],
+                "mse": out.get("mse", np.zeros(0)),
+                "i": out["i"],
+            }
+            if checkpoint_path:
+                save_state(checkpoint_path, state, meta)
+            if bool(out["early_stopped"]) or \
+                    int(out["iterations_run"]) >= n_total:
+                break
+        if out is None:  # checkpoint already covered all iterations
+            out = {**state, "iterations_run": state["i"]}
+            if not opts.calculate_mse:
+                out.pop("mse", None)
+
+    result = {
+        "recon": np.asarray(out["recon"]),
+        "b_norm": np.asarray(out["b_norm"]),
+        "delta": np.asarray(out["delta"]),
+        "iterations_run": int(out["iterations_run"]),
+    }
+    if opts.calculate_mse:
+        result["mse"] = np.asarray(out["mse"])
+    return result

@@ -12,12 +12,14 @@ Differences from the reference, by design:
   scan axes, mpi.py:357-358); splitting the Q/spectral axes uses the same
   halo mechanism and enables the 512²×256² north-star config.
 - Exact seams: see ``cytvdn_tpu/parallel/halo.py`` (SURVEY.md §8.3).
+- Chunked execution + checkpoint/resume work distributed too (``state`` /
+  ``i_stop`` / ``keep_state`` mirror ``run_solver``).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -82,32 +84,61 @@ def make_mesh(shard: Sequence[int], devices=None) -> Tuple[Mesh, Dict[int, str]]
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
-                      with_ref: bool, devices_key):
+                      with_ref: bool, with_state: bool, keep_state: bool,
+                      devices_key):
     mesh, names = make_mesh(shard, devices=list(devices_key))
     data_spec = P(*[names.get(ax) for ax in range(ndim)])
-    scalar_spec = P()
+    rep = P()
+
+    n_ds = ndim if opts.iterations_fista else 0
+    state_specs = {
+        "recon": data_spec,
+        "accs": (data_spec,) * ndim,
+        "ds": (data_spec,) * n_ds,
+        "b_norm": rep,
+        "delta": rep,
+        "mse": rep,
+        "i": rep,
+    }
 
     out_specs = {
         "recon": data_spec,
-        "b_norm": scalar_spec,
-        "delta": scalar_spec,
-        "iterations_run": scalar_spec,
+        "b_norm": rep,
+        "delta": rep,
+        "iterations_run": rep,
+        "early_stopped": rep,
     }
     if opts.calculate_mse:
-        out_specs["mse"] = scalar_spec
+        out_specs["mse"] = rep
+    if keep_state:
+        out_specs["accs"] = (data_spec,) * ndim
+        out_specs["ds"] = (data_spec,) * n_ds
+        out_specs["i"] = rep
 
-    in_specs = (data_spec, scalar_spec, scalar_spec)
+    in_specs = [data_spec, rep, rep, rep]  # orig, lambda_inv, lam_mu, i_stop
     if with_ref:
-        in_specs = in_specs + (data_spec,)
+        in_specs.append(data_spec)
+    if with_state:
+        in_specs.append(state_specs)
 
-    def shard_body(orig, lambda_inv, lam_mu, *maybe_ref):
+    def shard_body(orig, lambda_inv, lam_mu, i_stop, *rest):
+        rest = list(rest)
+        ref = rest.pop(0) if with_ref else None
+        state = rest.pop(0) if with_state else None
         comm = MeshComm(names, opts.bc_mode)
-        ref = maybe_ref[0] if maybe_ref else None
-        return run_solver(orig, lambda_inv, lam_mu, opts, ref, comm)
+        out = run_solver(
+            orig, lambda_inv, lam_mu, opts, ref, comm,
+            state=state, i_stop=i_stop, keep_state=keep_state,
+        )
+        if not keep_state:
+            out.pop("accs", None)
+            out.pop("ds", None)
+            out.pop("i", None)
+        return out
 
     fn = jax.shard_map(
-        shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False,
+        shard_body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=out_specs, check_vma=False,
     )
     return jax.jit(fn), mesh
 
@@ -120,16 +151,30 @@ def run_sharded(
     reference_data=None,
     shard: Union[str, Sequence[int], None] = "auto",
     devices=None,
+    state: Optional[Dict[str, Any]] = None,
+    i_stop=None,
+    keep_state: bool = False,
 ):
     """Run the solver sharded over a device mesh. Same return contract as
     :func:`cytvdn_tpu.solver.engine.run_solver`."""
     devices = tuple(devices if devices is not None else jax.devices())
     shard_t = resolve_shard(shard, orig.shape, len(devices))
     with_ref = reference_data is not None
+    with_state = state is not None
     fn, mesh = _build_sharded_fn(
-        opts, shard_t, orig.ndim, with_ref, devices
+        opts, shard_t, orig.ndim, with_ref, with_state, keep_state, devices
     )
-    args = (jnp.asarray(orig), jnp.asarray(lambda_inv), jnp.asarray(lam_mu))
+    if i_stop is None:
+        i_stop = opts.total_iterations
+    args = [jnp.asarray(orig), jnp.asarray(lambda_inv),
+            jnp.asarray(lam_mu), jnp.asarray(i_stop, jnp.int32)]
     if with_ref:
-        args = args + (jnp.asarray(reference_data),)
+        args.append(jnp.asarray(reference_data))
+    if with_state:
+        jstate = {
+            k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, tuple)
+                else jnp.asarray(v))
+            for k, v in state.items()
+        }
+        args.append(jstate)
     return fn(*args)

@@ -217,12 +217,11 @@ def iteration_step(
 
 
 class _PhaseCarry(NamedTuple):
-    i: Array          # trace index (global across phases)
-    j: Array          # iteration counter within this phase
+    i: Array          # global iteration/trace index
     done: Array       # early-stop latch
     recon: Array
     accs: Tuple[Array, ...]
-    ds: Any           # tuple of arrays, or () when not FISTA
+    ds: Any           # tuple of arrays, or () when not carried
     b_norm: Array     # full-length trace
     delta: Array      # full-length trace
     mse: Array        # full-length (+1) trace, or shape-(0,) placeholder
@@ -230,7 +229,7 @@ class _PhaseCarry(NamedTuple):
 
 def _run_phase(
     fista: bool,
-    n_phase: int,
+    i_bound,
     carry: _PhaseCarry,
     orig: Array,
     tk_ratios: Array,
@@ -239,20 +238,22 @@ def _run_phase(
     opts: SolverOptions,
     comm,
     reference_data: Optional[Array],
+    i_stop,
 ) -> _PhaseCarry:
     """Run one phase (FISTA or unaccelerated) as a fixed-structure
-    ``lax.while_loop`` with on-device early stopping.
+    ``lax.while_loop`` bounded by the global iteration index, with
+    on-device early stopping.
 
     Matches the reference's loop semantics: the stop check happens *after*
     the iteration's traces are recorded, so the converging iteration is
-    included (reference cyTVDN/cyTVDN.py:182-194)."""
-    if n_phase == 0:
-        return carry
-
+    included (reference cyTVDN/cyTVDN.py:182-194). ``i_stop`` additionally
+    caps the run (dynamic — used for chunked checkpointing)."""
     stopping = opts.stopping_relative_change
+    bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
+                        jnp.asarray(i_stop, jnp.int32))
 
     def cond(c: _PhaseCarry):
-        return jnp.logical_and(c.j < n_phase, jnp.logical_not(c.done))
+        return jnp.logical_and(c.i < bound, jnp.logical_not(c.done))
 
     def body(c: _PhaseCarry):
         tk_ratio = tk_ratios[c.i].astype(orig.dtype) if fista else None
@@ -273,7 +274,6 @@ def _run_phase(
         )
         return _PhaseCarry(
             i=c.i + 1,
-            j=c.j + 1,
             done=done,
             recon=recon,
             accs=accs,
@@ -293,6 +293,9 @@ def run_solver(
     opts: SolverOptions,
     reference_data: Optional[Array] = None,
     comm=None,
+    state: Optional[Dict[str, Any]] = None,
+    i_stop=None,
+    keep_state: bool = False,
 ) -> Dict[str, Array]:
     """Run the full (possibly hybrid) TV-denoising schedule on device.
 
@@ -302,35 +305,52 @@ def run_solver(
     trace entries for skipped iterations remain zero
     (reference cyTVDN/cyTVDN.py:100-108, 127-128, 195-201).
 
+    ``state``/``i_stop``/``keep_state`` support chunked execution and
+    checkpoint/resume (a capability the reference lacks, SURVEY.md §5):
+    ``state`` is a dict with ``recon``, ``accs``, ``ds``, ``b_norm``,
+    ``delta``, ``mse``, ``i`` (as produced with ``keep_state=True``);
+    ``i_stop`` dynamically caps the global iteration index.
+
     Returns a dict with ``recon``, ``b_norm``, ``delta``, ``iterations_run``
-    and (when ``opts.calculate_mse``) ``mse``.
+    [, ``mse``] [, ``accs``, ``ds``, ``i`` when ``keep_state``].
     """
     comm = comm or NullComm()
     dtype = orig.dtype
     n_f, n_u = opts.iterations_fista, opts.iterations_unacc
     n_total = n_f + n_u
+    if i_stop is None:
+        i_stop = n_total
 
     # schedule computed on host in float64 then stored at the data dtype —
     # bitwise identical to the reference passing a Python float into a
     # ``_float``-typed kernel argument (reference cyTVDN.py:153-156).
     tk_ratios = jnp.asarray(fista_tk_ratios(n_f), dtype=dtype)
 
-    accs = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim))
-    ds = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim)) if n_f else ()
-    recon = orig  # functional copy-on-write (reference cyTVDN.py:145)
-
-    b_norm = jnp.zeros((n_total,), dtype=dtype)
-    delta = jnp.zeros((n_total,), dtype=dtype)
-    if opts.calculate_mse:
-        mse = jnp.zeros((n_total + 1,), dtype=dtype)
-        sse0 = comm.allsum(ops.sum_square_error(orig, reference_data))
-        mse = mse.at[0].set(sse0.astype(dtype))
+    if state is not None:
+        recon = state["recon"]
+        accs = tuple(state["accs"])
+        ds = tuple(state["ds"]) if n_f else ()
+        b_norm = state["b_norm"]
+        delta = state["delta"]
+        mse = state["mse"] if opts.calculate_mse else jnp.zeros((0,), dtype)
+        i0 = jnp.asarray(state["i"], jnp.int32)
     else:
-        mse = jnp.zeros((0,), dtype=dtype)
+        accs = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim))
+        ds = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim)) if n_f \
+            else ()
+        recon = orig  # functional copy-on-write (reference cyTVDN.py:145)
+        b_norm = jnp.zeros((n_total,), dtype=dtype)
+        delta = jnp.zeros((n_total,), dtype=dtype)
+        if opts.calculate_mse:
+            mse = jnp.zeros((n_total + 1,), dtype=dtype)
+            sse0 = comm.allsum(ops.sum_square_error(orig, reference_data))
+            mse = mse.at[0].set(sse0.astype(dtype))
+        else:
+            mse = jnp.zeros((0,), dtype=dtype)
+        i0 = jnp.zeros((), jnp.int32)
 
     carry = _PhaseCarry(
-        i=jnp.zeros((), jnp.int32),
-        j=jnp.zeros((), jnp.int32),
+        i=i0,
         done=jnp.zeros((), bool),
         recon=recon,
         accs=accs,
@@ -340,23 +360,33 @@ def run_solver(
         mse=mse,
     )
 
+    i_stop2 = jnp.asarray(i_stop, jnp.int32)
     if n_f:
         carry = _run_phase(
             True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
-            comm, reference_data,
+            comm, reference_data, i_stop,
         )
-        # reset the phase counter; the early-stop latch does NOT carry into
-        # the unaccelerated phase (reference runs it unconditionally)
+        # Was the FISTA phase cut short by the chunk cap (not by early
+        # stop)? Then keep the index where it is and skip the second phase
+        # this call — the next chunk resumes FISTA.
+        chunk_capped = jnp.logical_and(
+            jnp.logical_not(carry.done), carry.i < n_f
+        )
+        # advance to the unaccelerated phase's first index on completion or
+        # early stop; the early-stop latch does NOT carry across (the
+        # reference runs the second phase unconditionally, cyTVDN.py:195-201)
         carry = carry._replace(
-            i=jnp.asarray(n_f, jnp.int32),
-            j=jnp.zeros((), jnp.int32),
+            i=jnp.where(chunk_capped, carry.i,
+                        jnp.maximum(carry.i, jnp.asarray(n_f, jnp.int32))),
             done=jnp.zeros((), bool),
-            ds=(),
         )
+        i_stop2 = jnp.where(chunk_capped, jnp.zeros((), jnp.int32), i_stop2)
+        if not keep_state:
+            carry = carry._replace(ds=())
     if n_u:
         carry = _run_phase(
-            False, n_u, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
-            comm, reference_data,
+            False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
+            comm, reference_data, i_stop2,
         )
 
     out = {
@@ -364,7 +394,12 @@ def run_solver(
         "b_norm": carry.b_norm,
         "delta": carry.delta,
         "iterations_run": carry.i,
+        "early_stopped": carry.done,
     }
     if opts.calculate_mse:
         out["mse"] = carry.mse
+    if keep_state:
+        out["accs"] = carry.accs
+        out["ds"] = carry.ds
+        out["i"] = carry.i
     return out

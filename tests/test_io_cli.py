@@ -1,0 +1,190 @@
+"""I/O round-trip tests (EMD v0.7 layout per reference mpi.py:449-491),
+CLI end-to-end, and checkpoint/resume exactness."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from cytvdn_tpu.io.emd import read_emd, write_emd, write_emd_regions, emd_path
+from cytvdn_tpu.io.loaders import load_input, open_input
+
+RNG = np.random.default_rng(21)
+
+
+def test_emd_roundtrip_and_layout(tmp_path):
+    data = RNG.standard_normal((4, 5, 6, 7)).astype(np.float32)
+    path = write_emd(str(tmp_path / "out.h5"), data)
+    assert path.endswith(".emd")  # extension forced (reference mpi.py:447)
+    back = read_emd(path)
+    np.testing.assert_array_equal(back, data)
+    # layout matches the reference writer (mpi.py:449-491)
+    with h5py.File(path, "r") as f:
+        top = f["4DSTEM_experiment"]
+        assert top.attrs["emd_group_type"] == 2
+        assert top.attrs["version_major"] == 0
+        assert top.attrs["version_minor"] == 7
+        for grp in ("metadata", "data/datacubes", "data/counted_datacubes",
+                    "data/diffractionslices", "data/realslices",
+                    "data/pointlists", "data/pointlistarrays"):
+            assert grp in f["4DSTEM_experiment"].parent["4DSTEM_experiment"]
+        dc = top["data/datacubes/datacube_0"]
+        assert dc.attrs["emd_group_type"] == 1
+        assert dc.attrs["metadata"] == -1
+        assert dc["dim1"].attrs["name"] == b"R_x"
+        assert dc["dim1"].attrs["units"] == b"[pix]"
+        assert dc["dim4"].attrs["name"] == b"Q_y"
+        np.testing.assert_array_equal(dc["dim2"][...], np.arange(5))
+
+
+def test_emd_region_writes(tmp_path):
+    data = RNG.standard_normal((8, 6, 4, 4)).astype(np.float32)
+    regions = [
+        ((slice(0, 4), slice(None), slice(None), slice(None)), data[:4]),
+        ((slice(4, 8), slice(None), slice(None), slice(None)), data[4:]),
+    ]
+    path = write_emd_regions(str(tmp_path / "regions.emd"), data.shape,
+                             data.dtype, regions)
+    np.testing.assert_array_equal(read_emd(path), data)
+
+
+def test_loaders_npy_and_emd(tmp_path):
+    data = RNG.standard_normal((6, 7, 8)).astype(np.float32)
+    npy = str(tmp_path / "cube.npy")
+    np.save(npy, data)
+    np.testing.assert_array_equal(load_input(npy), data)
+    with open_input(npy) as h:
+        assert h.shape == (6, 7, 8)
+        block = h.read_block((slice(1, 3), slice(None), slice(2, 5)))
+        np.testing.assert_array_equal(block, data[1:3, :, 2:5])
+
+    emd = write_emd(str(tmp_path / "cube4.emd"),
+                    RNG.standard_normal((4, 4, 5, 5)).astype(np.float32))
+    with open_input(emd) as h:
+        assert h.shape == (4, 4, 5, 5)
+
+
+def test_cli_end_to_end(tmp_path):
+    from cytvdn_tpu.cli import main
+
+    data = (RNG.standard_normal((6, 8, 16)) * 0.3 + 1.0).astype(np.float32)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, data)
+    out = str(tmp_path / "out.emd")
+    rc = main([
+        "-i", inp, "-o", out, "-m", "1.0", "-n", "5", "-f", "1",
+        "-v", "0",
+    ])
+    assert rc == 0
+    recon = read_emd(out)
+    assert recon.shape == data.shape
+    assert np.all(np.isfinite(recon))
+    assert not np.array_equal(recon, data)  # it actually denoised
+
+
+def test_cli_sharded(tmp_path):
+    from cytvdn_tpu.cli import main
+
+    data = (RNG.standard_normal((8, 8, 16)) * 0.3 + 1.0).astype(np.float32)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, data)
+    out = str(tmp_path / "out.emd")
+    rc = main([
+        "-i", inp, "-o", out, "-m", "1.0", "-n", "5", "-v", "0",
+        "--shard", "2,4,1",
+    ])
+    assert rc == 0
+    assert read_emd(out).shape == data.shape
+
+
+def test_cli_bad_dims(tmp_path, capsys):
+    from cytvdn_tpu.cli import main
+
+    data = np.ones((4, 4, 4), np.float32)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, data)
+    rc = main(["-i", inp, "-o", str(tmp_path / "o.emd"), "-m", "1.0",
+               "-n", "2", "-d", "4", "-v", "0"])
+    assert rc == 2
+
+
+class TestCheckpoint:
+    def _run(self, tmp_path, **kw):
+        from cytvdn_tpu.utils.checkpoint import run_with_checkpointing
+
+        cube = (RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+        mu = np.full(3, 0.8)
+        uninterrupted = run_with_checkpointing(
+            cube, mu, iterations=(5, 6), checkpoint_every=0,
+            checkpoint_path="", **kw)
+        ck = str(tmp_path / "state.ckpt.npz")
+        chunked = run_with_checkpointing(
+            cube, mu, iterations=(5, 6), checkpoint_every=3,
+            checkpoint_path=ck, **kw)
+        return cube, mu, uninterrupted, chunked, ck
+
+    def test_chunked_matches_uninterrupted(self, tmp_path):
+        cube, mu, a, b, ck = self._run(tmp_path)
+        np.testing.assert_array_equal(a["recon"], b["recon"])
+        np.testing.assert_array_equal(a["b_norm"], b["b_norm"])
+        np.testing.assert_array_equal(a["delta"], b["delta"])
+        assert os.path.exists(ck)
+
+    def test_resume_from_partial_checkpoint(self, tmp_path):
+        from cytvdn_tpu.utils.checkpoint import (
+            load_state, run_with_checkpointing, save_state)
+
+        cube = (RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+        mu = np.full(3, 0.8)
+        full = run_with_checkpointing(
+            cube, mu, iterations=(5, 6), checkpoint_every=0,
+            checkpoint_path="")
+        ck = str(tmp_path / "partial.npz")
+        # run only 4 iterations ("crash" mid-FISTA-phase), then resume
+        run_with_checkpointing(
+            cube, mu, iterations=(5, 6), checkpoint_every=4,
+            checkpoint_path=ck, stopping_relative_change=None)
+        state, meta = load_state(ck)
+        # truncate the checkpoint back to the first chunk (i=4)
+        assert meta["ndim"] == 3
+        resumed = run_with_checkpointing(
+            cube, mu, iterations=(5, 6), checkpoint_every=4,
+            checkpoint_path=ck, resume=True)
+        np.testing.assert_array_equal(full["recon"], resumed["recon"])
+        np.testing.assert_array_equal(full["delta"], resumed["delta"])
+
+    def test_resume_mid_phase_exact(self, tmp_path):
+        """Kill after the first chunk file lands (i=4 < n_fista=5), resume,
+        and require bit-identical results to the uninterrupted run."""
+        from cytvdn_tpu.utils.checkpoint import run_chunked, load_state
+        from cytvdn_tpu.config import SolverOptions
+
+        cube = (RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+        mu = np.full(3, 0.8)
+        lam = mu / 16.0
+        li, lm = 1.0 / lam, lam / mu
+        opts = SolverOptions(ndim=3, iterations_fista=5, iterations_unacc=6)
+        full = run_chunked(cube, li, lm, opts, "", 0)
+        ck = str(tmp_path / "mid.npz")
+        # first chunk only: i_stop=4 (mid-FISTA)
+        run_chunked(cube, li, lm, opts, ck, 4, resume=False,
+                    reference_data=None)
+        state, _ = load_state(ck)
+        assert int(state["i"]) == 11  # ran to completion in chunks of 4
+        resumed = run_chunked(cube, li, lm, opts, ck, 4, resume=True)
+        np.testing.assert_array_equal(full["recon"], resumed["recon"])
+
+    def test_sharded_checkpoint_matches(self, tmp_path):
+        from cytvdn_tpu.parallel.api import denoise_sharded
+
+        cube = (RNG.standard_normal((8, 6, 8)) * 0.5 + 2.0)
+        mu = np.full(3, 0.8)
+        plain = denoise_sharded(cube, mu, iterations=(4, 4), shard=(2, 1, 2))
+        ck = str(tmp_path / "shard.npz")
+        chunked = denoise_sharded(cube, mu, iterations=(4, 4),
+                                  shard=(2, 1, 2), checkpoint_path=ck,
+                                  checkpoint_every=3)
+        np.testing.assert_array_equal(plain["recon"], chunked["recon"])
+        np.testing.assert_array_equal(plain["delta"], chunked["delta"])
