@@ -44,12 +44,33 @@ def denoise_sharded(
     (reference mpi.py:252-255, 310-311; README.md:22-34).
     """
     from cytvdn_tpu.api import _validate_and_derive
+    from cytvdn_tpu.io.loaders import InputHandle
     from cytvdn_tpu.utils.checkpoint import load_state, save_state
 
-    ndim = np.asarray(datacube).ndim
-    datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
-        datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
-    )
+    if isinstance(datacube, (str, InputHandle)):
+        # lazy source: each device's shard is read directly from the file
+        # (per-host on a pod) — no process ever holds the full cube, like
+        # the reference's memmap/MPI-IO opens (mpi.py:93-124). Data is cast
+        # to float32 as the reference loader does (mpi.py:223-230).
+        from cytvdn_tpu.parallel.multihost import load_sharded_array
+
+        data_arr = load_sharded_array(datacube, shard, devices,
+                                      dtype=np.float32)
+        ndim = data_arr.ndim
+        mu = np.asarray(mu, dtype=np.float32)
+        if mu.ndim == 0:
+            mu = np.full((ndim,), mu, dtype=np.float32)
+        if lam is None:
+            lam = mu * (1.0 / (32.0 if ndim == 4 else 16.0))
+        lam = np.asarray(lam, dtype=np.float32)
+        lambda_inv = (1.0 / lam).astype(np.float32)
+        lam_mu = (lam / mu).astype(np.float32)
+        datacube = data_arr
+    else:
+        ndim = np.asarray(datacube).ndim
+        datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+            datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
+        )
     n_f, n_u = normalize_iterations(iterations, FISTA)
     opts = SolverOptions(
         ndim=ndim,
