@@ -178,13 +178,24 @@ def _plan(shape: Tuple[int, ...], itemsize: int):
 
 
 def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
-                 fista: bool, b1: int, has_seam: bool):
+                 fista: bool, b1: int, has_seam: bool, with_halo: bool):
     """Build the kernel body; operand order matches :func:`fused_iteration`.
 
     Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
     array axis 1 (gridded in B1-wide blocks, seams via column operands when
     ``has_seam``), then ``inblock_axes`` and/or the flattened trailing pair
     (``flat``, for a 3D energy axis folded to (E1, E2)).
+
+    ``with_halo`` adds shard-seam operands (used inside ``shard_map``):
+    pre-update neighbor slabs along axes 0 and 1 replace the Jia-Zhao edge
+    behavior — the backward differences at the leading edges read the -1
+    neighbor's last slab, and the forward differences at the trailing edges
+    *recompute* the +1 neighbor's first updated-accumulator slab from its
+    pre-update state (identical arithmetic to what the neighbor computes —
+    exact seams, SURVEY.md §8.3). Global domain edges are realized by halo
+    *values* (the caller masks edge shards: prev := own edge slab so the
+    difference vanishes; next recon := own last slab and next acc/d := 0 so
+    the recomputed slab is exactly the JZ zero).
     """
 
     def kernel(*refs):
@@ -198,6 +209,15 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         ds = [next(it) for _ in range(n_ax)] if fista else None
         d1_next1 = next(it) if (fista and has_seam) else None
         recon_next1 = next(it) if has_seam else None
+        if with_halo:
+            h_prev0 = next(it)                # (1,b1)+tail @ (0, j)
+            h_prev1 = next(it)                # (1,1)+tail @ (ip, 0)
+            h_next0_recon = next(it)          # (1,b1)+tail @ (0, j)
+            h_next0_acc = next(it)            # (1,b1)+tail @ (0, j)
+            h_next0_d = next(it) if fista else None
+            h_next1_recon = next(it)          # (1,1)+tail @ (ip-1, 0)
+            h_next1_acc = next(it)            # (1,1)+tail @ (ip-1, 0)
+            h_next1_d = next(it) if fista else None
 
         recon_new = next(it)                  # block @ (ip-1, j)
         b_outs = [next(it) for _ in range(n_ax)]
@@ -235,15 +255,26 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         prev_row = s_recon[...]
 
         diffs = []
-        # axis 0: carried previous row; global row 0 → JZ zero difference
-        diffs.append(jnp.where(ip > 0, a - prev_row, jnp.zeros_like(a)))
-        # axis 1: in-block backward shift; seam column from the operand;
-        # JZ zero at the global leading column (j == 0)
-        if has_seam:
-            seam = lax.slice_in_dim(a, 0, 1, axis=1) - recon_prev1[...]
-            seam = jnp.where(j > 0, seam, jnp.zeros_like(seam))
+        # axis 0: carried previous row; leading edge reads the halo slab
+        # (whose value realizes the BC: JZ edge shards get their own first
+        # row, so the difference vanishes) or, without halos, JZ zero
+        if with_halo:
+            edge0 = a - h_prev0[...]
         else:
-            seam = jnp.zeros_like(lax.slice_in_dim(a, 0, 1, axis=1))
+            edge0 = jnp.zeros_like(a)
+        diffs.append(jnp.where(ip > 0, a - prev_row, edge0))
+        # axis 1: in-block backward shift; seam column from the operand;
+        # leading column from the halo (or JZ zero)
+        a_col0 = lax.slice_in_dim(a, 0, 1, axis=1)
+        if with_halo:
+            edge1 = a_col0 - h_prev1[...]
+        else:
+            edge1 = jnp.zeros_like(a_col0)
+        if has_seam:
+            seam = a_col0 - recon_prev1[...]
+            seam = jnp.where(j > 0, seam, edge1)
+        else:
+            seam = edge1
         if b1 > 1:
             body = a - _shift_down_inblock(a, 1)
             diff1 = lax.concatenate(
@@ -292,31 +323,47 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             recon_old = prev_row
             bp = [s_b[k][...] for k in range(n_ax)]
 
+            def recompute_b(diff, acc_h, d_h, k):
+                """The neighbor slab's updated accumulator from its
+                pre-update state — identical arithmetic to the neighbor's
+                own update, so seams are exact."""
+                c = jnp.clip(diff + acc_h, -lam_inv[k], lam_inv[k])
+                return c + rho * (c - d_h) if fista else c
+
             fwds = []
             # axis 0: the row below is exactly this step's fresh b_new[0];
-            # the last row block's JZ wrap reads the zero leading slab.
-            fwds.append(
-                jnp.where(ip < g0, b_new[0], jnp.zeros_like(b_new[0]))
-            )
-            # axis 1: in-block forward shift; seam column recomputed from
-            # the neighbor column's pre-update state (identical arithmetic
-            # to the neighbor block's own update — exact); JZ wrap → 0.
-            if has_seam:
-                seam_diff = recon_next1[...] - lax.slice_in_dim(
-                    recon_old, b1 - 1, b1, axis=1
+            # the last row block reads the +1 shard's recomputed first slab
+            # (halo) or the JZ zero wrap.
+            if with_halo:
+                edge_f0 = recompute_b(
+                    h_next0_recon[...] - a,
+                    h_next0_acc[...],
+                    h_next0_d[...] if fista else None, 0,
                 )
-                seam_clip = jnp.clip(seam_diff + acc1_next1[...],
-                                     -lam_inv[1], lam_inv[1])
-                if fista:
-                    seam_b1 = seam_clip + rho * (seam_clip - d1_next1[...])
-                else:
-                    seam_b1 = seam_clip
-                seam_b1 = jnp.where(j < g1 - 1, seam_b1,
-                                    jnp.zeros_like(seam_b1))
             else:
-                seam_b1 = jnp.zeros_like(
-                    lax.slice_in_dim(bp[1], 0, 1, axis=1)
+                edge_f0 = jnp.zeros_like(b_new[0])
+            fwds.append(jnp.where(ip < g0, b_new[0], edge_f0))
+            # axis 1: in-block forward shift; seam column recomputed from
+            # the neighbor column's pre-update state; trailing edge from
+            # the +1 shard halo or the JZ zero wrap.
+            old_lastcol = lax.slice_in_dim(recon_old, b1 - 1, b1, axis=1)
+            if with_halo:
+                edge_f1 = recompute_b(
+                    h_next1_recon[...] - old_lastcol,
+                    h_next1_acc[...],
+                    h_next1_d[...] if fista else None, 1,
                 )
+            else:
+                edge_f1 = jnp.zeros_like(old_lastcol)
+            if has_seam:
+                seam_b1 = recompute_b(
+                    recon_next1[...] - old_lastcol,
+                    acc1_next1[...],
+                    d1_next1[...] if fista else None, 1,
+                )
+                seam_b1 = jnp.where(j < g1 - 1, seam_b1, edge_f1)
+            else:
+                seam_b1 = edge_f1
             if b1 > 1:
                 fwd1 = lax.concatenate(
                     [lax.slice_in_dim(bp[1], 1, b1, axis=1), seam_b1],
@@ -366,9 +413,16 @@ def fused_iteration(
     lam_mu: Array,
     fista: bool = True,
     interpret: bool = False,
+    halos=None,
 ):
     """One full TV iteration (Jia-Zhao BCs, anisotropic) as a single fused
     Pallas pass.
+
+    ``halos`` (optional, used per-shard inside ``shard_map``) is a dict of
+    pre-update neighbor slabs: ``prev0`` (1,N1,…), ``prev1`` (N0,1,…),
+    ``next0_recon``/``next0_acc``[/``next0_d``] (1,N1,…),
+    ``next1_recon``/``next1_acc``[/``next1_d``] (N0,1,…). See
+    :func:`_make_kernel` for their seam semantics and edge-value masking.
 
     Returns ``(recon_new, accs_new, ds_new, bnorm, delta_num, recon_norm)``
     with the reductions as deterministic float32 scalars.
@@ -379,6 +433,7 @@ def fused_iteration(
     if plan is None:
         raise ValueError(f"fused kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b1 = plan
+    with_halo = halos is not None
 
     def emb(x):
         return x.reshape(shape)
@@ -387,6 +442,17 @@ def fused_iteration(
     accs = tuple(emb(x) for x in accs)
     if fista:
         ds = tuple(emb(x) for x in ds)
+    if with_halo:
+        # halo slabs share the data layout except one leading axis is 1;
+        # embed by reshaping the trailing axes exactly like the data
+        def emb_slab(x, ax):
+            lead = (1, shape[1]) if ax == 0 else (shape[0], 1)
+            return x.reshape(lead + shape[2:])
+
+        halos = {
+            k: (emb_slab(v, 0 if "0" in k else 1) if v is not None else None)
+            for k, v in halos.items()
+        }
 
     n0, n1 = shape[0], shape[1]
     g0, g1 = n0, n1 // b1
@@ -468,6 +534,27 @@ def fused_iteration(
     # previous column-strip's OLD recon, which an alias would have
     # overwritten. (With g1 == 1 an alias would be safe; kept uniform.)
 
+    if with_halo:
+        # shard-seam operands: whole-row slabs fetched once per column
+        # strip, one-column slabs per step (O(1/B1) traffic)
+        row_spec = pl.BlockSpec(
+            block, lambda j, ip: (0, j) + zeros_tail,
+            memory_space=pltpu.VMEM,
+        )
+        col_i = col(lambda j, ip: (jnp.minimum(ip, g0 - 1), 0) + zeros_tail)
+        col_im1 = col(lambda j, ip: (jnp.maximum(ip - 1, 0), 0) + zeros_tail)
+        in_specs += [row_spec, col_i, row_spec, row_spec]
+        inputs += [halos["prev0"], halos["prev1"],
+                   halos["next0_recon"], halos["next0_acc"]]
+        if fista:
+            in_specs += [row_spec]
+            inputs += [halos["next0_d"]]
+        in_specs += [col_im1, col_im1]
+        inputs += [halos["next1_recon"], halos["next1_acc"]]
+        if fista:
+            in_specs += [col_im1]
+            inputs += [halos["next1_d"]]
+
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
     )
@@ -489,7 +576,8 @@ def fused_iteration(
     scratch += [pltpu.SMEM((3,), jnp.float32)]
 
     outs = pl.pallas_call(
-        _make_kernel(ndim, inblock_axes, flat, fista, b1, has_seam),
+        _make_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
+                     with_halo),
         grid=(g1, g0 + 1),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -102,3 +102,32 @@ class MeshComm:
 
     def allsum(self, x: Array) -> Array:
         return lax.psum(x, tuple(self.axis_names.values()))
+
+    # -- raw slab exchange (used by the fused-kernel sharded path, which
+    # realizes boundary conditions through halo *values* rather than
+    # masking: see cytvdn_tpu/kernels/fused.py::_make_kernel) -------------
+
+    def shift_from_prev(self, arr: Array, ax: int,
+                        edge_slab: Array) -> Array:
+        """-1 neighbor's last slab of ``arr``; edge shards get
+        ``edge_slab``. Falls back to ``edge_slab`` when ``ax`` is unsplit
+        (the shard edge is then the global edge)."""
+        name, n = self._mesh_info(ax)
+        if name is None or n == 1:
+            return edge_slab
+        received = lax.ppermute(
+            _slab(arr, ax, -1), name, [(i, i + 1) for i in range(n - 1)]
+        )
+        return jnp.where(lax.axis_index(name) == 0, edge_slab, received)
+
+    def shift_from_next(self, arr: Array, ax: int,
+                        edge_slab: Array) -> Array:
+        """+1 neighbor's first slab of ``arr``; edge shards get
+        ``edge_slab``."""
+        name, n = self._mesh_info(ax)
+        if name is None or n == 1:
+            return edge_slab
+        received = lax.ppermute(
+            _slab(arr, ax, 0), name, [(i, i - 1) for i in range(1, n)]
+        )
+        return jnp.where(lax.axis_index(name) == n - 1, edge_slab, received)

@@ -160,7 +160,10 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     if opts.backend == Backend.JAX or opts.backend == Backend.CPP:
         return False, False
     if comm is not None and not isinstance(comm, NullComm):
-        return False, False  # sharded path: XLA ops (kernel+halo in round 2)
+        # sharded: the fused kernel supports meshes over the scan axes
+        # (0, 1) via operand halos; Q-axis splits use the XLA ops
+        if not set(getattr(comm, "split_axes", ())) <= {0, 1}:
+            return False, False
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,
@@ -196,13 +199,44 @@ def iteration_step(
         from cytvdn_tpu.kernels.fused import fused_iteration
 
         fista = ds is not None
+        halos = None
+        if not isinstance(comm, NullComm):
+            # shard-seam operand halos (pre-update state). Edge shards get
+            # values that realize the JZ boundary exactly: backward edges
+            # read the own edge slab (zero difference); forward edges
+            # recompute from (own last recon slab, zero acc, zero d) — the
+            # identically-zero JZ wrap slab.
+            def slab(arr, ax, idx):
+                if idx < 0:
+                    idx += arr.shape[ax]
+                return lax.slice_in_dim(arr, idx, idx + 1, axis=ax)
+
+            z0 = jnp.zeros_like(slab(accs[0], 0, 0))
+            z1 = jnp.zeros_like(slab(accs[1], 1, 0))
+            halos = {
+                "prev0": comm.shift_from_prev(recon, 0, slab(recon, 0, 0)),
+                "prev1": comm.shift_from_prev(recon, 1, slab(recon, 1, 0)),
+                "next0_recon": comm.shift_from_next(
+                    recon, 0, slab(recon, 0, -1)),
+                "next0_acc": comm.shift_from_next(accs[0], 0, z0),
+                "next1_recon": comm.shift_from_next(
+                    recon, 1, slab(recon, 1, -1)),
+                "next1_acc": comm.shift_from_next(accs[1], 1, z1),
+            }
+            if fista:
+                halos["next0_d"] = comm.shift_from_next(ds[0], 0, z0)
+                halos["next1_d"] = comm.shift_from_next(ds[1], 1, z1)
+
         recon_new, accs_new, ds_new, bnorm, dnum, dden = fused_iteration(
             orig, recon, accs, ds,
             tk_ratio if fista else jnp.zeros((), orig.dtype),
             lambda_inv, lam_mu, fista=fista, interpret=interpret,
+            halos=halos,
         )
+        bnorm = comm.allsum(bnorm)
+        delta = comm.allsum(dnum) / comm.allsum(dden)
         return recon_new, accs_new, ds_new, bnorm.astype(orig.dtype), \
-            (dnum / dden).astype(orig.dtype)
+            delta.astype(orig.dtype)
 
     accs_new, ds_new, bnorm = _accumulator_phase(
         recon, accs, ds, tk_ratio, lambda_inv, opts, comm

@@ -78,3 +78,35 @@ def test_fused_supported_gates():
                                BCMode.PERIODIC)
     assert not fused_supported((16, 16, 8, 8), np.dtype(np.float32),
                                BCMode.JIA_ZHAO, isotropic_R=True)
+
+
+def test_sharded_pallas_matches_sharded_jax():
+    """Fused kernel inside shard_map (operand halos over ppermute) must
+    match the XLA sharded path and the single-device run exactly at f32."""
+    import jax.numpy as jnp
+    from cytvdn_tpu.config import SolverOptions, Backend
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    cube = _cube((8, 8, 6, 16))
+    mu = np.full(4, 1.0, np.float32)
+    lam = mu / 32.0
+    li, lm = (1.0 / lam).astype(np.float32), (lam / mu).astype(np.float32)
+    base = SolverOptions(ndim=4, iterations_fista=5, iterations_unacc=2)
+    opts_jax = SolverOptions(**{**base.__dict__, "backend": Backend.JAX})
+    opts_pls = SolverOptions(**{**base.__dict__, "backend": Backend.PALLAS})
+
+    single = run_solver(jnp.asarray(cube), jnp.asarray(li), jnp.asarray(lm),
+                        opts_jax)
+    for shard in [(2, 4, 1, 1), (4, 1, 1, 1), (1, 8, 1, 1)]:
+        sh_jax = run_sharded(cube, li, lm, opts_jax, shard=shard)
+        sh_pls = run_sharded(cube, li, lm, opts_pls, shard=shard)
+        np.testing.assert_allclose(np.asarray(sh_pls["recon"]),
+                                   np.asarray(sh_jax["recon"]),
+                                   rtol=2e-6, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(sh_pls["recon"]),
+                                   np.asarray(single["recon"]),
+                                   rtol=2e-6, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(sh_pls["b_norm"]),
+                                   np.asarray(single["b_norm"]),
+                                   rtol=2e-4)
