@@ -41,16 +41,21 @@ CONFIGS = [
 ITERS = 10
 
 
-def _measure(shape, iters):
+def _measure(shape, iters, fista=True):
     import jax
     import jax.numpy as jnp
 
     from cytvdn_tpu.config import SolverOptions
     from cytvdn_tpu.solver.engine import run_solver
 
-    mu = np.full(4, 1.0, dtype=np.float32)
-    lam = mu / 32.0
-    opts = SolverOptions(ndim=4, iterations_fista=iters, iterations_unacc=0)
+    ndim = len(shape)
+    mu = np.full(ndim, 1.0, dtype=np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    opts = SolverOptions(
+        ndim=ndim,
+        iterations_fista=iters if fista else 0,
+        iterations_unacc=0 if fista else iters,
+    )
     li = jnp.asarray((1.0 / lam).astype(np.float32))
     lm = jnp.asarray((lam / mu).astype(np.float32))
 
@@ -72,10 +77,43 @@ def _measure(shape, iters):
     return int(np.prod(shape)) * iters / dt
 
 
+# BASELINE.json's five configs (config 5, the 512²×256² v5e-16 mesh run,
+# needs 16 chips — reported as unavailable on a single-chip bench host;
+# config 4 at full 256²×128² exceeds one v5e's HBM, so the largest fitting
+# cube stands in, with the full-size entry marked oom)
+FULL_CONFIGS = [
+    ("cfg1_3d_unacc_64x64x512", (64, 64, 512), False),
+    ("cfg2_3d_fista_256x256x2048", (256, 256, 2048), True),
+    ("cfg3_4d_unacc_128x128x64x64", (128, 128, 64, 64), False),
+    ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True),
+    ("cfg4_proxy_4d_fista_128x128x128x128", (128, 128, 128, 128), True),
+]
+
+
+def run_full():
+    detail = {}
+    for name, shape, fista in FULL_CONFIGS:
+        try:
+            v = _measure(shape, ITERS, fista)
+            detail[name] = {"voxel_updates_per_sec": round(v, 1),
+                            "shape": list(shape), "fista": fista}
+            print(f"# {name}: {v/1e9:.2f} Gvox-upd/s", file=sys.stderr)
+        except Exception as e:
+            detail[name] = {"error": type(e).__name__}
+            print(f"# {name}: {type(e).__name__}", file=sys.stderr)
+    out = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    with open(out, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(f"# detail written to {out}", file=sys.stderr)
+
+
 def main():
     import jax
 
     np.asarray(jax.numpy.ones((8,)))  # tunnel warmup fetch
+
+    if "--full" in sys.argv:
+        run_full()
 
     value, used = None, None
     for shape in CONFIGS:

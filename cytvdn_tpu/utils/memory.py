@@ -30,15 +30,33 @@ def _fmt(nbytes: float) -> str:
     return f"{nbytes:.1f} PiB"
 
 
+#: HBM per chip for known TPU generations (bytes), used when the runtime
+#: does not report memory stats (e.g. tunneled devices)
+_KNOWN_HBM = {
+    "v5 lite": 16 << 30,
+    "v5e": 16 << 30,
+    "v4": 32 << 30,
+    "v5p": 95 << 30,
+    "v6": 32 << 30,
+}
+
+
 def _device_memory() -> Optional[int]:
     """Per-device accelerator memory in bytes, if discoverable."""
     try:
         import jax
 
         dev = jax.devices()[0]
-        stats = dev.memory_stats()
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            stats = None
         if stats and "bytes_limit" in stats:
             return int(stats["bytes_limit"])
+        kind = getattr(dev, "device_kind", "").lower()
+        for key, size in _KNOWN_HBM.items():
+            if key in kind:
+                return size
     except Exception:
         pass
     return None

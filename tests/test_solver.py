@@ -134,3 +134,16 @@ def test_param_validation():
     with pytest.raises(TypeError):
         denoise3D(cube, np.full(3, 0.8, dtype=np.float32), iterations=2,
                   quiet=True)  # mu dtype mismatch
+
+
+def test_presets():
+    from cytvdn_tpu.presets import denoise_preset, get_preset, PRESETS
+
+    assert set(get_preset("stem4d")) >= {"iterations", "FISTA"}
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_preset("nope")
+    cube = make_cube((6, 7, 8), dtype=np.float64)
+    mu = np.full(3, 0.8)
+    r, bn, dl = denoise_preset(cube, mu, "eels3d", iterations=5, quiet=True)
+    assert r.shape == cube.shape
