@@ -103,6 +103,31 @@ def write_emd_regions(
     return path
 
 
+def write_emd_sharded(path: str, array) -> str:
+    """Write a (possibly sharded) jax.Array as EMD v0.7 without gathering
+    it into one host buffer: each addressable shard is written as a region
+    (the analog of the reference's per-rank ``write_direct`` region writes,
+    mpi.py:493-497).
+
+    On a multi-host pod every process must write a distinct file (HDF5
+    without MPI-IO cannot share a writer); process 0's file carries the
+    EMD structure and this function raises for multi-process arrays —
+    gather first or write per-host shard files.
+    """
+    import numpy as np
+
+    shards = getattr(array, "addressable_shards", None)
+    if shards is None:
+        return write_emd(path, np.asarray(array))
+    if len(shards) < getattr(array, "sharding").num_devices:
+        raise NotImplementedError(
+            "multi-host EMD output: gather to host 0 or write per-host "
+            "shard files"
+        )
+    regions = ((s.index, np.asarray(s.data)) for s in shards)
+    return write_emd_regions(path, array.shape, array.dtype, regions)
+
+
 def read_emd(path: str, lazy: bool = False):
     """Read the datacube from an EMD v0.7 file (layout per the reference
     writer). With ``lazy=True`` returns ``(h5py.File, h5py.Dataset)`` for

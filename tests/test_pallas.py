@@ -110,3 +110,38 @@ def test_sharded_pallas_matches_sharded_jax():
         np.testing.assert_allclose(np.asarray(sh_pls["b_norm"]),
                                    np.asarray(single["b_norm"]),
                                    rtol=2e-4)
+
+
+@pytest.mark.parametrize("shape,fista", [
+    ((7, 10, 12), True),
+    ((3, 5, 9, 11), False),
+    ((9, 4, 6, 13), True),
+])
+def test_fused_fuzz_shapes(shape, fista):
+    """Odd, non-aligned shapes through the full solver: fused (interpret)
+    vs XLA ops."""
+    cube = _cube(shape)
+    ndim = len(shape)
+    mu = np.full(ndim, 1.0, np.float32)
+    fn = denoise3D if ndim == 3 else denoise4D
+    want = fn(cube, mu, iterations=4, FISTA=fista, quiet=True, backend="jax")
+    got = fn(cube, mu, iterations=4, FISTA=fista, quiet=True,
+             backend="pallas")
+    _compare(got, want)
+
+
+def test_write_emd_sharded(tmp_path):
+    """Region-writing a sharded device array without a host gather."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cytvdn_tpu.io.emd import read_emd, write_emd_sharded
+    from cytvdn_tpu.parallel.sharded import make_mesh
+
+    mesh, names = make_mesh((2, 4, 1))
+    data = _cube((8, 8, 6))
+    arr = jax.device_put(
+        jnp.asarray(data), NamedSharding(mesh, P("ax0", "ax1", None))
+    )
+    path = write_emd_sharded(str(tmp_path / "sharded.emd"), arr)
+    np.testing.assert_array_equal(read_emd(path), data)
