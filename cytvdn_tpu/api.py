@@ -19,8 +19,7 @@ happen inside. Deviations from the reference, all documented:
 from __future__ import annotations
 
 import functools
-import warnings
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,11 +16,9 @@ SURVEY.md §5).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 class BCMode(enum.IntEnum):

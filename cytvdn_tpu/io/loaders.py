@@ -14,7 +14,7 @@ analog here: block reads take explicit per-axis slices.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

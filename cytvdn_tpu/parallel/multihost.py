@@ -11,7 +11,7 @@ opens (mpi.py:93-124).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Union
 
 import jax
 import numpy as np

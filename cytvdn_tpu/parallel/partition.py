@@ -11,7 +11,6 @@ minimizing this minimizes the bytes ``ppermute`` moves over ICI.
 
 from __future__ import annotations
 
-import itertools
 import math
 from typing import Sequence, Tuple
 

@@ -26,8 +26,7 @@ via ``psum``).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ import numpy as np
 from jax import lax
 
 from cytvdn_tpu import ops
-from cytvdn_tpu.config import Backend, BCMode, SolverOptions
+from cytvdn_tpu.config import Backend, SolverOptions
 
 Array = jax.Array
 
