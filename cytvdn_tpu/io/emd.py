@@ -13,6 +13,7 @@ planned extension.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Tuple
 
 import numpy as np
@@ -36,7 +37,7 @@ _DIM_META = [
 ]
 
 
-def _create_structure(fout, shape, dtype):
+def _create_structure(fout, shape, dtype, virtual_layout=None):
     """Create the EMD v0.7 skeleton (groups, attrs, dim axes) exactly as
     the reference lays it out (reference cyTVDN/mpi.py:449-491)."""
     top = fout.create_group("4DSTEM_experiment")
@@ -54,7 +55,10 @@ def _create_structure(fout, shape, dtype):
     data.create_group("pointlistarrays")
 
     dc = datacubes.create_group("datacube_0")
-    dset = dc.create_dataset("data", shape, dtype=dtype)
+    if virtual_layout is not None:
+        dset = dc.create_virtual_dataset("data", virtual_layout)
+    else:
+        dset = dc.create_dataset("data", shape, dtype=dtype)
     dc.attrs.create("emd_group_type", 1)
     dc.attrs.create("metadata", -1)
 
@@ -105,27 +109,82 @@ def write_emd_regions(
 
 def write_emd_sharded(path: str, array) -> str:
     """Write a (possibly sharded) jax.Array as EMD v0.7 without gathering
-    it into one host buffer: each addressable shard is written as a region
-    (the analog of the reference's per-rank ``write_direct`` region writes,
-    mpi.py:493-497).
+    it into one host buffer.
 
-    On a multi-host pod every process must write a distinct file (HDF5
-    without MPI-IO cannot share a writer); process 0's file carries the
-    EMD structure and this function raises for multi-process arrays —
-    gather first or write per-host shard files.
+    - Single process: each addressable shard is written as a region into
+      one file (the analog of the reference's per-rank ``write_direct``
+      region writes, mpi.py:493-497).
+    - Multi-process (TPU pod): HDF5 without MPI-IO cannot share a writer,
+      so every process writes its shards to a ``.partN.h5`` sidecar file
+      and process 0 stitches an EMD master whose datacube is an HDF5
+      *virtual dataset* over the parts — readable transparently by h5py
+      (the parts must stay next to the master). This replaces the
+      reference's parallel-HDF5 collective write (mpi.py:444-498) with no
+      MPI dependency.
     """
     import numpy as np
 
     shards = getattr(array, "addressable_shards", None)
     if shards is None:
         return write_emd(path, np.asarray(array))
-    if len(shards) < getattr(array, "sharding").num_devices:
-        raise NotImplementedError(
-            "multi-host EMD output: gather to host 0 or write per-host "
-            "shard files"
-        )
-    regions = ((s.index, np.asarray(s.data)) for s in shards)
-    return write_emd_regions(path, array.shape, array.dtype, regions)
+    if len(shards) == getattr(array, "sharding").num_devices:
+        regions = ((s.index, np.asarray(s.data)) for s in shards)
+        return write_emd_regions(path, array.shape, array.dtype, regions)
+
+    import jax
+
+    proc = jax.process_index()
+    n_proc = jax.process_count()
+    regions = [(s.index, np.asarray(s.data)) for s in shards]
+    write_emd_part(path, proc, regions)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("cytv_emd_parts_written")
+    if proc == 0:
+        stitch_emd_virtual(path, array.shape, array.dtype, n_proc)
+    multihost_utils.sync_global_devices("cytv_emd_stitched")
+    return emd_path(path)
+
+
+def _part_path(path: str, process_index: int) -> str:
+    return emd_path(path) + f".part{process_index}.h5"
+
+
+def write_emd_part(path: str, process_index: int, regions) -> str:
+    """Write one process's shard regions to its sidecar part file, with
+    each block's global position recorded in attrs."""
+    _require_h5py()
+    part = _part_path(path, process_index)
+    with h5py.File(part, "w") as f:
+        for i, (sel, block) in enumerate(regions):
+            d = f.create_dataset(f"block{i}", data=np.asarray(block))
+            starts = [s.start or 0 for s in sel]
+            d.attrs["start"] = starts
+    return part
+
+
+def stitch_emd_virtual(path: str, global_shape, dtype, num_parts: int) -> str:
+    """Create the EMD master whose datacube is a virtual dataset over the
+    ``.partN.h5`` sidecars."""
+    _require_h5py()
+    path = emd_path(path)
+    layout = h5py.VirtualLayout(shape=tuple(global_shape), dtype=dtype)
+    for p in range(num_parts):
+        part = _part_path(path, p)
+        with h5py.File(part, "r") as f:
+            for name in f:
+                blk = f[name]
+                start = [int(s) for s in blk.attrs["start"]]
+                sel = tuple(
+                    slice(st, st + ext) for st, ext in zip(start, blk.shape)
+                )
+                layout[sel] = h5py.VirtualSource(
+                    os.path.basename(part), name, shape=blk.shape
+                )
+    with h5py.File(path, "w") as fout:
+        dset = _create_structure(fout, tuple(global_shape), dtype,
+                                 virtual_layout=layout)
+    return path
 
 
 def read_emd(path: str, lazy: bool = False):

@@ -213,3 +213,22 @@ def test_load_sharded_array_blocks(tmp_path):
     assert arr.shape == data.shape
     np.testing.assert_array_equal(np.asarray(arr), data)
     assert len(arr.sharding.device_set) == 8
+
+
+def test_emd_virtual_stitch(tmp_path):
+    """Multihost writer machinery: per-process part files + virtual-dataset
+    master, exercised single-host with two simulated processes."""
+    from cytvdn_tpu.io.emd import (read_emd, stitch_emd_virtual,
+                                   write_emd_part)
+
+    data = RNG.standard_normal((8, 6, 4)).astype(np.float32)
+    out = str(tmp_path / "multi.emd")
+    full = (slice(None),) * 2
+    write_emd_part(out, 0, [((slice(0, 4),) + full, data[:4])])
+    write_emd_part(out, 1, [((slice(4, 8),) + full, data[4:])])
+    path = stitch_emd_virtual(out, data.shape, data.dtype, 2)
+    np.testing.assert_array_equal(read_emd(path), data)
+    # layout still reference-compatible
+    with h5py.File(path, "r") as f:
+        assert f["4DSTEM_experiment"].attrs["version_minor"] == 7
+        assert f["4DSTEM_experiment/data/datacubes/datacube_0/data"].is_virtual
