@@ -264,3 +264,25 @@ def sum_square_error(a: Array, b: Array) -> Array:
     cyTVDN.py:124-125)."""
     diff = a - b
     return jnp.sum(diff * diff)
+
+
+def tv_energy(
+    u: Array,
+    f: Array,
+    lam: Array,
+    mu: Array,
+    bc: BCMode = BCMode.JIA_ZHAO,
+) -> Array:
+    """The anisotropic ROF objective the Jia-Zhao iteration minimizes:
+
+        E(u) = Σ_k λ_k ‖D_k⁻ u‖₁ + (μ̄/2) ‖u − f‖²   (μ̄ = mean of μ_k)
+
+    A diagnostic the reference never exposes — useful for verifying
+    monotone descent and for parameter studies (the reference's planned
+    parameter-selection paper was never written, reference README.md:78).
+    """
+    e = 0.5 * jnp.mean(mu) * jnp.sum((u - f) ** 2)
+    for ax in range(u.ndim):
+        diff = u - shift_backward(u, ax, bc)
+        e = e + lam[ax] * jnp.sum(jnp.abs(diff))
+    return e

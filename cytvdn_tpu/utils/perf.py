@@ -1,0 +1,59 @@
+"""Roofline accounting for the TV iteration.
+
+The workload is memory-bandwidth-bound (O(1) flops/voxel/pass — the
+reference author's own characterization, reference README.md:114), so
+throughput is bytes-touched per iteration vs HBM bandwidth. This module
+encodes the per-backend traffic models used to judge how close a measured
+run is to speed-of-light.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+#: published per-chip HBM bandwidth (bytes/s)
+HBM_BW = {
+    "v5 lite": 819e9,
+    "v5e": 819e9,
+    "v4": 1228e9,
+    "v5p": 2765e9,
+}
+
+
+def traversals_per_iteration(ndim: int, fista: bool, backend: str) -> float:
+    """Cube-size array read+write traversals per full TV iteration.
+
+    - ``fused`` (single Pallas pass): reads orig, recon, n accs [, n ds];
+      writes recon, n accs [, n ds]  →  4n+3 (FISTA) / 2n+3 (plain).
+    - ``xla`` (two fused XLA passes): the accumulator pass re-reads the
+      accumulators in the reconstruction pass → ~(5n+4)/(3n+4).
+    - ``reference``: per-kernel traversals of the Cython loops
+      (SURVEY.md §3.1): 22 for 4D FISTA.
+    """
+    n = ndim
+    if backend == "fused":
+        return (4 * n + 3) if fista else (2 * n + 3)
+    if backend == "xla":
+        return (5 * n + 4) if fista else (3 * n + 4)
+    if backend == "reference":
+        return (5 * n + 2) if fista else (3 * n + 2)
+    raise ValueError(backend)
+
+
+def speed_of_light(
+    shape: Tuple[int, ...],
+    fista: bool = True,
+    backend: str = "fused",
+    itemsize: int = 4,
+    chip: str = "v5e",
+) -> float:
+    """Upper-bound voxel-updates/sec for a backend on a chip."""
+    trav = traversals_per_iteration(len(shape), fista, backend)
+    return HBM_BW[chip] / (trav * itemsize)
+
+
+def efficiency(measured_vox_per_sec: float, shape, fista=True,
+               backend="fused", chip="v5e") -> float:
+    """Fraction of the traffic-model speed-of-light achieved."""
+    return measured_vox_per_sec / speed_of_light(
+        tuple(shape), fista, backend, chip=chip)

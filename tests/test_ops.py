@@ -178,3 +178,39 @@ def test_forward_halo_operand_equals_full_array_slice():
         BCMode.JIA_ZHAO, halos,
     )
     np.testing.assert_allclose(got, want[:4], atol=1e-14)
+
+
+def test_tv_energy_improves_and_stabilizes():
+    """The converged solution has lower ROF energy than the noisy input,
+    and the energy stabilizes (the dual iteration is not monotone in the
+    primal objective while the accumulators ramp up — only the limit is
+    the minimizer)."""
+    from cytvdn_tpu.ops import stencil
+    from cytvdn_tpu import denoise3D
+
+    rng = np.random.default_rng(9)
+    f = (rng.standard_normal((8, 8, 32)) * 0.3 + 1.0)
+    mu = np.full(3, 1.0)
+    lam = mu / 16.0
+
+    def energy(u):
+        return float(stencil.tv_energy(jnp.asarray(u), jnp.asarray(f),
+                                       jnp.asarray(lam), jnp.asarray(mu)))
+
+    e_noisy = energy(f)
+    r60, _, _ = denoise3D(f, mu, iterations=60, FISTA=False, quiet=True)
+    r200, _, _ = denoise3D(f, mu, iterations=200, FISTA=False, quiet=True)
+    assert energy(r200) < e_noisy * 0.9
+    assert abs(energy(r200) - energy(r60)) < 0.01 * e_noisy
+
+
+def test_perf_model():
+    from cytvdn_tpu.utils.perf import (efficiency, speed_of_light,
+                                       traversals_per_iteration)
+
+    assert traversals_per_iteration(4, True, "fused") == 19
+    assert traversals_per_iteration(4, False, "fused") == 11
+    assert traversals_per_iteration(4, True, "reference") == 22
+    sol = speed_of_light((128, 128, 128, 128))
+    assert 1e9 < sol < 2e10
+    assert 0 < efficiency(5.1e9, (128,) * 4) < 1
