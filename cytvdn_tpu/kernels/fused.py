@@ -514,7 +514,12 @@ def fused_iteration(
     in_specs += [blk(at_i_j) for _ in range(ndim)]  # accs
     inputs += [*accs]
     for k in range(ndim):
-        aliases[acc_base + k] = 1 + k               # acc_k → b_new_k
+        # acc1 is also read through the seam-column operand when the axis-1
+        # grid has seams; aliasing a doubly-read input forces XLA to insert
+        # a full-cube defensive copy per iteration — skip the alias instead
+        # (same traffic: the output write happens either way)
+        if not (has_seam and k == 1):
+            aliases[acc_base + k] = 1 + k           # acc_k → b_new_k
     if has_seam:
         in_specs += [col(next1_map)]                # acc1_next1
         inputs += [accs[1]]
@@ -523,7 +528,8 @@ def fused_iteration(
         in_specs += [blk(at_i_j) for _ in range(ndim)]  # ds
         inputs += [*ds]
         for k in range(ndim):
-            aliases[d_base + k] = 1 + ndim + k      # d_k → d_new_k
+            if not (has_seam and k == 1):
+                aliases[d_base + k] = 1 + ndim + k  # d_k → d_new_k
         if has_seam:
             in_specs += [col(next1_map)]            # d1_next1
             inputs += [ds[1]]
