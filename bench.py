@@ -38,7 +38,9 @@ CONFIGS = [
     (64, 64, 64, 64),
     (16, 16, 24, 24),  # CPU-safe fallback
 ]
-ITERS = 10
+# 25 iterations amortizes fixed dispatch/tunnel costs the way production
+# runs do (the reference's Cori job runs 40, cori_MPI_example.sh:21-27)
+ITERS = 25
 
 
 def _measure(shape, iters, fista=True):

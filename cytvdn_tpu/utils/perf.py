@@ -19,6 +19,12 @@ HBM_BW = {
     "v5p": 2765e9,
 }
 
+#: measured practical bandwidth for looped read-modify-write workloads on
+#: the bench chip (a trivial XLA saxpy loop on 1 GiB arrays sustains
+#: ~425-560 GB/s on the tunneled v5e; the fused kernel reaches ~470) —
+#: use this, not the spec peak, when judging kernel efficiency
+PRACTICAL_BW = {"v5e": 500e9, "v5 lite": 500e9}
+
 
 def traversals_per_iteration(ndim: int, fista: bool, backend: str) -> float:
     """Cube-size array read+write traversals per full TV iteration.
