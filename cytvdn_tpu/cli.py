@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save solver state every N iterations")
     p.add_argument("--resume", type=str2bool, default=False,
                    help="resume from --checkpoint if it exists")
+    p.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace into LOGDIR")
     return p
 
 
@@ -126,7 +128,13 @@ def main(argv=None) -> int:
         backend=args.backend,
     )
 
+    import contextlib
+
+    from cytvdn_tpu.utils.log import profile_trace
+
     t0 = time.time()
+    stack = contextlib.ExitStack()
+    stack.enter_context(profile_trace(args.profile))
     if args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded
 
@@ -159,6 +167,7 @@ def main(argv=None) -> int:
             recon, b_norm, delta = denoise4D(
                 data, isotropic_R=args.iso_r, isotropic_Q=args.iso_q,
                 **kwargs)[:3]
+    stack.close()
     log(f"denoising took {time.time() - t0:.2f}s; "
         f"final delta {delta[np.nonzero(delta)][-1] if np.any(delta) else 0:.5f}")
 
