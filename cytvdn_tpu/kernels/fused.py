@@ -59,32 +59,48 @@ Array = jax.Array
 
 # VMEM working-set target per block-sized buffer (bytes, after Mosaic
 # (8,128)-tile padding). For FISTA there are ~(4n+3) pipelined in/out blocks
-# (double-buffered) + (n+1) scratch carries ≈ 43 block buffers at n=4; they
-# must fit the 16 MB VMEM.
-_BLOCK_BYTES_TARGET = 256 * 1024
+# (double-buffered) + (n+1) scratch carries ≈ 43 block buffers at n=4.
+# Measured on v5e: the grid has a ~10 µs/step floor, so blocks should carry
+# ≥ ~500 KB of real data per step to stay bandwidth-bound; Mosaic's scoped
+# VMEM can be raised well past its 16 MB default (128 MB physical on v5e),
+# so the padded working set is capped against _VMEM_CAP instead.
+_BLOCK_BYTES_TARGET = 640 * 1024          # real bytes per block
+_VMEM_CAP = 100 * 1024 * 1024             # scoped-VMEM ask
+_BUFFER_COUNT = 45                         # conservative live-buffer count
+_PAD_CAP = _VMEM_CAP // _BUFFER_COUNT      # padded bytes per block
 
 
-def _padded_tail_bytes(shape: Tuple[int, ...], itemsize: int) -> int:
-    """Bytes of the (1, 1, *tail) slab after Mosaic tiling: the lane axis
+def _tail_bytes(shape: Tuple[int, ...], itemsize: int) -> Tuple[int, int]:
+    """(real, Mosaic-padded) bytes of the (1, 1, *tail) slab: the lane axis
     pads to 128, the sublane axis to 8."""
     tail = list(shape[2:])
+    real = int(np.prod(tail)) * itemsize
     tail[-1] = -(-tail[-1] // 128) * 128
     if len(tail) >= 2:
         tail[-2] = -(-tail[-2] // 8) * 8
-    return int(np.prod(tail)) * itemsize
+    return real, int(np.prod(tail)) * itemsize
 
 
-def _pick_b1(shape: Tuple[int, ...], itemsize: int) -> Optional[int]:
-    """Largest divisor of N1 whose block (1, B1, *tail) fits the budget."""
-    tail_bytes = _padded_tail_bytes(shape, itemsize)
-    if tail_bytes > _BLOCK_BYTES_TARGET:
+def _pick_blocks(shape: Tuple[int, ...],
+                 itemsize: int) -> Optional[Tuple[int, int]]:
+    """(B0, B1) block extents: maximize B1 (shrinks axis-1 seam traffic),
+    then B0 (amortizes the per-step floor for small tails), subject to the
+    real-bytes target and the padded VMEM cap."""
+    real, pad = _tail_bytes(shape, itemsize)
+    if pad > _PAD_CAP:
         return None
-    n1 = shape[1]
-    best = 1
-    for b1 in range(1, n1 + 1):
-        if n1 % b1 == 0 and b1 * tail_bytes <= _BLOCK_BYTES_TARGET:
-            best = b1
-    return best
+    n0, n1 = shape[0], shape[1]
+    b1 = 1
+    for c in range(1, n1 + 1):
+        if n1 % c == 0 and c * real <= _BLOCK_BYTES_TARGET \
+                and c * pad <= _PAD_CAP:
+            b1 = c
+    b0 = 1
+    for c in range(1, n0 + 1):
+        if n0 % c == 0 and c * b1 * real <= _BLOCK_BYTES_TARGET \
+                and c * b1 * pad <= _PAD_CAP:
+            b0 = c
+    return b0, b1
 
 
 def fused_supported(shape, dtype, bc, isotropic_R=False, isotropic_Q=False):
@@ -151,34 +167,42 @@ def _shift_up_flat(x: Array) -> Array:
 def _plan(shape: Tuple[int, ...], itemsize: int):
     """Choose the block layout for a cube shape.
 
-    Returns ``(work_shape, inblock_axes, flat, b1)`` or None if unsupported:
+    Returns ``(work_shape, inblock_axes, flat, b0, b1)`` or None:
 
     - 4D: work on the cube directly; in-block stencil axes (2, 3).
-    - 3D "single": if one (1, N1, E) slab fits the VMEM budget, keep the
+    - 3D "single": if one (1, N1, E) slab fits the block budget, keep the
       rank-3 layout with axis 1 whole in-block (no seam operands at all).
     - 3D "flat": fold E → (E1, 128) so the (sublane, lane) tiling is dense,
       and compute the energy-axis stencil across the fold (exact).
     """
     ndim = len(shape)
     if ndim == 4:
-        b1 = _pick_b1(shape, itemsize)
-        if b1 is None:
+        picked = _pick_blocks(shape, itemsize)
+        if picked is None:
             return None
-        return shape, (2, 3), False, b1
+        return shape, (2, 3), False, picked[0], picked[1]
     n0, n1, e = shape
-    single_bytes = (-(-n1 // 8) * 8) * (-(-e // 128) * 128) * itemsize
-    if single_bytes <= _BLOCK_BYTES_TARGET:
-        return shape, (2,), False, n1
+    single_real = n1 * e * itemsize
+    single_pad = (-(-n1 // 8) * 8) * (-(-e // 128) * 128) * itemsize
+    if single_real <= _BLOCK_BYTES_TARGET and single_pad <= _PAD_CAP:
+        # grow b0 over whole (N1, E) strips
+        b0 = 1
+        for c in range(1, n0 + 1):
+            if n0 % c == 0 and c * single_real <= _BLOCK_BYTES_TARGET \
+                    and c * single_pad <= _PAD_CAP:
+                b0 = c
+        return shape, (2,), False, b0, n1
     if e % 128 == 0:
         work = (n0, n1, e // 128, 128)
-        b1 = _pick_b1(work, itemsize)
-        if b1 is not None:
-            return work, (), True, b1
+        picked = _pick_blocks(work, itemsize)
+        if picked is not None:
+            return work, (), True, picked[0], picked[1]
     return None
 
 
 def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
-                 fista: bool, b1: int, has_seam: bool, with_halo: bool):
+                 fista: bool, b0: int, b1: int, has_seam: bool,
+                 with_halo: bool):
     """Build the kernel body; operand order matches :func:`fused_iteration`.
 
     Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
@@ -255,14 +279,24 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         prev_row = s_recon[...]
 
         diffs = []
-        # axis 0: carried previous row; leading edge reads the halo slab
-        # (whose value realizes the BC: JZ edge shards get their own first
-        # row, so the difference vanishes) or, without halos, JZ zero
+        # axis 0: rows 1..B0-1 shift in-block; row 0 reads the carried
+        # previous block's last row, or at the global leading edge the halo
+        # slab (whose value realizes the BC: JZ edge shards get their own
+        # first row, so the difference vanishes) / the JZ zero
+        a_row0 = lax.slice_in_dim(a, 0, 1, axis=0)
         if with_halo:
-            edge0 = a - h_prev0[...]
+            edge0 = a_row0 - h_prev0[...]
         else:
-            edge0 = jnp.zeros_like(a)
-        diffs.append(jnp.where(ip > 0, a - prev_row, edge0))
+            edge0 = jnp.zeros_like(a_row0)
+        seam0 = a_row0 - lax.slice_in_dim(prev_row, b0 - 1, b0, axis=0)
+        row0 = jnp.where(ip > 0, seam0, edge0)
+        if b0 > 1:
+            inb0 = a - _shift_down_inblock(a, 0)
+            diffs.append(lax.concatenate(
+                [row0, lax.slice_in_dim(inb0, 1, b0, axis=0)], dimension=0
+            ))
+        else:
+            diffs.append(row0)
         # axis 1: in-block backward shift; seam column from the operand;
         # leading column from the halo (or JZ zero)
         a_col0 = lax.slice_in_dim(a, 0, 1, axis=1)
@@ -331,18 +365,29 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 return c + rho * (c - d_h) if fista else c
 
             fwds = []
-            # axis 0: the row below is exactly this step's fresh b_new[0];
-            # the last row block reads the +1 shard's recomputed first slab
-            # (halo) or the JZ zero wrap.
+            # axis 0: rows 0..B0-2 shift in-block from the carried b_new;
+            # the last row reads this step's fresh b_new[0] first row, or at
+            # the global trailing edge the +1 shard's recomputed first slab
+            # (halo) / the JZ zero wrap.
+            a_last = lax.slice_in_dim(a, b0 - 1, b0, axis=0)
             if with_halo:
                 edge_f0 = recompute_b(
-                    h_next0_recon[...] - a,
+                    h_next0_recon[...] - a_last,
                     h_next0_acc[...],
                     h_next0_d[...] if fista else None, 0,
                 )
             else:
-                edge_f0 = jnp.zeros_like(b_new[0])
-            fwds.append(jnp.where(ip < g0, b_new[0], edge_f0))
+                edge_f0 = jnp.zeros_like(a_last)
+            seam_f0 = jnp.where(
+                ip < g0, lax.slice_in_dim(b_new[0], 0, 1, axis=0), edge_f0
+            )
+            if b0 > 1:
+                fwds.append(lax.concatenate(
+                    [lax.slice_in_dim(bp[0], 1, b0, axis=0), seam_f0],
+                    dimension=0,
+                ))
+            else:
+                fwds.append(seam_f0)
             # axis 1: in-block forward shift; seam column recomputed from
             # the neighbor column's pre-update state; trailing edge from
             # the +1 shard halo or the JZ zero wrap.
@@ -432,7 +477,7 @@ def fused_iteration(
     plan = _plan(in_shape, orig.dtype.itemsize)
     if plan is None:
         raise ValueError(f"fused kernel does not support shape {in_shape}")
-    shape, inblock_axes, flat, b1 = plan
+    shape, inblock_axes, flat, b0, b1 = plan
     with_halo = halos is not None
 
     def emb(x):
@@ -455,11 +500,11 @@ def fused_iteration(
         }
 
     n0, n1 = shape[0], shape[1]
-    g0, g1 = n0, n1 // b1
+    g0, g1 = n0 // b0, n1 // b1
     has_seam = g1 > 1
     tail = shape[2:]
-    one_tail = (1, 1) + tail
-    block = (1, b1) + tail
+    one_tail = (b0, 1) + tail   # seam-column operand blocks
+    block = (b0, b1) + tail
 
     n_scal = 2 * ndim + 1
     scal = jnp.concatenate(
@@ -544,7 +589,7 @@ def fused_iteration(
         # shard-seam operands: whole-row slabs fetched once per column
         # strip, one-column slabs per step (O(1/B1) traffic)
         row_spec = pl.BlockSpec(
-            block, lambda j, ip: (0, j) + zeros_tail,
+            (1, b1) + tail, lambda j, ip: (0, j) + zeros_tail,
             memory_space=pltpu.VMEM,
         )
         col_i = col(lambda j, ip: (jnp.minimum(ip, g0 - 1), 0) + zeros_tail)
@@ -582,7 +627,7 @@ def fused_iteration(
     scratch += [pltpu.SMEM((3,), jnp.float32)]
 
     outs = pl.pallas_call(
-        _make_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
+        _make_kernel(ndim, inblock_axes, flat, fista, b0, b1, has_seam,
                      with_halo),
         grid=(g1, g0 + 1),
         in_specs=in_specs,
@@ -591,6 +636,9 @@ def fused_iteration(
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_CAP
+        ),
     )(*inputs)
 
     def unemb(x):

@@ -56,17 +56,19 @@ def test_solver_pallas_early_stop_matches_jax():
 
 
 def test_plan_strategies():
-    # 3D small: direct single-strip layout
-    shape, inblock, flat, b1 = _plan((64, 64, 512), 4)
+    # 3D small: direct single-strip layout, b0 amortizes the step floor
+    shape, inblock, flat, b0, b1 = _plan((64, 64, 512), 4)
     assert shape == (64, 64, 512) and not flat and b1 == 64
+    assert b0 >= 2  # whole strips are small; blocks batch rows
     # 3D large: folded energy axis
-    shape, inblock, flat, b1 = _plan((256, 256, 2048), 4)
+    shape, inblock, flat, b0, b1 = _plan((256, 256, 2048), 4)
     assert shape == (256, 256, 16, 128) and flat
     # 4D
-    shape, inblock, flat, b1 = _plan((128, 128, 64, 64), 4)
+    shape, inblock, flat, b0, b1 = _plan((128, 128, 64, 64), 4)
     assert shape == (128, 128, 64, 64) and inblock == (2, 3)
+    assert b0 * b1 * 64 * 64 * 4 <= 640 * 1024
     # unsupported tail: too big for VMEM
-    assert _plan((64, 64, 512, 512), 4) is None
+    assert _plan((8, 8, 1024, 1024), 4) is None
 
 
 def test_fused_supported_gates():
