@@ -91,6 +91,11 @@ def main(argv=None) -> int:
         if verbose:
             print(f"[cytv] {msg}", flush=True)
 
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     from cytvdn_tpu.io.loaders import load_input
     from cytvdn_tpu.io.emd import write_emd
 

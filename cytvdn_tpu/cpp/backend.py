@@ -143,6 +143,12 @@ def solve_cpp(
     orig = np.ascontiguousarray(orig)
     ndim = opts.ndim
     dtype = orig.dtype
+    if reference_data is not None:
+        reference_data = np.ascontiguousarray(reference_data, dtype=dtype)
+        if reference_data.shape != orig.shape:
+            raise ValueError(
+                "reference_data shape must match the datacube"
+            )
     n_f, n_u = opts.iterations_fista, opts.iterations_unacc
     n_total = n_f + n_u
     stopping = opts.stopping_relative_change
@@ -182,6 +188,7 @@ def solve_cpp(
         return total
 
     it_run = 0
+    stopped = False
     tk = 1.0
     for i in range(n_f):
         tk_new = (1.0 + np.sqrt(1.0 + 4.0 * tk * tk)) / 2.0
@@ -193,7 +200,10 @@ def solve_cpp(
             mse[i + 1] = sum_square_error(reference_data, recon)
         it_run = i + 1
         if stopping is not None and delta[i] < stopping:
+            stopped = True
             break
+    if n_u:
+        stopped = False  # second phase runs regardless (reference behavior)
     for j in range(n_u):
         i = j + n_f
         b_norm[i] = axis_pass(False, 0.0)
@@ -202,6 +212,7 @@ def solve_cpp(
             mse[i + 1] = sum_square_error(reference_data, recon)
         it_run = i + 1
         if stopping is not None and delta[i] < stopping:
+            stopped = True
             break
 
     out = {
@@ -209,6 +220,7 @@ def solve_cpp(
         "b_norm": b_norm,
         "delta": delta,
         "iterations_run": np.int32(it_run),
+        "early_stopped": np.bool_(stopped),
     }
     if opts.calculate_mse:
         out["mse"] = mse

@@ -45,7 +45,6 @@ def denoise_sharded(
     """
     from cytvdn_tpu.api import _validate_and_derive
     from cytvdn_tpu.io.loaders import InputHandle
-    from cytvdn_tpu.utils.checkpoint import load_state, save_state
 
     if isinstance(datacube, (str, InputHandle)):
         # lazy source: each device's shard is read directly from the file
@@ -92,45 +91,23 @@ def denoise_sharded(
     }
 
     checkpointing = bool(checkpoint_path and checkpoint_every)
-    state = None
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, ck_meta = load_state(checkpoint_path)
-        if ck_meta["shape"] != list(datacube.shape):
-            raise ValueError("checkpoint shape does not match input")
+    resuming = bool(resume and checkpoint_path
+                    and os.path.exists(checkpoint_path))
 
-    if not checkpointing and state is None:
+    if not checkpointing and not resuming:
         out = run_sharded(datacube, lambda_inv, lam_mu, opts,
                           reference_data, shard, devices)
     else:
-        out = None
-        while True:
-            i_now = int(state["i"]) if state is not None else 0
-            if i_now >= n_total:
-                break
-            i_stop = (min(i_now + checkpoint_every, n_total)
-                      if checkpoint_every > 0 else n_total)
-            out = run_sharded(
+        from cytvdn_tpu.utils.checkpoint import chunk_driver
+
+        def run_chunk(engine_state, i_stop):
+            return run_sharded(
                 datacube, lambda_inv, lam_mu, opts, reference_data, shard,
-                devices, state=state, i_stop=i_stop, keep_state=True,
+                devices, state=engine_state, i_stop=i_stop, keep_state=True,
             )
-            state = {
-                "recon": out["recon"],
-                "accs": tuple(out["accs"]),
-                "ds": tuple(out["ds"]) if out["ds"] else (),
-                "b_norm": out["b_norm"],
-                "delta": out["delta"],
-                "mse": out.get("mse", np.zeros(0)),
-                "i": out["i"],
-            }
-            if checkpoint_path:
-                save_state(checkpoint_path, state, meta)
-            if bool(out["early_stopped"]) or \
-                    int(out["iterations_run"]) >= n_total:
-                break
-        if out is None:  # checkpoint already covered all iterations
-            out = {**state, "iterations_run": state["i"]}
-            if not opts.calculate_mse:
-                out.pop("mse", None)
+
+        out = chunk_driver(run_chunk, n_total, checkpoint_path,
+                           checkpoint_every, resume, meta, datacube.shape)
 
     result = {
         "recon": np.asarray(out["recon"]),

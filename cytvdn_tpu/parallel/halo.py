@@ -36,10 +36,7 @@ from cytvdn_tpu.config import BCMode
 Array = jax.Array
 
 
-def _slab(a: Array, ax: int, idx: int) -> Array:
-    if idx < 0:
-        idx += a.shape[ax]
-    return lax.slice_in_dim(a, idx, idx + 1, axis=ax)
+from cytvdn_tpu.ops.stencil import _slab  # one-thick slab along an axis
 
 
 class MeshComm:

@@ -46,8 +46,18 @@ def resolve_shard(
     if shard is None:
         return (1,) * ndim
     if shard == "auto":
-        grid = choose_grid(n_devices, shape[:2])
-        return tuple(grid) + (1,) * (ndim - 2)
+        # prefer all devices; when the scan axes have no even tiling over
+        # that count (e.g. 250×250 on 8 devices), degrade to the largest
+        # device count that tiles evenly rather than failing (the reference
+        # partitioner handles uneven ceil-sized tiles, mpi.py:139-141;
+        # even tiling is what keeps the mesh run bit-exact here)
+        for n in range(n_devices, 0, -1):
+            try:
+                grid = choose_grid(n, shape[:2])
+            except ValueError:
+                continue
+            return tuple(grid) + (1,) * (ndim - 2)
+        return (1,) * ndim
     shard = tuple(int(s) for s in shard)
     if len(shard) != ndim:
         raise ValueError(f"shard must have {ndim} entries, got {shard}")

@@ -205,10 +205,7 @@ def iteration_step(
             # read the own edge slab (zero difference); forward edges
             # recompute from (own last recon slab, zero acc, zero d) — the
             # identically-zero JZ wrap slab.
-            def slab(arr, ax, idx):
-                if idx < 0:
-                    idx += arr.shape[ax]
-                return lax.slice_in_dim(arr, idx, idx + 1, axis=ax)
+            from cytvdn_tpu.ops.stencil import _slab as slab
 
             z0 = jnp.zeros_like(slab(accs[0], 0, 0))
             z1 = jnp.zeros_like(slab(accs[1], 1, 0))
@@ -405,14 +402,18 @@ def run_solver(
         chunk_capped = jnp.logical_and(
             jnp.logical_not(carry.done), carry.i < n_f
         )
-        # advance to the unaccelerated phase's first index on completion or
-        # early stop; the early-stop latch does NOT carry across (the
-        # reference runs the second phase unconditionally, cyTVDN.py:195-201)
-        carry = carry._replace(
-            i=jnp.where(chunk_capped, carry.i,
-                        jnp.maximum(carry.i, jnp.asarray(n_f, jnp.int32))),
-            done=jnp.zeros((), bool),
-        )
+        if n_u:
+            # advance to the unaccelerated phase's first index on completion
+            # or early stop; the early-stop latch does NOT carry across (the
+            # reference runs the second phase unconditionally,
+            # cyTVDN.py:195-201). With no second phase scheduled, the index
+            # and latch stay put so iterations_run/early_stopped are honest.
+            carry = carry._replace(
+                i=jnp.where(chunk_capped, carry.i,
+                            jnp.maximum(carry.i,
+                                        jnp.asarray(n_f, jnp.int32))),
+                done=jnp.zeros((), bool),
+            )
         i_stop2 = jnp.where(chunk_capped, jnp.zeros((), jnp.int32), i_stop2)
         if not keep_state:
             carry = carry._replace(ds=())

@@ -33,6 +33,7 @@ def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
         "delta": np.asarray(state["delta"]),
         "mse": np.asarray(state.get("mse", np.zeros(0))),
         "i": np.asarray(state["i"]),
+        "early_stopped": np.asarray(bool(state.get("early_stopped", False))),
     }
     for k, a in enumerate(state["accs"]):
         arrays[f"acc{k}"] = np.asarray(a)
@@ -68,7 +69,71 @@ def load_state(path: str):
             "ds": tuple(z[f"d{k}"] for k in range(ndim)
                         if f"d{k}" in z.files),
         }
+        if "early_stopped" in z.files:
+            state["early_stopped"] = bool(z["early_stopped"])
     return state, meta
+
+
+def chunk_driver(
+    run_chunk,
+    n_total: int,
+    checkpoint_path: Optional[str],
+    checkpoint_every: int,
+    resume: bool,
+    meta: Dict[str, Any],
+    expected_shape,
+):
+    """The shared chunked-execution loop behind both the single-device and
+    sharded checkpointing entry points.
+
+    ``run_chunk(engine_state_or_None, i_stop) -> out_dict`` runs the solver
+    up to the (dynamic) global iteration cap and returns the
+    ``keep_state=True`` result dict. The driver persists state (including
+    the early-stop latch, so resuming a converged job is an idempotent
+    no-op) and stops on convergence or completion.
+    """
+    state = None
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, ck_meta = load_state(checkpoint_path)
+        if ck_meta["shape"] != list(expected_shape):
+            raise ValueError(
+                f"checkpoint shape {ck_meta['shape']} does not match input "
+                f"{list(expected_shape)}"
+            )
+
+    out = None
+    while True:
+        if state is not None and (
+            state.get("early_stopped", False)
+            or int(state["i"]) >= n_total
+        ):
+            break
+        i_now = int(state["i"]) if state is not None else 0
+        i_stop = (min(i_now + checkpoint_every, n_total)
+                  if checkpoint_every > 0 else n_total)
+        engine_state = (
+            {k: v for k, v in state.items() if k != "early_stopped"}
+            if state is not None else None
+        )
+        out = run_chunk(engine_state, i_stop)
+        state = {
+            "recon": out["recon"],
+            "accs": tuple(out["accs"]),
+            "ds": tuple(out["ds"]) if out["ds"] else (),
+            "b_norm": out["b_norm"],
+            "delta": out["delta"],
+            "mse": out.get("mse", np.zeros(0)),
+            "i": out["i"],
+            "early_stopped": bool(out["early_stopped"]),
+        }
+        if checkpoint_path:
+            save_state(checkpoint_path, state, meta)
+        if state["early_stopped"] or int(out["iterations_run"]) >= n_total:
+            break
+    if out is None:  # checkpoint already covered the whole schedule
+        out = {**state, "iterations_run": state["i"],
+               "early_stopped": state.get("early_stopped", False)}
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "with_state"))
@@ -103,53 +168,24 @@ def run_chunked(
         "iterations_unacc": opts.iterations_unacc,
     }
 
-    state = None
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, ck_meta = load_state(checkpoint_path)
-        if ck_meta["shape"] != list(datacube.shape):
-            raise ValueError(
-                f"checkpoint shape {ck_meta['shape']} does not match input "
-                f"{list(datacube.shape)}"
-            )
-
     orig = jnp.asarray(datacube)
     li = jnp.asarray(lambda_inv)
     lm = jnp.asarray(lam_mu)
     ref = jnp.asarray(reference_data) if opts.calculate_mse else None
 
-    out = None
-    while True:
-        i_now = int(state["i"]) if state is not None else 0
-        if i_now >= n_total:
-            break
-        i_stop = min(i_now + checkpoint_every, n_total) \
-            if checkpoint_every > 0 else n_total
+    def run_chunk(engine_state, i_stop):
         jstate = None
-        if state is not None:
+        if engine_state is not None:
             jstate = {k: (tuple(jnp.asarray(x) for x in v)
                           if isinstance(v, tuple)
                           else jnp.asarray(v))
-                      for k, v in state.items()}
-        out = _chunk_jit(orig, li, lm, opts, jstate,
-                         jnp.asarray(i_stop, jnp.int32), ref,
-                         jstate is not None)
-        state = {
-            "recon": out["recon"],
-            "accs": tuple(out["accs"]),
-            "ds": tuple(out["ds"]) if out["ds"] else (),
-            "b_norm": out["b_norm"],
-            "delta": out["delta"],
-            "mse": out.get("mse", np.zeros(0)),
-            "i": out["i"],
-        }
-        if checkpoint_path:
-            save_state(checkpoint_path, state, meta)
-        if bool(out["early_stopped"]) or int(out["iterations_run"]) >= n_total:
-            break
-    if out is None:  # checkpoint already covered all iterations
-        out = {**state, "iterations_run": state["i"]}
-        if not opts.calculate_mse:
-            out.pop("mse", None)
+                      for k, v in engine_state.items()}
+        return _chunk_jit(orig, li, lm, opts, jstate,
+                          jnp.asarray(i_stop, jnp.int32), ref,
+                          jstate is not None)
+
+    out = chunk_driver(run_chunk, n_total, checkpoint_path,
+                       checkpoint_every, resume, meta, datacube.shape)
 
     result = {
         "recon": np.asarray(out["recon"]),

@@ -109,3 +109,17 @@ def test_solver_cpp_early_stop_and_mse():
     assert len(got) == 4
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-12)
+
+
+def test_cpp_noncontiguous_reference_data():
+    """Regression: a Fortran-order / wrong-dtype reference_data must give
+    the same MSE as the JAX path (it is normalized before the native call),
+    not silently wrong values."""
+    cube = (RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+    ref = np.asfortranarray(RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+    mu = np.full(3, 0.8)
+    want = denoise3D(cube, mu, iterations=4, reference_data=ref, quiet=True,
+                     backend="jax")
+    got = denoise3D(cube, mu, iterations=4, reference_data=ref, quiet=True,
+                    backend="cpp")
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-10)

@@ -232,3 +232,20 @@ def test_emd_virtual_stitch(tmp_path):
     with h5py.File(path, "r") as f:
         assert f["4DSTEM_experiment"].attrs["version_minor"] == 7
         assert f["4DSTEM_experiment/data/datacubes/datacube_0/data"].is_virtual
+
+
+def test_resume_after_convergence_is_idempotent(tmp_path):
+    """Regression: resuming a run that already early-stopped must return
+    the checkpointed result unchanged (the early-stop latch is persisted)."""
+    from cytvdn_tpu.utils.checkpoint import run_with_checkpointing
+
+    cube = (RNG.standard_normal((6, 7, 8)) * 0.5 + 2.0)
+    mu = np.full(3, 0.8)
+    ck = str(tmp_path / "conv.npz")
+    kw = dict(iterations=100, FISTA=False, stopping_relative_change=0.2,
+              checkpoint_path=ck, checkpoint_every=5)
+    first = run_with_checkpointing(cube, mu, **kw)
+    assert first["iterations_run"] < 100
+    again = run_with_checkpointing(cube, mu, resume=True, **kw)
+    np.testing.assert_array_equal(first["recon"], again["recon"])
+    np.testing.assert_array_equal(first["delta"], again["delta"])

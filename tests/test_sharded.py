@@ -127,3 +127,18 @@ def test_resolve_shard_and_partitioner():
     assert grid == (2, 2)
     with pytest.raises(ValueError):
         resolve_shard((3, 1, 1), (8, 8, 8), 8)  # non-divisible
+
+
+def test_auto_shard_falls_back_on_indivisible_extents():
+    """Regression: shard='auto' with scan extents that no 8-device tiling
+    divides must degrade to fewer devices, not raise (the reference
+    partitioner handles such shapes, mpi.py:130-170)."""
+    shard = resolve_shard("auto", (250, 250, 16), 8)
+    assert np.prod(shard) >= 1
+    assert 250 % shard[0] == 0 and 250 % shard[1] == 0
+    # and it still runs
+    cube = _cube((250, 10, 4), dtype=np.float32)
+    lambda_inv, lam_mu = _params(3, np.float32)
+    opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=2)
+    out = run_sharded(cube, lambda_inv, lam_mu, opts, shard="auto")
+    assert np.all(np.isfinite(np.asarray(out["recon"])))

@@ -147,3 +147,24 @@ def test_presets():
     mu = np.full(3, 0.8)
     r, bn, dl = denoise_preset(cube, mu, "eels3d", iterations=5, quiet=True)
     assert r.shape == cube.shape
+
+
+def test_fista_only_early_stop_metadata():
+    """Regression: a pure-FISTA run that early-stops must report the true
+    iteration count and the early_stopped flag (previously the phase
+    boundary overwrote both even with no second phase scheduled)."""
+    import jax.numpy as jnp
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.engine import run_solver
+
+    cube = make_cube((6, 7, 8))
+    mu = np.full(3, 0.8)
+    lam = mu / 16.0
+    opts = SolverOptions(ndim=3, iterations_fista=50, iterations_unacc=0,
+                         stopping_relative_change=0.5)
+    out = run_solver(jnp.asarray(cube), jnp.asarray(1 / lam),
+                     jnp.asarray(lam / mu), opts)
+    n_run = int(out["iterations_run"])
+    assert bool(out["early_stopped"])
+    assert n_run < 50
+    assert np.count_nonzero(np.asarray(out["delta"])) == n_run
