@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from --checkpoint if it exists")
     p.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler device trace into LOGDIR")
+    p.add_argument("--out-of-core", type=int, default=0, metavar="N_SLABS",
+                   help="stream the cube through the device in N slabs with "
+                        "host-resident state (for cubes whose state exceeds "
+                        "HBM; Jia-Zhao anisotropic float32 only)")
     return p
 
 
@@ -140,7 +144,14 @@ def main(argv=None) -> int:
     t0 = time.time()
     stack = contextlib.ExitStack()
     stack.enter_context(profile_trace(args.profile))
-    if args.shard:
+    if args.out_of_core:
+        from cytvdn_tpu.solver.outofcore import denoise_outofcore
+
+        recon, b_norm, delta = denoise_outofcore(
+            data, mu, lam=lam, iterations=iterations, FISTA=bool(args.fista),
+            stopping_relative_change=args.stop, n_slabs=args.out_of_core,
+        )
+    elif args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded
 
         shard = ("auto" if args.shard == "auto"

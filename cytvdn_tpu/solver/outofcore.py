@@ -1,0 +1,208 @@
+"""Out-of-core solver: datacubes whose iteration state exceeds one chip's
+HBM stream through the device in axis-0 slabs.
+
+The 256²×128² 4D FISTA target holds ~43 GB of state (SURVEY.md §7 hard
+part 2) — impossible in one v5e's 16 GB HBM. The reference's only answer
+is MPI scale-out; here a single chip can also run it with state resident
+in host RAM:
+
+- State lives in numpy arrays; each iteration sweeps slabs of S rows
+  through the device in order.
+- Each slab is one :func:`fused_iteration` call with **operand halos** —
+  the same mechanism the shard_map path uses (kernels/fused.py). Because
+  slabs are processed in ascending order, the +1 neighbor's pre-update
+  state is still untouched in host RAM, and the -1 neighbor's pre-update
+  last row is stashed before being overwritten: the math is *identical* to
+  the in-core run (tested to f32 equality).
+- bnorm/delta partials are summed across slabs host-side (deterministic);
+  early stopping works per iteration.
+
+This trades speed for capacity: every iteration moves the full state over
+PCIe. Use the mesh path when chips are available; use this when they are
+not.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from cytvdn_tpu.config import BCMode, SolverOptions, normalize_iterations
+from cytvdn_tpu.solver.engine import fista_tk_ratios
+
+
+def _slab_bounds(n0: int, n_slabs: int):
+    size = -(-n0 // n_slabs)
+    bounds = []
+    start = 0
+    while start < n0:
+        stop = min(start + size, n0)
+        bounds.append((start, stop))
+        start = stop
+    return bounds
+
+
+def solve_outofcore(
+    orig: np.ndarray,
+    lambda_inv: np.ndarray,
+    lam_mu: np.ndarray,
+    opts: SolverOptions,
+    n_slabs: int,
+) -> Dict[str, np.ndarray]:
+    """Run the full schedule with host-resident state, streaming slabs.
+
+    Requirements: float32, Jia-Zhao BCs, anisotropic axes (the fused
+    kernel's domain); each slab must have ≥2 rows.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cytvdn_tpu.kernels.fused import fused_iteration, fused_supported
+
+    if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
+        raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
+    orig = np.ascontiguousarray(orig, dtype=np.float32)
+    ndim = opts.ndim
+    n0 = orig.shape[0]
+    bounds = _slab_bounds(n0, n_slabs)
+    if min(b - a for a, b in bounds) < 2:
+        raise ValueError("slabs must have at least 2 rows")
+    for a, b in bounds:
+        if not fused_supported((b - a,) + orig.shape[1:], np.dtype(np.float32),
+                               opts.bc_mode):
+            raise ValueError(f"slab shape {(b - a,) + orig.shape[1:]} "
+                             "unsupported by the fused kernel")
+
+    n_f, n_u = opts.iterations_fista, opts.iterations_unacc
+    n_total = n_f + n_u
+    stopping = opts.stopping_relative_change
+    tk_ratios = fista_tk_ratios(n_f)
+
+    recon = orig.copy()
+    accs = [np.zeros_like(orig) for _ in range(ndim)]
+    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    b_norm = np.zeros(n_total, np.float32)
+    delta = np.zeros(n_total, np.float32)
+
+    li = jnp.asarray(lambda_inv.astype(np.float32))
+    lm = jnp.asarray(lam_mu.astype(np.float32))
+
+    interpret = jax.default_backend() != "tpu"
+    it_run = 0
+    stopped = False
+
+    def iteration(fista: bool, tk_ratio: float):
+        """One full sweep over the slabs; returns (bnorm, delta)."""
+        bnorm_tot = dnum_tot = dden_tot = 0.0
+        # stash of the previous slab's PRE-update last recon row
+        prev_last_old: Optional[np.ndarray] = None
+        for si, (a0, a1) in enumerate(bounds):
+            sl = slice(a0, a1)
+            r = recon[sl]
+            # halos from host state: -1 neighbor's pre-update last row
+            # (stashed), +1 neighbor's pre-update first rows (not yet
+            # processed this sweep, so still pre-update in host RAM).
+            # Edge values realize JZ exactly (see kernels/fused.py).
+            if si == 0:
+                prev0 = r[0:1]
+            else:
+                prev0 = prev_last_old
+            if si + 1 < len(bounds):
+                nb = bounds[si + 1][0]
+                next0_recon = recon[nb:nb + 1]
+                next0_acc = accs[0][nb:nb + 1]
+                next0_d = ds[0][nb:nb + 1] if fista else None
+            else:
+                next0_recon = r[-1:]
+                next0_acc = np.zeros_like(r[-1:])
+                next0_d = np.zeros_like(r[-1:]) if fista else None
+            # axis 1 is never slab-split: its halos are the JZ edge values
+            col = recon[sl, 0:1]
+            halos = {
+                "prev0": jnp.asarray(prev0),
+                "prev1": jnp.asarray(col),                     # zero diff
+                "next0_recon": jnp.asarray(next0_recon),
+                "next0_acc": jnp.asarray(next0_acc),
+                "next1_recon": jnp.asarray(recon[sl, -1:]),    # JZ wrap
+                "next1_acc": jnp.asarray(np.zeros_like(col)),
+            }
+            if fista:
+                halos["next0_d"] = jnp.asarray(next0_d)
+                halos["next1_d"] = jnp.asarray(np.zeros_like(col))
+
+            prev_last_old = r[-1:].copy()
+
+            out = fused_iteration(
+                jnp.asarray(orig[sl]), jnp.asarray(r),
+                tuple(jnp.asarray(acc[sl]) for acc in accs),
+                tuple(jnp.asarray(d[sl]) for d in ds) if fista else None,
+                np.float32(tk_ratio), li, lm,
+                fista=fista, interpret=interpret, halos=halos,
+            )
+            recon_new, accs_new, ds_new, bnorm, dnum, dden = out
+            recon[sl] = np.asarray(recon_new)
+            for k in range(ndim):
+                accs[k][sl] = np.asarray(accs_new[k])
+                if fista:
+                    ds[k][sl] = np.asarray(ds_new[k])
+            bnorm_tot += float(bnorm)
+            dnum_tot += float(dnum)
+            dden_tot += float(dden)
+        return bnorm_tot, dnum_tot / dden_tot
+
+    tk = 1.0
+    for i in range(n_f):
+        b_norm[i], delta[i] = iteration(True, float(tk_ratios[i]))
+        it_run = i + 1
+        if stopping is not None and delta[i] < stopping:
+            stopped = True
+            break
+    if n_u:
+        stopped = False  # second phase runs regardless (reference behavior)
+    for j in range(n_u):
+        i = j + n_f
+        b_norm[i], delta[i] = iteration(False, 0.0)
+        it_run = i + 1
+        if stopping is not None and delta[i] < stopping:
+            stopped = True
+            break
+
+    return {
+        "recon": recon,
+        "b_norm": b_norm,
+        "delta": delta,
+        "iterations_run": np.int32(it_run),
+        "early_stopped": np.bool_(stopped),
+    }
+
+
+def denoise_outofcore(
+    datacube: np.ndarray,
+    mu,
+    lam=None,
+    iterations=10,
+    FISTA: bool = True,
+    stopping_relative_change: Optional[float] = None,
+    n_slabs: int = 4,
+    quiet: bool = True,
+):
+    """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
+
+    Returns ``(recon, b_norm, delta)`` like :func:`cytvdn_tpu.denoise`.
+    """
+    from cytvdn_tpu.api import _validate_and_derive
+
+    ndim = np.asarray(datacube).ndim
+    datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+        datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
+    )
+    n_f, n_u = normalize_iterations(iterations, FISTA)
+    opts = SolverOptions(
+        ndim=ndim,
+        iterations_fista=n_f,
+        iterations_unacc=n_u,
+        stopping_relative_change=stopping_relative_change,
+    )
+    out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs)
+    return out["recon"], out["b_norm"], out["delta"]

@@ -1,0 +1,50 @@
+"""Out-of-core solver: slab-streamed runs must equal the in-core fused
+run exactly (same arithmetic via operand halos)."""
+
+import numpy as np
+import pytest
+
+from cytvdn_tpu import denoise3D, denoise4D
+from cytvdn_tpu.solver.outofcore import denoise_outofcore, _slab_bounds
+
+RNG = np.random.default_rng(17)
+
+
+def _cube(shape):
+    return (RNG.standard_normal(shape) * 0.5 + 2.0).astype(np.float32)
+
+
+def test_slab_bounds_uneven():
+    assert _slab_bounds(10, 3) == [(0, 4), (4, 8), (8, 10)]
+    assert _slab_bounds(8, 4) == [(0, 2), (2, 4), (4, 6), (6, 8)]
+
+
+@pytest.mark.parametrize("n_slabs", [2, 3])
+@pytest.mark.parametrize("fista", [True, False])
+def test_outofcore_matches_incore_4d(n_slabs, fista):
+    cube = _cube((10, 6, 8, 16))
+    mu = np.full(4, 1.0, np.float32)
+    want = denoise4D(cube, mu, iterations=5, FISTA=fista, quiet=True,
+                     backend="pallas")
+    got = denoise_outofcore(cube, mu, iterations=5, FISTA=fista,
+                            n_slabs=n_slabs)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=2e-6, atol=2e-6)
+
+
+def test_outofcore_matches_incore_3d_early_stop():
+    cube = _cube((12, 8, 16))
+    mu = np.full(3, 1.0, np.float32)
+    kw = dict(iterations=60, FISTA=False, stopping_relative_change=0.05,
+              quiet=True)
+    want = denoise3D(cube, mu, backend="pallas", **kw)
+    got = denoise_outofcore(cube, mu, iterations=60, FISTA=False,
+                            stopping_relative_change=0.05, n_slabs=3)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=2e-6, atol=2e-6)
+
+
+def test_outofcore_rejects_unsupported():
+    cube = _cube((8, 6, 8))
+    with pytest.raises(ValueError):
+        denoise_outofcore(cube, np.full(3, 1.0, np.float32), n_slabs=8)
