@@ -133,15 +133,27 @@ def main():
         return
 
     baseline = None
+    # prefer the ACTUAL reference build's measured single-thread throughput
+    # (tools/reference_parity.py builds the real cyTVDN Cython kernels);
+    # fall back to the C++ proxy measurement
+    ref_path = os.path.join(os.path.dirname(__file__),
+                            "REFERENCE_PARITY.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            rp = json.load(f)
+        st = rp.get("reference_measured", {}).get(
+            "vox_updates_per_sec_1thread_4d_fista_48x48x48x48")
+        if st:
+            baseline = st * 64.0  # conservative linear 64-thread bound
     path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    if os.path.exists(path):
+    if baseline is None and os.path.exists(path):
         with open(path) as f:
             measured = json.load(f)
         st = measured.get("reference_voxel_updates_per_sec_1thread")
         if st:
-            baseline = st * 64.0  # conservative 64-thread upper bound
+            baseline = st * 64.0
     if baseline is None:
-        baseline = 64e6  # placeholder until BASELINE_MEASURED.json lands
+        baseline = 64e6  # placeholder
 
     print(json.dumps({
         "metric": f"voxel_updates_per_sec_4d_fista_{'x'.join(map(str, used))}",

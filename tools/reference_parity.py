@@ -1,0 +1,281 @@
+"""Build the actual reference (cyTVDN) Cython kernels and verify numerical
+parity against this framework, plus measure the real reference throughput.
+
+The reference's checked-in Cython-0.29.24-generated C cannot build on this
+image's main Python (3.12 removed APIs it uses), but the system python3.11
+can host it with three mechanical build shims (none of which touch the
+kernel math): PyLong internals off, fast-pycall paths off, and the
+traceback-only PyCode_New/f_lineno uses stubbed. The kernels' compute
+loops compile untouched.
+
+Protocol:
+1. (main python) generate shared random inputs -> npz
+2. (python3.11) run the reference kernels + a reference-faithful driver
+   loop on them -> npz, and time single-thread 4D FISTA iterations
+3. (main python) run this framework on the same inputs and compare
+
+Usage: python tools/reference_parity.py [--skip-build]
+Writes REFERENCE_PARITY.json at the repo root.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/cyTVDN"
+PY311 = "/usr/bin/python3.11"
+PY311_INC = "/mnt/sandboxing/model_tools_env/v1/python/install/include/python3.11"
+NP311_INC = "/usr/lib/python3/dist-packages/numpy/core/include"
+
+FIX_HEADER = r"""
+#include "Python.h"
+static PyCodeObject* __fix_pycode_new(int a, int k, int l, int s, int f,
+    PyObject *code, PyObject *c, PyObject *n, PyObject *v, PyObject *fv,
+    PyObject *cell, PyObject *fn, PyObject *name, int fline,
+    PyObject *lnos) {
+  const char *fns = PyUnicode_Check(fn) ? PyUnicode_AsUTF8(fn) : "src";
+  const char *nms = PyUnicode_Check(name) ? PyUnicode_AsUTF8(name) : "fn";
+  (void)a;(void)k;(void)l;(void)s;(void)f;(void)code;(void)c;(void)n;
+  (void)v;(void)fv;(void)cell;(void)lnos;
+  return PyCode_NewEmpty(fns, nms, fline);
+}
+#define PyCode_New(a,k,l,s,f,code,c,n,v,fv,cell,fn,name,fline,lnos) \
+  __fix_pycode_new(a,k,l,s,f,code,c,n,v,fv,cell,fn,name,fline,lnos)
+"""
+
+RUNNER = r"""
+import sys, time
+import numpy as np
+sys.path.insert(0, sys.argv[1])
+import anisotropic, utils, halfisotropic
+
+z = np.load(sys.argv[2])
+out = {}
+
+# ---- kernel-level parity (BC 0 and 2; the reference mirror branch of the
+# recon update is known-buggy, SURVEY.md §2.3) ----
+for bc in (0, 1, 2):
+    a = z["a3"].copy(); b = z["b3"].copy()
+    for ax in range(3):
+        bb = b.copy()
+        n = anisotropic.accumulator_update_3D(a, bb, ax, 0.3, BC_mode=bc)
+        out[f"acc3_bc{bc}_ax{ax}"] = bb
+        out[f"acc3n_bc{bc}_ax{ax}"] = np.float64(n)
+    a4 = z["a4"].copy()
+    for ax in range(4):
+        bb = z["b4"].copy()
+        n = anisotropic.accumulator_update_4D(a4, bb, ax, 0.3, BC_mode=bc)
+        out[f"acc4_bc{bc}_ax{ax}"] = bb
+
+# FISTA variant
+bb = z["b4"].copy(); dd = z["d4"].copy()
+n = anisotropic.accumulator_update_4D_FISTA(z["a4"].copy(), bb, dd,
+                                            0.7, 1, 0.3, BC_mode=2)
+out["acc4f_b"] = bb; out["acc4f_d"] = dd; out["acc4f_n"] = np.float64(n)
+
+# iso
+b1 = z["b4"].copy(); b2 = z["d4"].copy()
+n = halfisotropic.iso_accumulator_update_4D(z["a4"].copy(), b1, b2, 2, 3, 0.2)
+out["iso_b1"] = b1; out["iso_b2"] = b2; out["iso_n"] = np.float64(n)
+
+# recon updates (periodic + JZ)
+for bc in (0, 2):
+    rec = z["rec3"].copy()
+    d = utils.datacube_update_3D(z["a3"].copy(), rec, z["b3"].copy(),
+                                 z["c3"].copy(), z["e3"].copy(),
+                                 z["w3"].copy(), BC_mode=bc)
+    out[f"rec3_bc{bc}"] = rec; out[f"rec3d_bc{bc}"] = np.float64(d)
+
+out["sse"] = np.float64(utils.sum_square_error_3D(z["a3"].copy(),
+                                                  z["rec3"].copy()))
+
+# ---- full driver loop, reference-faithful (cyTVDN.py:147-194) ----
+def run_loop(cube, n_iter, fista):
+    accs = [np.zeros_like(cube) for _ in range(4)]
+    ds = [np.zeros_like(cube) for _ in range(4)]
+    recon = cube.copy()
+    lam_inv = np.float32(32.0); w = np.full(4, 1/32, np.float32)
+    bn = np.zeros(n_iter); dl = np.zeros(n_iter)
+    tk = 1.0
+    for i in range(n_iter):
+        tk_new = (1 + np.sqrt(1 + 4 * tk ** 2)) / 2
+        tk_ratio = (tk - 1.0) / tk_new
+        tk = tk_new
+        s = 0.0
+        for ax in range(4):
+            if fista:
+                s += anisotropic.accumulator_update_4D_FISTA(
+                    recon, accs[ax], ds[ax], tk_ratio, ax, lam_inv, BC_mode=2)
+            else:
+                s += anisotropic.accumulator_update_4D(
+                    recon, accs[ax], ax, lam_inv, BC_mode=2)
+        bn[i] = s
+        dl[i] = utils.datacube_update_4D(cube, recon, *accs, w, BC_mode=2)
+    return recon, bn, dl
+
+recon, bn, dl = run_loop(z["cube"].copy(), 8, True)
+out["loop_recon"] = recon; out["loop_bnorm"] = bn; out["loop_delta"] = dl
+
+# ---- single-thread timing, the real reference baseline ----
+big = np.ascontiguousarray(z["bench"].astype(np.float32))
+r2, _, _ = run_loop(big, 1, True)  # warm
+t0 = time.perf_counter()
+ITERS = 3
+run_loop(big, ITERS, True)
+dt = time.perf_counter() - t0
+out["ref_vox_per_sec_1thread"] = np.float64(big.size * ITERS / dt)
+
+np.savez(sys.argv[3], **out)
+print("reference run complete", flush=True)
+"""
+
+
+def build(tmp: str) -> bool:
+    for f in ("anisotropic", "utils", "halfisotropic"):
+        shutil.copy(os.path.join(REF, f + ".c"), tmp)
+    with open(os.path.join(tmp, "fix311.h"), "w") as fh:
+        fh.write(FIX_HEADER)
+    # stub the one traceback-cosmetic frame write 3.11 forbids
+    for f in ("anisotropic", "utils", "halfisotropic"):
+        p = os.path.join(tmp, f + ".c")
+        src = open(p).read()
+        src = src.replace(
+            "#define __Pyx_PyFrame_SetLineNumber(frame, lineno)  "
+            "(frame)->f_lineno = (lineno)",
+            "#define __Pyx_PyFrame_SetLineNumber(frame, lineno) "
+            "((void)(frame), (void)(lineno))",
+        )
+        open(p, "w").write(src)
+        flags = ("-DCYTHON_USE_PYLONG_INTERNALS=0 -DCYTHON_FAST_PYCALL=0 "
+                 "-DCYTHON_FAST_THREAD_STATE=0 -DCYTHON_USE_EXC_INFO_STACK=0 "
+                 "-DCYTHON_PROFILE=0 -DCYTHON_TRACE=0").split()
+        cmd = ["gcc", "-O3", "-fopenmp", "-shared", "-fPIC", *flags,
+               "-include", os.path.join(tmp, "fix311.h"),
+               f"-I{PY311_INC}", f"-I{NP311_INC}", p,
+               "-o", os.path.join(tmp, f + ".cpython-311-x86_64-linux-gnu.so")]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"build of {f} failed:\n{r.stderr[-2000:]}")
+            return False
+    return True
+
+
+def main():
+    if not (os.path.exists(PY311) and os.path.exists(PY311_INC)):
+        print("python3.11 toolchain unavailable; skipping real-reference "
+              "parity (proxy baseline stands)")
+        return 0
+    tmp = tempfile.mkdtemp(prefix="refparity")
+    if not build(tmp):
+        return 1
+
+    rng = np.random.default_rng(123)
+    inputs = {
+        "a3": rng.standard_normal((6, 7, 8)).astype(np.float32),
+        "b3": (rng.standard_normal((6, 7, 8)) * 0.1).astype(np.float32),
+        "c3": (rng.standard_normal((6, 7, 8)) * 0.1).astype(np.float32),
+        "e3": (rng.standard_normal((6, 7, 8)) * 0.1).astype(np.float32),
+        "rec3": rng.standard_normal((6, 7, 8)).astype(np.float32),
+        "w3": np.full(3, 1 / 16, np.float32),
+        "a4": rng.standard_normal((4, 5, 6, 7)).astype(np.float32),
+        "b4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
+        "d4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
+        "cube": (rng.standard_normal((8, 8, 12, 12)) * 0.4 + 1.5
+                 ).astype(np.float32),
+        "bench": (rng.standard_normal((48, 48, 48, 48)) * 0.4 + 1.5
+                  ).astype(np.float32),
+    }
+    in_npz = os.path.join(tmp, "inputs.npz")
+    out_npz = os.path.join(tmp, "outputs.npz")
+    np.savez(in_npz, **inputs)
+    with open(os.path.join(tmp, "runner.py"), "w") as f:
+        f.write(RUNNER)
+    env = dict(os.environ, OMP_NUM_THREADS="1", PYTHONPATH="")
+    r = subprocess.run([PY311, os.path.join(tmp, "runner.py"), tmp, in_npz,
+                        out_npz], capture_output=True, text=True, env=env)
+    if r.returncode != 0:
+        print(f"reference run failed:\n{r.stderr[-3000:]}")
+        return 1
+    ref = np.load(out_npz)
+
+    # ---- compare against this framework ----
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import golden
+
+    report = {"kernel_parity": {}, "defect_confirmations": {}}
+
+    def rel(a, b):
+        d = np.linalg.norm(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        n = np.linalg.norm(np.asarray(b, np.float64))
+        return float(d / n) if n else float(d)
+
+    worst = 0.0
+    for bc in (0, 1, 2):
+        for ax in range(3):
+            ours, _ = golden.accumulator_update(
+                inputs["a3"], inputs["b3"], ax, np.float32(0.3), bc)
+            worst = max(worst, rel(ours, ref[f"acc3_bc{bc}_ax{ax}"]))
+        for ax in range(4):
+            ours, _ = golden.accumulator_update(
+                inputs["a4"], inputs["b4"], ax, np.float32(0.3), bc)
+            worst = max(worst, rel(ours, ref[f"acc4_bc{bc}_ax{ax}"]))
+    report["kernel_parity"]["accumulator_all_bcs_rel_l2_max"] = worst
+
+    ob, od, _ = golden.accumulator_update_fista(
+        inputs["a4"], inputs["b4"], inputs["d4"], np.float32(0.7), 1,
+        np.float32(0.3), 2)
+    report["kernel_parity"]["fista_b_rel_l2"] = rel(ob, ref["acc4f_b"])
+    report["kernel_parity"]["fista_d_rel_l2"] = rel(od, ref["acc4f_d"])
+
+    o1, o2, _ = golden.iso_accumulator_update(
+        inputs["a4"], inputs["b4"], inputs["d4"], 2, 3, np.float32(0.2))
+    report["kernel_parity"]["iso_rel_l2"] = max(rel(o1, ref["iso_b1"]),
+                                                rel(o2, ref["iso_b2"]))
+
+    for bc in (0, 2):
+        ours, _ = golden.datacube_update(
+            inputs["a3"], inputs["rec3"],
+            [inputs["b3"], inputs["c3"], inputs["e3"]], inputs["w3"], bc)
+        report["kernel_parity"][f"recon_bc{bc}_rel_l2"] = rel(
+            ours, ref[f"rec3_bc{bc}"])
+
+    # full-loop parity: reference composed loop vs our denoise4D
+    from cytvdn_tpu import denoise4D
+    mu = np.full(4, 1.0, np.float32)
+    r_ours, bn_ours, dl_ours = denoise4D(
+        inputs["cube"], mu, iterations=8, FISTA=True, quiet=True)[:3]
+    report["full_loop"] = {
+        "recon_rel_l2": rel(r_ours, ref["loop_recon"]),
+        "bnorm_rel_max": float(np.max(np.abs(
+            (bn_ours - ref["loop_bnorm"]) / ref["loop_bnorm"]))),
+        "delta_rel_max": float(np.max(np.abs(
+            (dl_ours - ref["loop_delta"]) / ref["loop_delta"]))),
+    }
+    report["reference_measured"] = {
+        "vox_updates_per_sec_1thread_4d_fista_48x48x48x48":
+            float(ref["ref_vox_per_sec_1thread"]),
+        "note": "actual cyTVDN Cython kernels built for python3.11 "
+                "(math untouched; 3 traceback-only build shims)",
+    }
+    report["north_star_tolerance"] = 1e-5
+    report["pass"] = bool(
+        report["full_loop"]["recon_rel_l2"] < 1e-5
+        and report["kernel_parity"]["accumulator_all_bcs_rel_l2_max"] < 1e-5
+    )
+    path = os.path.join(REPO, "REFERENCE_PARITY.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
