@@ -124,6 +124,58 @@ def run_loop(cube, n_iter, fista):
 recon, bn, dl = run_loop(z["cube"].copy(), 8, True)
 out["loop_recon"] = recon; out["loop_bnorm"] = bn; out["loop_delta"] = dl
 
+# 3D unaccelerated loop (the reference denoise3D structure,
+# cyTVDN.py:401-418), 50 iterations
+def run_loop_3d(cube, n_iter):
+    accs = [np.zeros_like(cube) for _ in range(3)]
+    recon = cube.copy()
+    lam_inv = np.float32(16.0); w = np.full(3, 1/16, np.float32)
+    bn = np.zeros(n_iter); dl = np.zeros(n_iter)
+    for i in range(n_iter):
+        s = 0.0
+        for ax in range(3):
+            s += anisotropic.accumulator_update_3D(
+                recon, accs[ax], ax, lam_inv, BC_mode=2)
+        bn[i] = s
+        dl[i] = utils.datacube_update_3D(cube, recon, *accs, w, BC_mode=2)
+    return recon, bn, dl
+
+r3, bn3, dl3 = run_loop_3d(z["cube3"].copy(), 50)
+out["loop3_recon"] = r3; out["loop3_bnorm"] = bn3; out["loop3_delta"] = dl3
+
+# hybrid schedule: FISTA phase then unaccelerated sharing accumulators
+# (cyTVDN.py:100-108, 195-242)
+def run_hybrid(cube, n_fista, n_unacc):
+    accs = [np.zeros_like(cube) for _ in range(4)]
+    ds = [np.zeros_like(cube) for _ in range(4)]
+    recon = cube.copy()
+    lam_inv = np.float32(32.0); w = np.full(4, 1/32, np.float32)
+    n = n_fista + n_unacc
+    bn = np.zeros(n); dl = np.zeros(n)
+    tk = 1.0
+    for i in range(n_fista):
+        tk_new = (1 + np.sqrt(1 + 4 * tk ** 2)) / 2
+        tk_ratio = (tk - 1.0) / tk_new
+        tk = tk_new
+        s = 0.0
+        for ax in range(4):
+            s += anisotropic.accumulator_update_4D_FISTA(
+                recon, accs[ax], ds[ax], tk_ratio, ax, lam_inv, BC_mode=2)
+        bn[i] = s
+        dl[i] = utils.datacube_update_4D(cube, recon, *accs, w, BC_mode=2)
+    for j in range(n_unacc):
+        i = j + n_fista
+        s = 0.0
+        for ax in range(4):
+            s += anisotropic.accumulator_update_4D(
+                recon, accs[ax], ax, lam_inv, BC_mode=2)
+        bn[i] = s
+        dl[i] = utils.datacube_update_4D(cube, recon, *accs, w, BC_mode=2)
+    return recon, bn, dl
+
+rh, bnh, dlh = run_hybrid(z["cube"].copy(), 4, 4)
+out["hyb_recon"] = rh; out["hyb_bnorm"] = bnh; out["hyb_delta"] = dlh
+
 # ---- single-thread timing, the real reference baseline ----
 big = np.ascontiguousarray(z["bench"].astype(np.float32))
 r2, _, _ = run_loop(big, 1, True)  # warm
@@ -190,6 +242,8 @@ def main():
         "d4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
         "cube": (rng.standard_normal((8, 8, 12, 12)) * 0.4 + 1.5
                  ).astype(np.float32),
+        "cube3": (rng.standard_normal((16, 16, 64)) * 0.4 + 1.5
+                  ).astype(np.float32),
         "bench": (rng.standard_normal((48, 48, 48, 48)) * 0.4 + 1.5
                   ).astype(np.float32),
     }
@@ -247,8 +301,8 @@ def main():
         report["kernel_parity"][f"recon_bc{bc}_rel_l2"] = rel(
             ours, ref[f"rec3_bc{bc}"])
 
-    # full-loop parity: reference composed loop vs our denoise4D
-    from cytvdn_tpu import denoise4D
+    # full-loop parity: reference composed loops vs our drivers
+    from cytvdn_tpu import denoise3D, denoise4D
     mu = np.full(4, 1.0, np.float32)
     r_ours, bn_ours, dl_ours = denoise4D(
         inputs["cube"], mu, iterations=8, FISTA=True, quiet=True)[:3]
@@ -259,6 +313,21 @@ def main():
         "delta_rel_max": float(np.max(np.abs(
             (dl_ours - ref["loop_delta"]) / ref["loop_delta"]))),
     }
+    mu3 = np.full(3, 1.0, np.float32)
+    r3, bn3, dl3 = denoise3D(inputs["cube3"], mu3, iterations=50,
+                             quiet=True)[:3]
+    report["full_loop_3d_50iter"] = {
+        "recon_rel_l2": rel(r3, ref["loop3_recon"]),
+        "delta_rel_max": float(np.max(np.abs(
+            (dl3 - ref["loop3_delta"]) / ref["loop3_delta"]))),
+    }
+    rh, bnh, dlh = denoise4D(inputs["cube"], mu, iterations=(4, 4),
+                             quiet=True)[:3]
+    report["full_loop_hybrid"] = {
+        "recon_rel_l2": rel(rh, ref["hyb_recon"]),
+        "delta_rel_max": float(np.max(np.abs(
+            (dlh - ref["hyb_delta"]) / ref["hyb_delta"]))),
+    }
     report["reference_measured"] = {
         "vox_updates_per_sec_1thread_4d_fista_48x48x48x48":
             float(ref["ref_vox_per_sec_1thread"]),
@@ -268,6 +337,8 @@ def main():
     report["north_star_tolerance"] = 1e-5
     report["pass"] = bool(
         report["full_loop"]["recon_rel_l2"] < 1e-5
+        and report["full_loop_3d_50iter"]["recon_rel_l2"] < 1e-5
+        and report["full_loop_hybrid"]["recon_rel_l2"] < 1e-5
         and report["kernel_parity"]["accumulator_all_bcs_rel_l2_max"] < 1e-5
     )
     path = os.path.join(REPO, "REFERENCE_PARITY.json")
