@@ -197,6 +197,12 @@ def denoise_outofcore(
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
     )
+    if not quiet:
+        n_state = 2 + 2 * ndim if FISTA else 2 + ndim
+        per_slab = datacube.nbytes * n_state / n_slabs / 2**30
+        print(f"out-of-core: {n_slabs} slabs, ~{per_slab:.2f} GiB of device "
+              f"memory per slab (host holds the full "
+              f"{datacube.nbytes * n_state / 2**30:.1f} GiB state)")
     n_f, n_u = normalize_iterations(iterations, FISTA)
     opts = SolverOptions(
         ndim=ndim,

@@ -249,3 +249,22 @@ def test_resume_after_convergence_is_idempotent(tmp_path):
     again = run_with_checkpointing(cube, mu, resume=True, **kw)
     np.testing.assert_array_equal(first["recon"], again["recon"])
     np.testing.assert_array_equal(first["delta"], again["delta"])
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("CYTV_FULL_TESTS"),
+    reason="set CYTV_FULL_TESTS=1 to build and compare against the actual "
+           "reference binary (~2 min; committed results in "
+           "REFERENCE_PARITY.json)",
+)
+def test_real_reference_parity():
+    import subprocess, sys
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, _os.path.join(repo, "tools", "reference_parity.py")],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
