@@ -112,6 +112,7 @@ def denoise4D(
     lam: Optional[np.ndarray] = None,
     quiet: bool = False,
     backend: Union[str, Backend] = Backend.AUTO,
+    fista_restart: bool = False,
 ):
     """Proximal anisotropic (or half-isotropic) TV denoising of a 4D datacube.
 
@@ -145,6 +146,7 @@ def denoise4D(
         isotropic_Q=isotropic_Q,
         calculate_mse=calculate_mse,
         backend=Backend(backend),
+        fista_restart=fista_restart,
     )
     _memory_note(datacube, n_f > 0, 4, quiet)
 
@@ -163,6 +165,7 @@ def denoise3D(
     lam: Optional[np.ndarray] = None,
     quiet: bool = False,
     backend: Union[str, Backend] = Backend.AUTO,
+    fista_restart: bool = False,
 ):
     """Proximal anisotropic TV denoising of a 3D cube (EELS SI).
 
@@ -190,6 +193,7 @@ def denoise3D(
         stopping_relative_change=stopping_relative_change,
         calculate_mse=calculate_mse,
         backend=Backend(backend),
+        fista_restart=fista_restart,
     )
     _memory_note(datacube, n_f > 0, 3, quiet)
 

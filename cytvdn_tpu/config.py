@@ -68,6 +68,12 @@ class SolverOptions:
     isotropic_Q: bool = False  # pair axes (2,3), 4D only
     calculate_mse: bool = False
     backend: Backend = Backend.AUTO
+    # Adaptive FISTA restart (opt-in, beyond the reference): reset the
+    # momentum whenever the relative change increases — the classic
+    # function-value restart heuristic (O'Donoghue & Candès; cf. the
+    # "Improving FISTA" literature). Off by default to preserve exact
+    # reference parity of the momentum schedule.
+    fista_restart: bool = False
     # Data axes split across the device mesh, e.g. (0, 1). Empty = single
     # device. The reference's MPI runtime always splits axes (0, 1)
     # (reference cyTVDN/mpi.py:130-214); we additionally allow splitting the

@@ -109,6 +109,7 @@ def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
         "delta": rep,
         "mse": rep,
         "i": rep,
+        "tk": rep,
     }
 
     out_specs = {
@@ -124,6 +125,7 @@ def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
         out_specs["accs"] = (data_spec,) * ndim
         out_specs["ds"] = (data_spec,) * n_ds
         out_specs["i"] = rep
+        out_specs["tk"] = rep
 
     in_specs = [data_spec, rep, rep, rep]  # orig, lambda_inv, lam_mu, i_stop
     if with_ref:
@@ -144,6 +146,7 @@ def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
             out.pop("accs", None)
             out.pop("ds", None)
             out.pop("i", None)
+            out.pop("tk", None)
         return out
 
     fn = jax.shard_map(

@@ -255,6 +255,7 @@ class _PhaseCarry(NamedTuple):
     b_norm: Array     # full-length trace
     delta: Array      # full-length trace
     mse: Array        # full-length (+1) trace, or shape-(0,) placeholder
+    tk: Array         # FISTA momentum scalar (used when fista_restart)
 
 
 def _run_phase(
@@ -286,7 +287,16 @@ def _run_phase(
         return jnp.logical_and(c.i < bound, jnp.logical_not(c.done))
 
     def body(c: _PhaseCarry):
-        tk_ratio = tk_ratios[c.i].astype(orig.dtype) if fista else None
+        if fista and opts.fista_restart:
+            # device-computed momentum with adaptive (function-value)
+            # restart: reset tk when the relative change increased —
+            # opt-in, deviates from the reference's fixed schedule
+            tk_new = (1.0 + jnp.sqrt(1.0 + 4.0 * c.tk * c.tk)) / 2.0
+            tk_ratio = ((c.tk - 1.0) / tk_new).astype(orig.dtype)
+        elif fista:
+            tk_ratio = tk_ratios[c.i].astype(orig.dtype)
+        else:
+            tk_ratio = None
         ds = c.ds if fista else None
         recon, accs, ds_new, bnorm, delta = iteration_step(
             orig, c.recon, c.accs, ds, tk_ratio, lambda_inv, lam_mu, opts, comm
@@ -302,6 +312,16 @@ def _run_phase(
             delta < stopping if stopping is not None
             else jnp.zeros((), dtype=bool)
         )
+        if fista and opts.fista_restart:
+            prev_delta = jnp.where(
+                c.i > 0,
+                c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32),
+                jnp.float32(jnp.inf),
+            )
+            tk_next = jnp.where(delta.astype(jnp.float32) > prev_delta,
+                                jnp.float32(1.0), tk_new.astype(jnp.float32))
+        else:
+            tk_next = c.tk
         return _PhaseCarry(
             i=c.i + 1,
             done=done,
@@ -311,6 +331,7 @@ def _run_phase(
             b_norm=b_norm,
             delta=delta_tr,
             mse=mse,
+            tk=tk_next,
         )
 
     return lax.while_loop(cond, body, carry)
@@ -364,6 +385,7 @@ def run_solver(
         delta = state["delta"]
         mse = state["mse"] if opts.calculate_mse else jnp.zeros((0,), dtype)
         i0 = jnp.asarray(state["i"], jnp.int32)
+        tk0 = jnp.asarray(state.get("tk", 1.0), jnp.float32)
     else:
         accs = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim))
         ds = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim)) if n_f \
@@ -378,6 +400,7 @@ def run_solver(
         else:
             mse = jnp.zeros((0,), dtype=dtype)
         i0 = jnp.zeros((), jnp.int32)
+        tk0 = jnp.ones((), jnp.float32)
 
     carry = _PhaseCarry(
         i=i0,
@@ -388,6 +411,7 @@ def run_solver(
         b_norm=b_norm,
         delta=delta,
         mse=mse,
+        tk=tk0,
     )
 
     i_stop2 = jnp.asarray(i_stop, jnp.int32)
@@ -436,4 +460,5 @@ def run_solver(
         out["accs"] = carry.accs
         out["ds"] = carry.ds
         out["i"] = carry.i
+        out["tk"] = carry.tk
     return out

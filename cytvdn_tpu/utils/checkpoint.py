@@ -33,6 +33,7 @@ def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
         "delta": np.asarray(state["delta"]),
         "mse": np.asarray(state.get("mse", np.zeros(0))),
         "i": np.asarray(state["i"]),
+        "tk": np.asarray(state.get("tk", 1.0), np.float32),
         "early_stopped": np.asarray(bool(state.get("early_stopped", False))),
     }
     for k, a in enumerate(state["accs"]):
@@ -65,6 +66,7 @@ def load_state(path: str):
             "delta": z["delta"],
             "mse": z["mse"],
             "i": z["i"],
+            "tk": (z["tk"] if "tk" in z.files else np.float32(1.0)),
             "accs": tuple(z[f"acc{k}"] for k in range(ndim)),
             "ds": tuple(z[f"d{k}"] for k in range(ndim)
                         if f"d{k}" in z.files),
@@ -124,6 +126,7 @@ def chunk_driver(
             "delta": out["delta"],
             "mse": out.get("mse", np.zeros(0)),
             "i": out["i"],
+            "tk": out.get("tk", np.float32(1.0)),
             "early_stopped": bool(out["early_stopped"]),
         }
         if checkpoint_path:

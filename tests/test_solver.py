@@ -182,3 +182,22 @@ def test_float32_drift_bounded_over_long_runs():
                     iterations=1000, quiet=True)[0]
     rel = np.linalg.norm(r32.astype(np.float64) - r64) / np.linalg.norm(r64)
     assert rel < 1e-6
+
+
+def test_fista_restart_converges_and_defaults_unchanged():
+    """Opt-in adaptive FISTA restart: produces a valid (often faster)
+    converging run; the default path stays bit-identical to before."""
+    cube = make_cube((8, 8, 32))
+    mu = np.full(3, 1.0)
+    base = denoise3D(cube, mu, iterations=80, FISTA=True, quiet=True)
+    rest = denoise3D(cube, mu, iterations=80, FISTA=True, quiet=True,
+                     fista_restart=True)
+    # both converge to similar reconstructions
+    rel = np.linalg.norm(rest[0] - base[0]) / np.linalg.norm(base[0])
+    assert rel < 0.05
+    # restart run's tail delta is no worse than 3x the baseline's
+    assert rest[2][-1] < max(base[2][-1] * 3, 1e-3)
+    # default path unchanged vs golden (momentum schedule untouched)
+    want = run_golden(cube, mu, 16.0, 12, 0)
+    got = denoise3D(cube, mu, iterations=12, FISTA=True, quiet=True)
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-10, atol=1e-12)
