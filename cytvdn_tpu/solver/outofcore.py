@@ -33,11 +33,15 @@ from cytvdn_tpu.solver.engine import fista_tk_ratios
 
 
 def _slab_bounds(n0: int, n_slabs: int):
-    size = -(-n0 // n_slabs)
+    """Balanced split of ``n0`` rows into ``n_slabs`` contiguous slabs
+    (sizes differ by at most one — a greedy ceil split can leave an
+    undersized tail slab and spuriously reject valid configurations)."""
+    n_slabs = max(1, min(n_slabs, n0))
+    base, extra = divmod(n0, n_slabs)
     bounds = []
     start = 0
-    while start < n0:
-        stop = min(start + size, n0)
+    for i in range(n_slabs):
+        stop = start + base + (1 if i < extra else 0)
         bounds.append((start, stop))
         start = stop
     return bounds
@@ -62,7 +66,10 @@ def solve_outofcore(
 
     if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
         raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
-    orig = np.ascontiguousarray(orig, dtype=np.float32)
+    orig = np.ascontiguousarray(orig)
+    if orig.dtype != np.float32:
+        raise ValueError("out-of-core mode requires float32 data, got "
+                         f"{orig.dtype}")
     ndim = opts.ndim
     n0 = orig.shape[0]
     bounds = _slab_bounds(n0, n_slabs)
@@ -92,6 +99,11 @@ def solve_outofcore(
     it_run = 0
     stopped = False
 
+    # device-resident zero halos, allocated once (per-slab shapes)
+    zero_row = jnp.zeros((1,) + orig.shape[1:], jnp.float32)
+    zero_cols = [jnp.zeros((b - a, 1) + orig.shape[2:], jnp.float32)
+                 for a, b in bounds]
+
     def iteration(fista: bool, tk_ratio: float):
         """One full sweep over the slabs; returns (bnorm, delta)."""
         bnorm_tot = dnum_tot = dden_tot = 0.0
@@ -115,8 +127,8 @@ def solve_outofcore(
                 next0_d = ds[0][nb:nb + 1] if fista else None
             else:
                 next0_recon = r[-1:]
-                next0_acc = np.zeros_like(r[-1:])
-                next0_d = np.zeros_like(r[-1:]) if fista else None
+                next0_acc = zero_row
+                next0_d = zero_row if fista else None
             # axis 1 is never slab-split: its halos are the JZ edge values
             col = recon[sl, 0:1]
             halos = {
@@ -125,11 +137,11 @@ def solve_outofcore(
                 "next0_recon": jnp.asarray(next0_recon),
                 "next0_acc": jnp.asarray(next0_acc),
                 "next1_recon": jnp.asarray(recon[sl, -1:]),    # JZ wrap
-                "next1_acc": jnp.asarray(np.zeros_like(col)),
+                "next1_acc": zero_cols[si],
             }
             if fista:
                 halos["next0_d"] = jnp.asarray(next0_d)
-                halos["next1_d"] = jnp.asarray(np.zeros_like(col))
+                halos["next1_d"] = zero_cols[si]
 
             prev_last_old = r[-1:].copy()
 
@@ -149,9 +161,10 @@ def solve_outofcore(
             bnorm_tot += float(bnorm)
             dnum_tot += float(dnum)
             dden_tot += float(dden)
-        return bnorm_tot, dnum_tot / dden_tot
+        # all-zero input: match the in-core 0/0 -> NaN instead of raising
+        delta_tot = dnum_tot / dden_tot if dden_tot else float("nan")
+        return bnorm_tot, delta_tot
 
-    tk = 1.0
     for i in range(n_f):
         b_norm[i], delta[i] = iteration(True, float(tk_ratios[i]))
         it_run = i + 1

@@ -102,6 +102,14 @@ def chunk_driver(
                 f"checkpoint shape {ck_meta['shape']} does not match input "
                 f"{list(expected_shape)}"
             )
+        for k, v in meta.items():
+            # a checkpoint from a different schedule would silently
+            # misinterpret the saved iteration index / momentum state
+            if k != "shape" and ck_meta.get(k, v) != v:
+                raise ValueError(
+                    f"checkpoint {k}={ck_meta.get(k)!r} does not match the "
+                    f"requested run's {k}={v!r}"
+                )
 
     out = None
     while True:
@@ -163,6 +171,11 @@ def run_chunked(
     """Run the solver in checkpointed chunks; returns the result dict."""
     import jax.numpy as jnp
 
+    if opts.backend == Backend.CPP:
+        raise ValueError(
+            "checkpointing runs on the JAX/Pallas backends; backend='cpp' "
+            "is not supported here"
+        )
     n_total = opts.total_iterations
     meta = {
         "ndim": opts.ndim,
@@ -219,13 +232,14 @@ def run_with_checkpointing(
     resume: bool = False,
 ) -> Dict[str, np.ndarray]:
     """User-level checkpointed run with the ``denoise*`` parameter surface."""
-    from cytvdn_tpu.api import _validate_and_derive
+    from cytvdn_tpu.api import _memory_note, _validate_and_derive
 
     ndim = np.asarray(datacube).ndim
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
     )
     n_f, n_u = normalize_iterations(iterations, FISTA)
+    _memory_note(datacube, n_f > 0, ndim, quiet)
     opts = SolverOptions(
         ndim=ndim,
         iterations_fista=n_f,

@@ -15,8 +15,10 @@ def _cube(shape):
 
 
 def test_slab_bounds_uneven():
-    assert _slab_bounds(10, 3) == [(0, 4), (4, 8), (8, 10)]
+    assert _slab_bounds(10, 3) == [(0, 4), (4, 7), (7, 10)]
     assert _slab_bounds(8, 4) == [(0, 2), (2, 4), (4, 6), (6, 8)]
+    # balanced: no undersized tail slab (a ceil split would give 3,3,3,1)
+    assert _slab_bounds(10, 4) == [(0, 3), (3, 6), (6, 8), (8, 10)]
 
 
 @pytest.mark.parametrize("n_slabs", [2, 3])

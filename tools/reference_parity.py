@@ -221,13 +221,22 @@ def build(tmp: str) -> bool:
 
 
 def main():
-    if not (os.path.exists(PY311) and os.path.exists(PY311_INC)):
-        print("python3.11 toolchain unavailable; skipping real-reference "
-              "parity (proxy baseline stands)")
+    skip_build = "--skip-build" in sys.argv[1:]
+    if not (os.path.exists(PY311) and os.path.exists(PY311_INC)
+            and os.path.isdir(REF)):
+        print("python3.11 toolchain or reference checkout unavailable; "
+              "skipping real-reference parity (proxy baseline stands)")
         return 0
-    tmp = tempfile.mkdtemp(prefix="refparity")
-    if not build(tmp):
-        return 1
+    tmp = os.path.join(tempfile.gettempdir(), "cytvdn_refparity")
+    os.makedirs(tmp, exist_ok=True)
+    built = all(
+        os.path.exists(os.path.join(
+            tmp, f + ".cpython-311-x86_64-linux-gnu.so"))
+        for f in ("anisotropic", "utils", "halfisotropic")
+    )
+    if not (skip_build and built):
+        if not build(tmp):
+            return 1
 
     rng = np.random.default_rng(123)
     inputs = {
@@ -334,12 +343,15 @@ def main():
         "note": "actual cyTVDN Cython kernels built for python3.11 "
                 "(math untouched; 3 traceback-only build shims)",
     }
-    report["north_star_tolerance"] = 1e-5
+    tol = 1e-5
+    report["north_star_tolerance"] = tol
     report["pass"] = bool(
-        report["full_loop"]["recon_rel_l2"] < 1e-5
-        and report["full_loop_3d_50iter"]["recon_rel_l2"] < 1e-5
-        and report["full_loop_hybrid"]["recon_rel_l2"] < 1e-5
-        and report["kernel_parity"]["accumulator_all_bcs_rel_l2_max"] < 1e-5
+        report["full_loop"]["recon_rel_l2"] < tol
+        and report["full_loop_3d_50iter"]["recon_rel_l2"] < tol
+        and report["full_loop_hybrid"]["recon_rel_l2"] < tol
+        # every kernel-level metric gates, not just the accumulators —
+        # a regression in the iso or periodic-recon kernels must fail
+        and all(v < tol for v in report["kernel_parity"].values())
     )
     path = os.path.join(REPO, "REFERENCE_PARITY.json")
     with open(path, "w") as f:
