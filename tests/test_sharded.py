@@ -142,3 +142,21 @@ def test_auto_shard_falls_back_on_indivisible_extents():
     opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=2)
     out = run_sharded(cube, lambda_inv, lam_mu, opts, shard="auto")
     assert np.all(np.isfinite(np.asarray(out["recon"])))
+
+
+def test_sharded_fista_restart_matches_single_device():
+    """The adaptive-restart schedule (device-computed tk) must evolve
+    identically on the mesh: psum'd deltas drive the same restarts."""
+    cube = _cube((8, 8, 12))
+    lambda_inv, lam_mu = _params(3)
+    opts = SolverOptions(ndim=3, iterations_fista=12, iterations_unacc=0,
+                         fista_restart=True)
+    single = run_solver(jnp.asarray(cube), jnp.asarray(lambda_inv),
+                        jnp.asarray(lam_mu), opts)
+    sharded = run_sharded(cube, lambda_inv, lam_mu, opts, shard=(2, 2, 2))
+    np.testing.assert_allclose(
+        np.asarray(sharded["recon"]), np.asarray(single["recon"]), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["delta"]), np.asarray(single["delta"]), rtol=1e-9
+    )
