@@ -19,6 +19,7 @@ happen inside. Deviations from the reference, all documented:
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Sequence, Union
 
 import jax
@@ -76,6 +77,25 @@ def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):
     return datacube, mu, lam, lambda_inv, lam_mu
 
 
+def _bc_note(bc_mode: int) -> None:
+    """Surface the deliberate mirror-BC deviation at the API level.
+
+    The reference's mirror branch is buggy (max-vs-min clamp,
+    reference cyTVDN/utils.pyx:117-120, and two more defects in 3D at
+    utils.pyx:192-197); this framework implements mirror *correctly*, so
+    BC_mode=1 outputs intentionally differ from the reference bit-for-bit.
+    Users migrating parity-dependent pipelines should know.
+    """
+    if BCMode(bc_mode) == BCMode.MIRROR:
+        warnings.warn(
+            "BC_mode=1 (mirror) is implemented correctly here; the "
+            "reference's mirror branch is defective (cyTVDN utils.pyx:"
+            "117-120,192-197), so results deliberately differ from the "
+            "reference in this mode.",
+            stacklevel=3,
+        )
+
+
 def _memory_note(datacube, fista, ndim, quiet):
     if quiet:
         return
@@ -123,6 +143,7 @@ def denoise4D(
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 4, 32.0
     )
+    _bc_note(BC_mode)
     if not quiet:
         ratios = ", ".join(f"1/{m / l:.0f}" for m, l in zip(mu, lam))
         print(f"λ/μ ≈ [{ratios}]")
@@ -175,6 +196,7 @@ def denoise3D(
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 3, 16.0
     )
+    _bc_note(BC_mode)
     # hard bound in 3D (reference cyTVDN.py:306-308; the reference's message
     # says 1/8 but its check is 1/16 — we state the actual bound)
     if not (np.all(lam_mu <= (1.0 / 16.0)) and np.all(lam_mu > 0)):

@@ -145,6 +145,27 @@ def main(argv=None) -> int:
     stack = contextlib.ExitStack()
     stack.enter_context(profile_trace(args.profile))
     if args.out_of_core:
+        # out-of-core covers Jia-Zhao anisotropic float32 only and manages
+        # its own state/devices: reject silently-ignored flag combinations
+        # rather than computing something the user didn't ask for
+        bad = []
+        if args.bc_mode != 2:
+            bad.append("--bc-mode")
+        if args.iso_r or args.iso_q:
+            bad.append("--iso-r/--iso-q")
+        if args.backend != "auto":
+            bad.append("--backend")
+        if args.shard:
+            bad.append("--shard")
+        if args.checkpoint or args.checkpoint_every:
+            bad.append("--checkpoint*")
+        if args.dtype != "float32":
+            bad.append("--dtype")
+        if bad:
+            print(f"error: --out-of-core does not support {', '.join(bad)} "
+                  "(Jia-Zhao anisotropic float32, unsharded, no checkpoint)",
+                  file=sys.stderr)
+            return 2
         from cytvdn_tpu.solver.outofcore import denoise_outofcore
 
         recon, b_norm, delta = denoise_outofcore(

@@ -28,7 +28,18 @@ def _load():
     path = build_native()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # a stale/foreign binary (or missing libgomp): rebuild once, then
+        # degrade gracefully so native_available() returns False
+        path = build_native(force=True)
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
     i64p = ctypes.POINTER(ctypes.c_int64)
     dp = ctypes.POINTER(ctypes.c_double)
 
@@ -118,7 +129,9 @@ def recon_update(orig, recon, bs, lam_mu, bc) -> float:
         fn(_ptr(orig), _ptr(recon), _ptr(bs[0]), _ptr(bs[1]), _ptr(bs[2]),
            _ptr(bs[3]), _ptr(w), _shape_arr(orig), int(bc),
            ctypes.byref(dn), ctypes.byref(rn))
-    return dn.value / rn.value
+    # all-zero reconstruction: match the JAX path's 0/0 -> NaN instead of
+    # raising ZeroDivisionError (cf. solver/outofcore.py's identical guard)
+    return dn.value / rn.value if rn.value else float("nan")
 
 
 def sum_square_error(a, b) -> float:

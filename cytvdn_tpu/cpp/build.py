@@ -9,6 +9,7 @@ next to the package. No Cython, no build-time dependency: ``g++ -O3
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import subprocess
@@ -23,6 +24,18 @@ _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _REPO_DIR = os.path.dirname(_PKG_DIR)
 _SRC = os.path.join(_REPO_DIR, "csrc", "tvdn_cpu.cpp")
 _OUT = os.path.join(_PKG_DIR, "cpp", "_tvdn_cpu.so")
+_STAMP = _OUT + ".hash"
+
+
+def _src_hash() -> str:
+    """Hash of the source + the host ISA tag. The cache key must not be an
+    mtime: after a fresh clone mtimes are arbitrary, and a stale (or
+    foreign-ISA, since we compile -march=native) binary would be loaded."""
+    h = hashlib.sha256()
+    with open(_SRC, "rb") as f:
+        h.update(f.read())
+    h.update(os.uname().machine.encode())
+    return h.hexdigest()
 
 
 def _compiler() -> Optional[str]:
@@ -45,13 +58,16 @@ def build_native(force: bool = False) -> Optional[str]:
         if not os.path.exists(_SRC):
             _FAILED = True
             return None
-        if (
-            not force
-            and os.path.exists(_OUT)
-            and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)
-        ):
-            _LIB_PATH = _OUT
-            return _OUT
+        want = _src_hash()
+        if not force and os.path.exists(_OUT) and os.path.exists(_STAMP):
+            try:
+                with open(_STAMP) as f:
+                    have = f.read().strip()
+            except OSError:
+                have = ""
+            if have == want:
+                _LIB_PATH = _OUT
+                return _OUT
         cc = _compiler()
         if cc is None:
             _FAILED = True
@@ -71,5 +87,10 @@ def build_native(force: bool = False) -> Optional[str]:
             except subprocess.CalledProcessError:
                 _FAILED = True
                 return None
+        try:
+            with open(_STAMP, "w") as f:
+                f.write(want)
+        except OSError:
+            pass
         _LIB_PATH = _OUT
         return _OUT

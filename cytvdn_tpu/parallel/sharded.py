@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cytvdn_tpu.config import SolverOptions
 from cytvdn_tpu.parallel.halo import MeshComm
@@ -153,7 +153,7 @@ def _build_sharded_fn(opts: SolverOptions, shard: Tuple[int, ...], ndim: int,
         shard_body, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=out_specs, check_vma=False,
     )
-    return jax.jit(fn), mesh
+    return jax.jit(fn), mesh, data_spec
 
 
 def run_sharded(
@@ -174,20 +174,36 @@ def run_sharded(
     shard_t = resolve_shard(shard, orig.shape, len(devices))
     with_ref = reference_data is not None
     with_state = state is not None
-    fn, mesh = _build_sharded_fn(
+    fn, mesh, data_spec = _build_sharded_fn(
         opts, shard_t, orig.ndim, with_ref, with_state, keep_state, devices
     )
     if i_stop is None:
         i_stop = opts.total_iterations
-    args = [jnp.asarray(orig), jnp.asarray(lambda_inv),
-            jnp.asarray(lam_mu), jnp.asarray(i_stop, jnp.int32)]
+
+    # Inputs are committed directly with their target sharding: host arrays
+    # transfer per-shard to their owning devices, never materializing the
+    # full cube on one device (a ``jnp.asarray`` onto the default device
+    # would OOM the first chip of a pod on a pod-scale cube, and — in the
+    # driver's dryrun — would touch the real TPU instead of the CPU mesh).
+    data_sh = NamedSharding(mesh, data_spec)
+    rep_sh = NamedSharding(mesh, P())
+
+    def put(x, sh):
+        return jax.device_put(x, sh)
+
+    args = [put(orig, data_sh), put(jnp.asarray(lambda_inv), rep_sh),
+            put(jnp.asarray(lam_mu), rep_sh),
+            put(jnp.asarray(i_stop, jnp.int32), rep_sh)]
     if with_ref:
-        args.append(jnp.asarray(reference_data))
+        args.append(put(reference_data, data_sh))
     if with_state:
-        jstate = {
-            k: (tuple(jnp.asarray(x) for x in v) if isinstance(v, tuple)
-                else jnp.asarray(v))
-            for k, v in state.items()
-        }
+        data_keys = ("recon", "accs", "ds")
+        jstate = {}
+        for k, v in state.items():
+            sh = data_sh if k in data_keys else rep_sh
+            if isinstance(v, tuple):
+                jstate[k] = tuple(put(x, sh) for x in v)
+            else:
+                jstate[k] = put(v, sh)
         args.append(jstate)
     return fn(*args)
