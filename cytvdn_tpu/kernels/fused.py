@@ -33,14 +33,22 @@ Design (TPU-first, exploits the sequential Pallas grid):
 - bnorm / delta reductions are emitted as per-block float32 partials and
   tree-summed outside: deterministic, unlike the reference's OpenMP
   reduction order (reference anisotropic.pyx:53).
-- In-place: accumulators and shadow duals are HBM-aliased input→output.
-  ``recon`` is NOT aliased: the axis-1 seam operand reads the previous
-  column-strip's old recon, which an alias would have overwritten. Peak
-  state is therefore 2n+3 cube-size arrays (11 for 4D FISTA).
+- In-place: EVERY state array — recon, accumulators and shadow duals — is
+  HBM-aliased input→output, reaching the 2n+2 cube-array floor (10 for 4D
+  FISTA; the same count the reference's in-place NumPy arrays hold,
+  SURVEY.md §2.7). The seam operands that would forbid aliasing (they
+  re-read a column another block's output write may already have
+  overwritten, and a doubly-read aliased input makes XLA insert a
+  defensive full-cube copy) instead read **pre-gathered seam-column
+  arrays**: before the kernel launches, the ``::B1``-strided columns of
+  recon/acc1/d1 are copied into small ``(N0, G1, tail)`` side arrays
+  (O(1/B1) of a traversal each), so each cube-size array appears exactly
+  once in the pallas_call and aliases cleanly.
 
-Scope (round 1): Jia-Zhao BCs, anisotropic axes, single device, float32.
-Periodic/mirror BCs, half-isotropic pairs, float64, and the shard_map path
-use the XLA ops backend (``cytvdn_tpu/ops``), which implements everything.
+Scope (round 2): Jia-Zhao BCs, anisotropic axes, float32; single device
+and shard_map meshes (operand halos). Periodic/mirror BCs, half-isotropic
+pairs and float64 use the XLA ops backend (``cytvdn_tpu/ops``), which
+implements everything.
 """
 
 from __future__ import annotations
@@ -101,6 +109,43 @@ def _pick_blocks(shape: Tuple[int, ...],
                 and c * b1 * pad <= _PAD_CAP:
             b0 = c
     return b0, b1
+
+
+def choose_perm(shape: Tuple[int, ...], itemsize: int = 4) -> Tuple[int, ...]:
+    """Pick the axis permutation under which the kernel should run.
+
+    TPU arrays tile the two minor dims to (8, 128): a trailing extent of
+    e.g. 72 pads the lane dim to 128 — 1.78× wasted HBM *and* bandwidth on
+    every cube-size array. The TV update is fully symmetric under axis
+    permutation (per-axis stencils with per-axis parameters), so the solver
+    transposes the whole problem ONCE per run (not per iteration) to the
+    densest orientation: e.g. (256, 256, 72, 72) → (72, 256, 72, 256),
+    whose (72, 256) tail tiles exactly.
+
+    Scoring: minimize Mosaic padding waste of the (1, 1, *tail) slab, then
+    minimize axis-1 seam-column overhead (1/B1), then prefer identity.
+    Only permutations the block planner accepts are considered; identity is
+    returned when nothing plannable beats it (the caller falls back to the
+    XLA ops path if even identity has no plan).
+    """
+    import itertools
+
+    ndim = len(shape)
+    ident = tuple(range(ndim))
+    best = None
+    for perm in itertools.permutations(range(ndim)):
+        ws = tuple(shape[p] for p in perm)
+        plan = _plan(ws, itemsize)
+        if plan is None:
+            continue
+        work_shape, _, _, b0, b1 = plan
+        real, pad = _tail_bytes(work_shape, itemsize)
+        waste = pad / real
+        seam = 0.0 if work_shape[1] == b1 else 1.0 / b1
+        key = (round(waste, 3), round(seam, 4), perm != ident, perm)
+        if best is None or key < best[0]:
+            best = (key, perm)
+    return best[1] if best else ident
 
 
 def fused_supported(shape, dtype, bc, isotropic_R=False, isotropic_Q=False):
@@ -531,16 +576,37 @@ def fused_iteration(
     def at_im1_j(j, ip):
         return (jnp.maximum(ip - 1, 0), j) + zeros_tail
 
-    def prev1_map(j, ip):  # element column j*B1-1 (clamped) at row ip
+    # Seam-column operands are read from PRE-GATHERED (N0, G1, tail) copies
+    # of the ::B1-strided columns, not from the cube-size arrays themselves:
+    # each cube array then appears exactly once in the pallas_call and can
+    # be HBM-aliased input→output (a doubly-read aliased input makes XLA
+    # insert a defensive full-cube copy, and the prev-column read would see
+    # the aliased write). Gathers cost O(1/B1) of a traversal each.
+    if has_seam:
+        # expressed as reshape + unit slice (NOT a strided slice): a strided
+        # slice makes XLA's layout assignment prefer a non-row-major entry
+        # layout for the whole program, which then wraps the pallas call in
+        # 19 full-cube layout-conversion copies (measured)
+        def col_gather(x, idx):
+            g = x.reshape((n0, g1, b1) + tail)
+            g = lax.slice_in_dim(g, idx, idx + 1, axis=2)
+            return g.reshape((n0, g1) + tail)
+
+        recon_lastcols = col_gather(recon, b1 - 1)  # strip j's last column
+        recon_firstcols = col_gather(recon, 0)      # strip j's first column
+        acc1_firstcols = col_gather(accs[1], 0)
+        d1_firstcols = col_gather(ds[1], 0) if fista else None
+
+    def prev1_map(j, ip):  # strip j-1's last column (clamped) at row ip
         return (
             jnp.minimum(ip, g0 - 1),
-            jnp.maximum(j * b1 - 1, 0),
+            jnp.maximum(j - 1, 0),
         ) + zeros_tail
 
-    def next1_map(j, ip):  # element column (j+1)*B1 (clamped) at row ip-1
+    def next1_map(j, ip):  # strip j+1's first column (clamped) at row ip-1
         return (
             jnp.maximum(ip - 1, 0),
-            jnp.minimum((j + 1) * b1, n1 - 1),
+            jnp.minimum(j + 1, g1 - 1),
         ) + zeros_tail
 
     in_specs = [
@@ -550,40 +616,35 @@ def fused_iteration(
         blk(at_i_j),     # recon
     ]
     inputs = [scal, orig, recon]
-    aliases = {}
+    aliases = {2: 0}                                # recon → recon_new
 
     if has_seam:
         in_specs += [col(prev1_map)]
-        inputs += [recon]
+        inputs += [recon_lastcols]
     acc_base = len(inputs)
     in_specs += [blk(at_i_j) for _ in range(ndim)]  # accs
     inputs += [*accs]
     for k in range(ndim):
-        # acc1 is also read through the seam-column operand when the axis-1
-        # grid has seams; aliasing a doubly-read input forces XLA to insert
-        # a full-cube defensive copy per iteration — skip the alias instead
-        # (same traffic: the output write happens either way)
-        if not (has_seam and k == 1):
-            aliases[acc_base + k] = 1 + k           # acc_k → b_new_k
+        aliases[acc_base + k] = 1 + k               # acc_k → b_new_k
     if has_seam:
         in_specs += [col(next1_map)]                # acc1_next1
-        inputs += [accs[1]]
+        inputs += [acc1_firstcols]
     if fista:
         d_base = len(inputs)
         in_specs += [blk(at_i_j) for _ in range(ndim)]  # ds
         inputs += [*ds]
         for k in range(ndim):
-            if not (has_seam and k == 1):
-                aliases[d_base + k] = 1 + ndim + k  # d_k → d_new_k
+            aliases[d_base + k] = 1 + ndim + k      # d_k → d_new_k
         if has_seam:
             in_specs += [col(next1_map)]            # d1_next1
-            inputs += [ds[1]]
+            inputs += [d1_firstcols]
     if has_seam:
         in_specs += [col(next1_map)]                # recon_next1
-        inputs += [recon]
-    # NOTE: recon is NOT aliased — with a seam, recon_prev1 reads the
-    # previous column-strip's OLD recon, which an alias would have
-    # overwritten. (With g1 == 1 an alias would be safe; kept uniform.)
+        inputs += [recon_firstcols]
+    # recon IS aliased: its pallas input blocks (ip, j) are each read before
+    # the output write of block (ip-1, j) in the same strip touches them,
+    # strips write disjoint columns, and all seam re-reads go through the
+    # gathered copies above.
 
     if with_halo:
         # shard-seam operands: whole-row slabs fetched once per column

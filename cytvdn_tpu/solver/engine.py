@@ -174,6 +174,36 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     return on_tpu, False  # AUTO
 
 
+def _resolve_perm(opts: SolverOptions, shape, dtype, comm):
+    """Axis permutation for the fused path, or None.
+
+    TPU row-major layouts pad the lane (minor) dim to 128 and the sublane
+    dim to 8; a (…, 72, 72) cube therefore wastes 1.78× HBM capacity *and*
+    bandwidth on every state array. The TV update is symmetric under axis
+    permutation, so when the fused kernel will run (single device, JZ,
+    anisotropic, float32) the solver transposes the whole problem once per
+    run to the densest orientation (``kernels.fused.choose_perm``) and
+    transposes results back at the end. The XLA ops path never needs this —
+    layout assignment already picks dense layouts there.
+    """
+    if not isinstance(comm, NullComm):
+        return None
+    if opts.backend in (Backend.JAX, Backend.CPP):
+        return None
+    if opts.isotropic_R or opts.isotropic_Q:
+        return None
+    from cytvdn_tpu.config import BCMode
+
+    if opts.bc_mode != BCMode.JIA_ZHAO or dtype != jnp.float32:
+        return None
+    if opts.backend == Backend.AUTO and jax.default_backend() != "tpu":
+        return None
+    from cytvdn_tpu.kernels.fused import choose_perm
+
+    perm = choose_perm(tuple(shape), np.dtype(dtype).itemsize)
+    return None if perm == tuple(range(len(shape))) else perm
+
+
 def iteration_step(
     orig: Array,
     recon: Array,
@@ -372,6 +402,33 @@ def run_solver(
     if i_stop is None:
         i_stop = n_total
 
+    # once-per-run axis permutation to a lane-dense layout for the fused
+    # kernel (see _resolve_perm); per-element results are exact under
+    # permutation, only reduction order (traces) can differ in the last ulp
+    perm = _resolve_perm(opts, orig.shape, dtype, comm)
+    if perm is not None:
+        inv_perm = tuple(int(i) for i in np.argsort(perm))
+        paxes = list(perm)
+        orig = jnp.transpose(orig, perm)
+        lambda_inv = lambda_inv[jnp.asarray(paxes)]
+        lam_mu = lam_mu[jnp.asarray(paxes)]
+        if reference_data is not None:
+            reference_data = jnp.transpose(reference_data, perm)
+        if state is not None:
+            state = dict(state)
+            state["recon"] = jnp.transpose(state["recon"], perm)
+            # work-axis k's accumulator is the user accumulator of axis
+            # perm[k], transposed into work orientation
+            state["accs"] = tuple(
+                jnp.transpose(state["accs"][perm[k]], perm)
+                for k in range(opts.ndim)
+            )
+            if n_f and len(state.get("ds", ())):
+                state["ds"] = tuple(
+                    jnp.transpose(state["ds"][perm[k]], perm)
+                    for k in range(opts.ndim)
+                )
+
     # schedule computed on host in float64 then stored at the data dtype —
     # bitwise identical to the reference passing a Python float into a
     # ``_float``-typed kernel argument (reference cyTVDN.py:153-156).
@@ -461,4 +518,17 @@ def run_solver(
         out["ds"] = carry.ds
         out["i"] = carry.i
         out["tk"] = carry.tk
+    if perm is not None:
+        out["recon"] = jnp.transpose(out["recon"], inv_perm)
+        if keep_state:
+            # user-axis j's accumulator lives at work axis inv_perm[j]
+            out["accs"] = tuple(
+                jnp.transpose(out["accs"][inv_perm[j]], inv_perm)
+                for j in range(opts.ndim)
+            )
+            if len(out["ds"]):
+                out["ds"] = tuple(
+                    jnp.transpose(out["ds"][inv_perm[j]], inv_perm)
+                    for j in range(opts.ndim)
+                )
     return out

@@ -114,6 +114,65 @@ def test_sharded_pallas_matches_sharded_jax():
                                    rtol=2e-4)
 
 
+def test_lane_dense_permutation_matches_ops():
+    """Shapes with a lane-hostile tail (e.g. (..., 9, 18)) run the fused
+    kernel under the axis permutation chosen by choose_perm; results must
+    match the un-permuted XLA ops path (per-element math is exact under
+    permutation — only reduction order differs)."""
+    from cytvdn_tpu.kernels.fused import choose_perm
+
+    shape = (16, 12, 9, 18)
+    # the permuted orientation must differ and be plannable
+    assert choose_perm(shape) != (0, 1, 2, 3)
+    cube = _cube(shape)
+    # anisotropic per-axis parameters catch any axis-mapping mistake:
+    # each axis gets a distinct lambda via a distinct mu
+    mu = np.asarray([1.0, 2.0, 3.0, 4.0], np.float32)
+    want = denoise4D(cube, mu, iterations=(3, 2), quiet=True, backend="jax")
+    got = denoise4D(cube, mu, iterations=(3, 2), quiet=True,
+                    backend="pallas")
+    _compare(got, want)
+
+
+def test_permuted_chunked_resume_bitexact(tmp_path):
+    """Chunked execution through the permuted fused path: solver state
+    round-trips user-layout → work-layout → user-layout across chunks and
+    must stay bit-identical to the one-shot run."""
+    from cytvdn_tpu.config import Backend, SolverOptions
+    from cytvdn_tpu.utils.checkpoint import run_chunked
+    from cytvdn_tpu.solver.engine import run_solver
+    import jax.numpy as jnp
+
+    shape = (12, 8, 9, 18)
+    cube = _cube(shape)
+    mu = np.asarray([1.0, 2.0, 3.0, 4.0], np.float32)
+    lam = mu / 32.0
+    li, lm = (1.0 / lam).astype(np.float32), (lam / mu).astype(np.float32)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=3,
+                         backend=Backend.PALLAS)
+    want = run_solver(jnp.asarray(cube), jnp.asarray(li), jnp.asarray(lm),
+                      opts)
+    got = run_chunked(cube, li, lm, opts,
+                      checkpoint_path=str(tmp_path / "ck.npz"),
+                      checkpoint_every=3)
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_array_equal(np.asarray(got["b_norm"]),
+                                  np.asarray(want["b_norm"]))
+
+
+def test_choose_perm_dense_cases():
+    from cytvdn_tpu.kernels.fused import choose_perm
+
+    # already dense: identity preferred
+    assert choose_perm((128, 128, 128, 128)) == (0, 1, 2, 3)
+    assert choose_perm((64, 64, 512)) == (0, 1, 2)
+    # (256,256,72,72): some permutation must make the tail lane-dense
+    perm = choose_perm((256, 256, 72, 72))
+    ws = tuple((256, 256, 72, 72)[p] for p in perm)
+    assert ws[-1] % 128 == 0 and ws[-2] % 8 == 0
+
+
 @pytest.mark.parametrize("shape,fista", [
     ((7, 10, 12), True),
     ((3, 5, 9, 11), False),
