@@ -45,10 +45,13 @@ Design (TPU-first, exploits the sequential Pallas grid):
   (O(1/B1) of a traversal each), so each cube-size array appears exactly
   once in the pallas_call and aliases cleanly.
 
-Scope (round 2): Jia-Zhao BCs, anisotropic axes, float32; single device
-and shard_map meshes (operand halos). Periodic/mirror BCs, half-isotropic
-pairs and float64 use the XLA ops backend (``cytvdn_tpu/ops``), which
-implements everything.
+Scope (round 2): float32, all three BC modes (periodic / corrected mirror
+/ Jia-Zhao), anisotropic and half-isotropic pairs, single device and
+shard_map meshes with operand halos on ANY axis (scan and Q). The XLA ops
+backend (``cytvdn_tpu/ops``) remains the executable spec and covers
+float64 plus the few sharded interplays the kernel gates off
+(periodic/mirror global ring halos, split iso-pair axes, folded-3D energy
+splits) — see ``solver.engine._resolve_fused``.
 """
 
 from __future__ import annotations
@@ -149,20 +152,35 @@ def choose_perm(shape: Tuple[int, ...], itemsize: int = 4) -> Tuple[int, ...]:
 
 
 def fused_supported(shape, dtype, bc, isotropic_R=False, isotropic_Q=False):
-    """Whether the fused kernel covers this configuration."""
+    """Whether the fused kernel covers this configuration (shape/dtype/BC
+    feasibility; the engine separately gates the sharded interplays, see
+    ``solver.engine._resolve_fused``)."""
     from cytvdn_tpu.config import BCMode
 
     if dtype != jnp.float32:
-        return False
-    if bc != BCMode.JIA_ZHAO:
-        return False
-    if isotropic_R or isotropic_Q:
         return False
     if len(shape) not in (3, 4):
         return False
     if shape[0] < 2:
         return False
-    return _plan(tuple(shape), 4) is not None
+    plan = _plan(tuple(shape), 4)
+    if plan is None:
+        return False
+    flat = plan[2]
+    if bc != BCMode.JIA_ZHAO:
+        # periodic/mirror edges on a folded energy axis would need
+        # cross-fold patches; the 3D "single" layout and all 4D layouts
+        # support every BC mode
+        if flat:
+            return False
+        if bc == BCMode.MIRROR and min(shape) < 2:
+            return False
+    if isotropic_R or isotropic_Q:
+        # half-isotropic pairs: 4D, Jia-Zhao only (as in the reference,
+        # halfisotropic.pyx:70-82; README.md:15-16)
+        if len(shape) != 4 or bc != BCMode.JIA_ZHAO:
+            return False
+    return True
 
 
 def _shift_down_inblock(x: Array, ax: int) -> Array:
@@ -247,7 +265,9 @@ def _plan(shape: Tuple[int, ...], itemsize: int):
 
 def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                  fista: bool, b0: int, b1: int, has_seam: bool,
-                 with_halo: bool):
+                 with_halo: bool, bc: int = 2,
+                 iso_pairs: Tuple[Tuple[int, int], ...] = (),
+                 halo_inblock: Tuple[int, ...] = ()):
     """Build the kernel body; operand order matches :func:`fused_iteration`.
 
     Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
@@ -264,8 +284,24 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
     exact seams, SURVEY.md §8.3). Global domain edges are realized by halo
     *values* (the caller masks edge shards: prev := own edge slab so the
     difference vanishes; next recon := own last slab and next acc/d := 0 so
-    the recomputed slab is exactly the JZ zero).
+    the recomputed slab is exactly the JZ zero). ``halo_inblock`` lists
+    in-block axes with shard halos (Q-axis meshes) — same scheme, whole
+    in-block slabs. The single-device periodic path synthesizes halo
+    *values* from the array's own wrap slabs through the same operands
+    (reference anisotropic.pyx:67-68).
+
+    ``bc`` is static: 0 periodic, 1 mirror, 2 Jia-Zhao. Mirror forward
+    edges read the trailing slab of the freshly-updated accumulator itself
+    (zero trailing difference — the *corrected* mirror semantics, cf. the
+    reference defect utils.pyx:117-120), available from the VMEM carries.
+    In-block backward edges for periodic/mirror are pure in-block reads.
+
+    ``iso_pairs`` jointly L2-projects axis pairs (half-isotropic,
+    reference halfisotropic.pyx:84-95; JZ only). The axis-1 seam column
+    for an iso (0,1) pair is recomputed from the neighbor column's
+    pre-update state along *both* pair axes (extra column operands).
     """
+    iso_r = (0, 1) in iso_pairs
 
     def kernel(*refs):
         it = iter(refs)
@@ -278,6 +314,13 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         ds = [next(it) for _ in range(n_ax)] if fista else None
         d1_next1 = next(it) if (fista and has_seam) else None
         recon_next1 = next(it) if has_seam else None
+        if iso_r and has_seam:
+            # iso (0,1) seam recompute needs the neighbor column's axis-0
+            # difference too: the column at row-block ip-2 (for its row-0
+            # backward operand) and the axis-0 accumulator/dual columns
+            recon_c_ip2 = next(it)            # col @ (ip-2, j+1)
+            acc0_next1 = next(it)             # col @ (ip-1, j+1)
+            d0_next1 = next(it) if fista else None
         if with_halo:
             h_prev0 = next(it)                # (1,b1)+tail @ (0, j)
             h_prev1 = next(it)                # (1,1)+tail @ (ip, 0)
@@ -287,6 +330,13 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             h_next1_recon = next(it)          # (1,1)+tail @ (ip-1, 0)
             h_next1_acc = next(it)            # (1,1)+tail @ (ip-1, 0)
             h_next1_d = next(it) if fista else None
+            h_in = {}
+            for ax in halo_inblock:
+                hp = next(it)                 # axis-ax slab @ (ip, j)
+                hr = next(it)                 # axis-ax slab @ (ip-1, j)
+                ha = next(it)
+                hd = next(it) if fista else None
+                h_in[ax] = (hp, hr, ha, hd)
 
         recon_new = next(it)                  # block @ (ip-1, j)
         b_outs = [next(it) for _ in range(n_ax)]
@@ -327,7 +377,8 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         # axis 0: rows 1..B0-1 shift in-block; row 0 reads the carried
         # previous block's last row, or at the global leading edge the halo
         # slab (whose value realizes the BC: JZ edge shards get their own
-        # first row, so the difference vanishes) / the JZ zero
+        # first row, so the difference vanishes; single-device periodic and
+        # mirror synthesize the wrap/adjacent slab) / the JZ zero
         a_row0 = lax.slice_in_dim(a, 0, 1, axis=0)
         if with_halo:
             edge0 = a_row0 - h_prev0[...]
@@ -362,17 +413,48 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         else:
             diff1 = seam
         diffs.append(diff1)
-        # trailing axes: in-block JZ shifts (global edges == block edges)
+
+        # trailing axes: in-block shifts. The backward-edge slab realizes
+        # the BC (shard halo > periodic wrap > mirror adjacent > JZ self)
+        def down_in(x, ax, h_prev):
+            n = x.shape[ax]
+            if h_prev is not None:
+                first = h_prev[...]
+            elif bc == 0:                     # periodic: global wrap
+                first = lax.slice_in_dim(x, n - 1, n, axis=ax)
+            elif bc == 1:                     # mirror: adjacent interior
+                first = lax.slice_in_dim(x, 1, 2, axis=ax)
+            else:                             # JZ: zero difference
+                first = lax.slice_in_dim(x, 0, 1, axis=ax)
+            body_ = lax.slice_in_dim(x, 0, n - 1, axis=ax)
+            return lax.concatenate([first, body_], dimension=ax)
+
         for ax in inblock_axes:
-            diffs.append(a - _shift_down_inblock(a, ax))
+            hp = h_in[ax][0] if (with_halo and ax in h_in) else None
+            diffs.append(a - down_in(a, ax, hp))
         if flat:
             diffs.append(a - _shift_down_flat(a))
+
+        # dual projection: per-axis clip, or joint L2 for iso pairs
+        deltas = [diffs[k] + accs[k][...] for k in range(n_ax)]
+        proj = [None] * n_ax
+        for (k1, k2) in iso_pairs:
+            # pair shares one clip radius (reference cyTVDN.py:160-162)
+            mag = jnp.sqrt(deltas[k1] * deltas[k1] + deltas[k2] * deltas[k2])
+            clipv = lam_inv[k1]
+            scale = jnp.where(
+                mag > clipv, clipv / jnp.where(mag > 0, mag, 1.0), 1.0
+            )
+            proj[k1] = deltas[k1] * scale
+            proj[k2] = deltas[k2] * scale
+        for k in range(n_ax):
+            if proj[k] is None:
+                proj[k] = jnp.clip(deltas[k], -lam_inv[k], lam_inv[k])
 
         b_new = []
         bnorm = jnp.zeros((), jnp.float32)
         for k in range(n_ax):
-            clipped = jnp.clip(diffs[k] + accs[k][...],
-                               -lam_inv[k], lam_inv[k])
+            clipped = proj[k]
             if fista:
                 bk = clipped + rho * (clipped - ds[k][...])
             else:
@@ -411,11 +493,14 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
 
             fwds = []
             # axis 0: rows 0..B0-2 shift in-block from the carried b_new;
-            # the last row reads this step's fresh b_new[0] first row, or at
-            # the global trailing edge the +1 shard's recomputed first slab
-            # (halo) / the JZ zero wrap.
+            # the last row reads this step's fresh b_new[0] first row, or
+            # at the global trailing edge: mirror → own trailing slab (zero
+            # difference), halo (shard seam / synthesized periodic wrap) →
+            # recomputed +1 slab, JZ → the zero wrap.
             a_last = lax.slice_in_dim(a, b0 - 1, b0, axis=0)
-            if with_halo:
+            if bc == 1:
+                edge_f0 = lax.slice_in_dim(bp[0], b0 - 1, b0, axis=0)
+            elif with_halo:
                 edge_f0 = recompute_b(
                     h_next0_recon[...] - a_last,
                     h_next0_acc[...],
@@ -435,9 +520,11 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 fwds.append(seam_f0)
             # axis 1: in-block forward shift; seam column recomputed from
             # the neighbor column's pre-update state; trailing edge from
-            # the +1 shard halo or the JZ zero wrap.
+            # the mirror self-slab, the +1 shard halo, or the JZ zero wrap.
             old_lastcol = lax.slice_in_dim(recon_old, b1 - 1, b1, axis=1)
-            if with_halo:
+            if bc == 1:
+                edge_f1 = lax.slice_in_dim(bp[1], b1 - 1, b1, axis=1)
+            elif with_halo:
                 edge_f1 = recompute_b(
                     h_next1_recon[...] - old_lastcol,
                     h_next1_acc[...],
@@ -445,13 +532,40 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 )
             else:
                 edge_f1 = jnp.zeros_like(old_lastcol)
-            if has_seam:
+            if has_seam and not iso_r:
                 seam_b1 = recompute_b(
                     recon_next1[...] - old_lastcol,
                     acc1_next1[...],
                     d1_next1[...] if fista else None, 1,
                 )
                 seam_b1 = jnp.where(j < g1 - 1, seam_b1, edge_f1)
+            elif has_seam:
+                # iso (0,1): the neighbor column's updated b1 needs BOTH
+                # pair deltas at that column. delta1 = its axis-1 backward
+                # diff (vs our last column); delta0 = its axis-0 in-column
+                # diff, row 0 reading the ip-2 block's last row (JZ zero at
+                # the global first row, masked by ip==1).
+                rc = recon_next1[...]
+                delta1_c = (rc - old_lastcol) + acc1_next1[...]
+                rc_up = lax.slice_in_dim(rc, 0, b0 - 1, axis=0) \
+                    if b0 > 1 else None
+                prev_last = lax.slice_in_dim(
+                    recon_c_ip2[...], b0 - 1, b0, axis=0
+                )
+                rc_row0 = lax.slice_in_dim(rc, 0, 1, axis=0)
+                first = jnp.where(ip == 1, rc_row0, prev_last)
+                rc_shift = (lax.concatenate([first, rc_up], dimension=0)
+                            if b0 > 1 else first)
+                delta0_c = (rc - rc_shift) + acc0_next1[...]
+                mag = jnp.sqrt(delta0_c * delta0_c + delta1_c * delta1_c)
+                clipv = lam_inv[0]
+                scale = jnp.where(
+                    mag > clipv, clipv / jnp.where(mag > 0, mag, 1.0), 1.0
+                )
+                p1 = delta1_c * scale
+                if fista:
+                    p1 = p1 + rho * (p1 - d1_next1[...])
+                seam_b1 = jnp.where(j < g1 - 1, p1, edge_f1)
             else:
                 seam_b1 = edge_f1
             if b1 > 1:
@@ -462,8 +576,31 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             else:
                 fwd1 = seam_b1
             fwds.append(fwd1)
+            # in-block axes: the JZ zero-slab invariant AND periodic both
+            # wrap last→first; mirror reads the own trailing slab; a shard
+            # halo recomputes the +1 shard's first updated slab
             for i_ax, ax in enumerate(inblock_axes):
-                fwds.append(_shift_up_inblock(bp[2 + i_ax], ax))
+                k = 2 + i_ax
+                base = _shift_up_inblock(bp[k], ax)
+                n = bp[k].shape[ax]
+                if bc == 1:
+                    last = lax.slice_in_dim(bp[k], n - 1, n, axis=ax)
+                elif with_halo and ax in h_in:
+                    _, hr, ha, hd = h_in[ax]
+                    last = recompute_b(
+                        hr[...] - lax.slice_in_dim(
+                            recon_old, n - 1, n, axis=ax),
+                        ha[...],
+                        hd[...] if fista else None, k,
+                    )
+                else:
+                    last = None
+                if last is not None:
+                    base = lax.concatenate(
+                        [lax.slice_in_dim(bp[k], 1, n, axis=ax), last],
+                        dimension=ax,
+                    )
+                fwds.append(base)
             if flat:
                 fwds.append(_shift_up_flat(bp[n_ax - 1]))
 
@@ -492,7 +629,8 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fista", "interpret"))
+@functools.partial(jax.jit, static_argnames=("fista", "interpret", "bc",
+                                              "iso_r", "iso_q"))
 def fused_iteration(
     orig: Array,
     recon: Array,
@@ -504,15 +642,22 @@ def fused_iteration(
     fista: bool = True,
     interpret: bool = False,
     halos=None,
+    bc: int = 2,
+    iso_r: bool = False,
+    iso_q: bool = False,
 ):
-    """One full TV iteration (Jia-Zhao BCs, anisotropic) as a single fused
-    Pallas pass.
+    """One full TV iteration as a single fused Pallas pass.
 
-    ``halos`` (optional, used per-shard inside ``shard_map``) is a dict of
-    pre-update neighbor slabs: ``prev0`` (1,N1,…), ``prev1`` (N0,1,…),
+    ``halos`` (optional, used per-shard inside ``shard_map``, or synthesized
+    for single-device periodic/mirror) is a dict of pre-update neighbor
+    slabs: ``prev0`` (1,N1,…), ``prev1`` (N0,1,…),
     ``next0_recon``/``next0_acc``[/``next0_d``] (1,N1,…),
-    ``next1_recon``/``next1_acc``[/``next1_d``] (N0,1,…). See
-    :func:`_make_kernel` for their seam semantics and edge-value masking.
+    ``next1_recon``/``next1_acc``[/``next1_d``] (N0,1,…), and per split
+    in-block axis A: ``prevA``/``nextA_recon``/``nextA_acc``[/``nextA_d``]
+    (axis-A extent 1). See :func:`_make_kernel` for seam semantics.
+
+    ``bc``: 0 periodic, 1 mirror, 2 Jia-Zhao (static). ``iso_r``/``iso_q``
+    jointly project the (0,1)/(2,3) pairs (4D, JZ only).
 
     Returns ``(recon_new, accs_new, ds_new, bnorm, delta_num, recon_norm)``
     with the reductions as deterministic float32 scalars.
@@ -523,6 +668,9 @@ def fused_iteration(
     if plan is None:
         raise ValueError(f"fused kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b0, b1 = plan
+    iso_pairs = tuple(
+        p for p, on in (((0, 1), iso_r), ((2, 3), iso_q)) if on
+    )
     with_halo = halos is not None
 
     def emb(x):
@@ -532,17 +680,26 @@ def fused_iteration(
     accs = tuple(emb(x) for x in accs)
     if fista:
         ds = tuple(emb(x) for x in ds)
+    halo_inblock = ()
     if with_halo:
-        # halo slabs share the data layout except one leading axis is 1;
-        # embed by reshaping the trailing axes exactly like the data
+        # halo slabs share the data layout except one axis is 1; embed by
+        # reshaping exactly like the data with that axis collapsed
         def emb_slab(x, ax):
-            lead = (1, shape[1]) if ax == 0 else (shape[0], 1)
-            return x.reshape(lead + shape[2:])
+            s = list(shape)
+            s[ax] = 1
+            return x.reshape(tuple(s))
+
+        def slab_axis(key):
+            return int(key.replace("prev", "").replace("next", "")
+                       .split("_")[0])
 
         halos = {
-            k: (emb_slab(v, 0 if "0" in k else 1) if v is not None else None)
+            k: (emb_slab(v, slab_axis(k)) if v is not None else None)
             for k, v in halos.items()
         }
+        halo_inblock = tuple(sorted(
+            ax for ax in inblock_axes if f"prev{ax}" in halos
+        ))
 
     n0, n1 = shape[0], shape[1]
     g0, g1 = n0 // b0, n1 // b1
@@ -596,6 +753,11 @@ def fused_iteration(
         recon_firstcols = col_gather(recon, 0)      # strip j's first column
         acc1_firstcols = col_gather(accs[1], 0)
         d1_firstcols = col_gather(ds[1], 0) if fista else None
+        if iso_r:
+            # the iso (0,1) seam recompute additionally reads the neighbor
+            # column's axis-0 accumulator/dual state
+            acc0_firstcols = col_gather(accs[0], 0)
+            d0_firstcols = col_gather(ds[0], 0) if fista else None
 
     def prev1_map(j, ip):  # strip j-1's last column (clamped) at row ip
         return (
@@ -641,6 +803,18 @@ def fused_iteration(
     if has_seam:
         in_specs += [col(next1_map)]                # recon_next1
         inputs += [recon_firstcols]
+        if iso_r:
+            def next1_ip2_map(j, ip):   # column j+1 at row-block ip-2
+                return (
+                    jnp.maximum(ip - 2, 0),
+                    jnp.minimum(j + 1, g1 - 1),
+                ) + zeros_tail
+
+            in_specs += [col(next1_ip2_map), col(next1_map)]
+            inputs += [recon_firstcols, acc0_firstcols]
+            if fista:
+                in_specs += [col(next1_map)]
+                inputs += [d0_firstcols]
     # recon IS aliased: its pallas input blocks (ip, j) are each read before
     # the output write of block (ip-1, j) in the same strip touches them,
     # strips write disjoint columns, and all seam re-reads go through the
@@ -666,6 +840,30 @@ def fused_iteration(
         if fista:
             in_specs += [col_im1]
             inputs += [halos["next1_d"]]
+        # split in-block (Q) axes: whole (b0, b1, …, 1, …) slabs per step
+        for ax in halo_inblock:
+            slab_block = tuple(
+                1 if d == ax else (b0 if d == 0 else (b1 if d == 1 else e))
+                for d, e in enumerate(shape)
+            )
+
+            def mk_map(row):
+                def m(j, ip, row=row):
+                    r = (jnp.minimum(ip, g0 - 1) if row == 0
+                         else jnp.maximum(ip - 1, 0))
+                    return (r, j) + zeros_tail
+                return m
+
+            sp_i = pl.BlockSpec(slab_block, mk_map(0),
+                                memory_space=pltpu.VMEM)
+            sp_im1 = pl.BlockSpec(slab_block, mk_map(1),
+                                  memory_space=pltpu.VMEM)
+            in_specs += [sp_i, sp_im1, sp_im1]
+            inputs += [halos[f"prev{ax}"], halos[f"next{ax}_recon"],
+                       halos[f"next{ax}_acc"]]
+            if fista:
+                in_specs += [sp_im1]
+                inputs += [halos[f"next{ax}_d"]]
 
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
@@ -689,7 +887,8 @@ def fused_iteration(
 
     outs = pl.pallas_call(
         _make_kernel(ndim, inblock_axes, flat, fista, b0, b1, has_seam,
-                     with_halo),
+                     with_halo, bc=int(bc), iso_pairs=iso_pairs,
+                     halo_inblock=halo_inblock),
         grid=(g1, g0 + 1),
         in_specs=in_specs,
         out_specs=out_specs,

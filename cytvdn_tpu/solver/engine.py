@@ -151,18 +151,35 @@ def _accumulator_phase(
 def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]:
     """Decide (use_fused_pallas_kernel, interpret_mode) for this config.
 
-    The fused kernel covers the hot path (single-device, Jia-Zhao,
-    anisotropic, float32); everything else uses the XLA ops. AUTO selects
-    Pallas only on TPU; an explicit PALLAS backend on CPU runs the kernel
-    in interpreter mode (for tests).
+    The fused kernel covers float32 in all BC modes, anisotropic and
+    half-isotropic, single-device and sharded (any-axis operand halos);
+    float64 and a few sharded interplays (below) use the XLA ops. AUTO
+    selects Pallas only on TPU; an explicit PALLAS backend on CPU runs the
+    kernel in interpreter mode (for tests).
     """
+    from cytvdn_tpu.config import BCMode
+
     if opts.backend == Backend.JAX or opts.backend == Backend.CPP:
         return False, False
     if comm is not None and not isinstance(comm, NullComm):
-        # sharded: the fused kernel supports meshes over the scan axes
-        # (0, 1) via operand halos; Q-axis splits use the XLA ops
-        if not set(getattr(comm, "split_axes", ())) <= {0, 1}:
-            return False, False
+        split = set(getattr(comm, "split_axes", ()))
+        if split:
+            # sharded gates: periodic/mirror global edges would need ring
+            # halos the fused path doesn't synthesize; an iso pair's axes
+            # must be unsplit (the pair's seam recompute would need corner
+            # operands); a folded 3D energy axis cannot take halos
+            if opts.bc_mode != BCMode.JIA_ZHAO:
+                return False, False
+            if opts.isotropic_R and split & {0, 1}:
+                return False, False
+            if opts.isotropic_Q and split & {2, 3}:
+                return False, False
+            if len(shape) == 3 and 2 in split:
+                from cytvdn_tpu.kernels.fused import _plan
+
+                plan = _plan(tuple(shape), 4)
+                if plan is None or plan[2]:  # flat fold
+                    return False, False
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,
@@ -225,39 +242,71 @@ def iteration_step(
     comm = comm or NullComm()
     use_fused, interpret = _resolve_fused(opts, orig.shape, orig.dtype, comm)
     if use_fused:
+        from cytvdn_tpu.config import BCMode
         from cytvdn_tpu.kernels.fused import fused_iteration
 
         fista = ds is not None
         halos = None
         if not isinstance(comm, NullComm):
-            # shard-seam operand halos (pre-update state). Edge shards get
-            # values that realize the JZ boundary exactly: backward edges
-            # read the own edge slab (zero difference); forward edges
-            # recompute from (own last recon slab, zero acc, zero d) — the
-            # identically-zero JZ wrap slab.
+            # shard-seam operand halos (pre-update state) for axes 0, 1 and
+            # any split in-block (Q) axis. Edge shards get values that
+            # realize the JZ boundary exactly: backward edges read the own
+            # edge slab (zero difference); forward edges recompute from
+            # (own last recon slab, zero acc, zero d) — the identically-zero
+            # JZ wrap slab.
             from cytvdn_tpu.ops.stencil import _slab as slab
 
-            z0 = jnp.zeros_like(slab(accs[0], 0, 0))
-            z1 = jnp.zeros_like(slab(accs[1], 1, 0))
-            halos = {
-                "prev0": comm.shift_from_prev(recon, 0, slab(recon, 0, 0)),
-                "prev1": comm.shift_from_prev(recon, 1, slab(recon, 1, 0)),
-                "next0_recon": comm.shift_from_next(
-                    recon, 0, slab(recon, 0, -1)),
-                "next0_acc": comm.shift_from_next(accs[0], 0, z0),
-                "next1_recon": comm.shift_from_next(
-                    recon, 1, slab(recon, 1, -1)),
-                "next1_acc": comm.shift_from_next(accs[1], 1, z1),
-            }
-            if fista:
-                halos["next0_d"] = comm.shift_from_next(ds[0], 0, z0)
-                halos["next1_d"] = comm.shift_from_next(ds[1], 1, z1)
+            halos = {}
+            split = set(comm.split_axes)
+            halo_axes = sorted({0, 1} | (split & set(range(2, opts.ndim))))
+            for ax in halo_axes:
+                z = jnp.zeros_like(slab(accs[ax], ax, 0))
+                halos[f"prev{ax}"] = comm.shift_from_prev(
+                    recon, ax, slab(recon, ax, 0))
+                halos[f"next{ax}_recon"] = comm.shift_from_next(
+                    recon, ax, slab(recon, ax, -1))
+                halos[f"next{ax}_acc"] = comm.shift_from_next(
+                    accs[ax], ax, z)
+                if fista:
+                    halos[f"next{ax}_d"] = comm.shift_from_next(
+                        ds[ax], ax, z)
+        elif opts.bc_mode == BCMode.PERIODIC:
+            # single-device periodic: synthesize the wrap slabs as halo
+            # values for axes 0 and 1 (in-block axes wrap inside the
+            # kernel); the forward wrap is recomputed from the leading
+            # slab's pre-update state — identical arithmetic to the
+            # leading block's own update (reference anisotropic.pyx:67-68,
+            # utils.pyx:98-101)
+            from cytvdn_tpu.ops.stencil import _slab as slab
+
+            halos = {}
+            for ax in (0, 1):
+                halos[f"prev{ax}"] = slab(recon, ax, -1)
+                halos[f"next{ax}_recon"] = slab(recon, ax, 0)
+                halos[f"next{ax}_acc"] = slab(accs[ax], ax, 0)
+                if fista:
+                    halos[f"next{ax}_d"] = slab(ds[ax], ax, 0)
+        elif opts.bc_mode == BCMode.MIRROR:
+            # single-device mirror: backward edges read the adjacent
+            # interior slab; forward edges are handled in-kernel (own
+            # trailing updated slab — zero difference, corrected mirror).
+            # The next* slots are structurally required but unread.
+            from cytvdn_tpu.ops.stencil import _slab as slab
+
+            halos = {}
+            for ax in (0, 1):
+                halos[f"prev{ax}"] = slab(recon, ax, 1)
+                halos[f"next{ax}_recon"] = halos[f"prev{ax}"]
+                halos[f"next{ax}_acc"] = halos[f"prev{ax}"]
+                if fista:
+                    halos[f"next{ax}_d"] = halos[f"prev{ax}"]
 
         recon_new, accs_new, ds_new, bnorm, dnum, dden = fused_iteration(
             orig, recon, accs, ds,
             tk_ratio if fista else jnp.zeros((), orig.dtype),
             lambda_inv, lam_mu, fista=fista, interpret=interpret,
-            halos=halos,
+            halos=halos, bc=int(opts.bc_mode),
+            iso_r=opts.isotropic_R, iso_q=opts.isotropic_Q,
         )
         bnorm = comm.allsum(bnorm)
         delta = comm.allsum(dnum) / comm.allsum(dden)

@@ -76,10 +76,116 @@ def test_fused_supported_gates():
                            BCMode.JIA_ZHAO)
     assert not fused_supported((64, 64, 512), np.dtype(np.float64),
                                BCMode.JIA_ZHAO)
-    assert not fused_supported((64, 64, 512), np.dtype(np.float32),
-                               BCMode.PERIODIC)
-    assert not fused_supported((16, 16, 8, 8), np.dtype(np.float32),
+    # periodic/mirror: supported except on the folded 3D layout
+    assert fused_supported((64, 64, 512), np.dtype(np.float32),
+                           BCMode.PERIODIC)
+    assert not fused_supported((256, 256, 2048), np.dtype(np.float32),
+                               BCMode.PERIODIC)  # flat fold
+    # iso pairs: 4D JZ only
+    assert fused_supported((16, 16, 8, 8), np.dtype(np.float32),
+                           BCMode.JIA_ZHAO, isotropic_R=True)
+    assert not fused_supported((16, 16, 8), np.dtype(np.float32),
                                BCMode.JIA_ZHAO, isotropic_R=True)
+    assert not fused_supported((16, 16, 8, 8), np.dtype(np.float32),
+                               BCMode.PERIODIC, isotropic_R=True)
+
+
+@pytest.mark.parametrize("bc", [0, 1, 2])
+@pytest.mark.parametrize("fista", [True, False])
+def test_fused_bc_modes_match_ops(bc, fista):
+    """Periodic / mirror / JZ boundary conditions through the fused kernel
+    (interpret) vs the XLA ops path — 3D single-layout and 4D."""
+    for shape in [(6, 8, 16), (5, 6, 8, 16)]:
+        cube = _cube(shape)
+        ndim = len(shape)
+        mu = np.linspace(1.0, 2.0, ndim).astype(np.float32)
+        fn = denoise3D if ndim == 3 else denoise4D
+        kw = dict(iterations=5, FISTA=fista, BC_mode=bc, quiet=True)
+        want = fn(cube, mu, backend="jax", **kw)
+        got = fn(cube, mu, backend="pallas", **kw)
+        _compare(got, want)
+
+
+@pytest.mark.parametrize("iso_r,iso_q", [(True, False), (False, True),
+                                         (True, True)])
+def test_fused_iso_pairs_match_ops(iso_r, iso_q):
+    """Half-isotropic joint projections through the fused kernel
+    (interpret) vs the XLA ops path, including the iso (0,1) axis-1 seam
+    recompute (shape chosen so the axis-1 grid has seams)."""
+    shape = (6, 8, 6, 16)
+    cube = _cube(shape)
+    mu = np.asarray([1.0, 1.0, 2.0, 2.0], np.float32)
+    kw = dict(iterations=(3, 2), isotropic_R=iso_r, isotropic_Q=iso_q,
+              quiet=True)
+    want = denoise4D(cube, mu, backend="jax", **kw)
+    got = denoise4D(cube, mu, backend="pallas", **kw)
+    _compare(got, want)
+
+
+def test_fused_iso_seam_many_columns():
+    """iso (0,1) with several axis-1 column strips and multi-row blocks —
+    stresses the ip-2 operand of the iso seam recompute."""
+    from cytvdn_tpu.config import SolverOptions, Backend
+    from cytvdn_tpu.solver.engine import run_solver
+    import jax.numpy as jnp
+
+    shape = (7, 12, 4, 16)
+    cube = _cube(shape)
+    mu = np.full(4, 1.0, np.float32)
+    lam = mu / 32.0
+    li, lm = (1.0 / lam).astype(np.float32), (lam / mu).astype(np.float32)
+    base = dict(ndim=4, iterations_fista=4, iterations_unacc=0,
+                isotropic_R=True)
+    want = run_solver(jnp.asarray(cube), jnp.asarray(li), jnp.asarray(lm),
+                      SolverOptions(**base, backend=Backend.JAX))
+    got = run_solver(jnp.asarray(cube), jnp.asarray(li), jnp.asarray(lm),
+                     SolverOptions(**base, backend=Backend.PALLAS))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(want["recon"]),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_pallas_q_axis_split():
+    """Fused kernel with operand halos along the in-block (Q/energy) axes:
+    mesh over axes 2(,3) must equal the single-device run."""
+    import jax.numpy as jnp
+    from cytvdn_tpu.config import SolverOptions, Backend
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    mu4 = np.full(4, 1.0, np.float32)
+    lam4 = mu4 / 32.0
+    li4 = (1.0 / lam4).astype(np.float32)
+    lm4 = (lam4 / mu4).astype(np.float32)
+    cube4 = _cube((6, 6, 8, 16))
+    base = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=2)
+    opts_jax = SolverOptions(**{**base.__dict__, "backend": Backend.JAX})
+    opts_pls = SolverOptions(**{**base.__dict__, "backend": Backend.PALLAS})
+    single = run_solver(jnp.asarray(cube4), jnp.asarray(li4),
+                        jnp.asarray(lm4), opts_jax)
+    for shard in [(1, 1, 4, 2), (1, 1, 1, 8), (2, 1, 2, 1), (1, 2, 1, 4)]:
+        got = run_sharded(cube4, li4, lm4, opts_pls, shard=shard)
+        np.testing.assert_allclose(np.asarray(got["recon"]),
+                                   np.asarray(single["recon"]),
+                                   rtol=2e-6, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                                   np.asarray(single["b_norm"]), rtol=2e-4)
+
+    # 3D single-layout with the energy axis split
+    cube3 = _cube((6, 8, 32))
+    mu3 = np.full(3, 1.0, np.float32)
+    lam3 = mu3 / 16.0
+    li3 = (1.0 / lam3).astype(np.float32)
+    lm3 = (lam3 / mu3).astype(np.float32)
+    b3 = SolverOptions(ndim=3, iterations_fista=3, iterations_unacc=2)
+    o3_jax = SolverOptions(**{**b3.__dict__, "backend": Backend.JAX})
+    o3_pls = SolverOptions(**{**b3.__dict__, "backend": Backend.PALLAS})
+    single3 = run_solver(jnp.asarray(cube3), jnp.asarray(li3),
+                         jnp.asarray(lm3), o3_jax)
+    got3 = run_sharded(cube3, li3, lm3, o3_pls, shard=(2, 1, 4))
+    np.testing.assert_allclose(np.asarray(got3["recon"]),
+                               np.asarray(single3["recon"]),
+                               rtol=2e-6, atol=2e-7)
 
 
 def test_sharded_pallas_matches_sharded_jax():
