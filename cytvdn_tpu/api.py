@@ -37,12 +37,33 @@ def _run_jit(orig, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
     return run_solver(orig, lambda_inv, lam_mu, opts, reference_data)
 
 
-def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
-    """Dispatch to the native CPU backend or the jitted device solver."""
+def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
+         progress: bool = False):
+    """Dispatch to the native CPU backend or the jitted device solver.
+
+    ``progress`` routes the run through bit-exact chunked execution so a
+    live per-iteration bar can be shown (the reference's tqdm operator
+    experience, cyTVDN.py:147-152, without a host sync per iteration).
+    """
     if opts.backend == Backend.CPP:
         from cytvdn_tpu.cpp.backend import solve_cpp
 
         return solve_cpp(datacube, lambda_inv, lam_mu, opts, reference_data)
+    if progress:
+        from cytvdn_tpu.utils.checkpoint import run_chunked
+        from cytvdn_tpu.utils.log import make_progress
+
+        n_total = opts.total_iterations
+        cb = make_progress("TV denoising")
+        try:
+            return run_chunked(
+                datacube, lambda_inv, lam_mu, opts,
+                checkpoint_path=None,
+                checkpoint_every=max(25, min(250, n_total // 40 or 1)),
+                reference_data=reference_data, progress=cb,
+            )
+        finally:
+            cb.close()
     ref = jnp.asarray(reference_data) if opts.calculate_mse else None
     return _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
                     jnp.asarray(lam_mu), opts, ref)
@@ -75,6 +96,18 @@ def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):
     lambda_inv = (1.0 / lam).astype(datacube.dtype)
     lam_mu = (lam / mu).astype(datacube.dtype)
     return datacube, mu, lam, lambda_inv, lam_mu
+
+
+def _resolve_progress(progress: Optional[bool], quiet: bool,
+                      opts: SolverOptions) -> bool:
+    """Default: live progress for long, non-quiet device runs (matching
+    the reference's always-on tqdm operator experience without taxing
+    short jitted runs)."""
+    if opts.backend == Backend.CPP:
+        return False  # the cpp host loop reports through its own prints
+    if progress is not None:
+        return bool(progress)
+    return (not quiet) and opts.total_iterations >= 500
 
 
 def _bc_note(bc_mode: int) -> None:
@@ -133,12 +166,16 @@ def denoise4D(
     quiet: bool = False,
     backend: Union[str, Backend] = Backend.AUTO,
     fista_restart: bool = False,
+    progress: Optional[bool] = None,
 ):
     """Proximal anisotropic (or half-isotropic) TV denoising of a 4D datacube.
 
     Signature, defaults and return contract match the reference
     (reference cyTVDN/cyTVDN.py:19-247): returns
     ``(recon, b_norm, delta_recon[, MSE])``.
+
+    ``progress``: live per-iteration progress (tqdm when available) via
+    bit-exact chunked execution; defaults to on for long non-quiet runs.
     """
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 4, 32.0
@@ -171,7 +208,8 @@ def denoise4D(
     )
     _memory_note(datacube, n_f > 0, 4, quiet)
 
-    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data)
+    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data,
+                  _resolve_progress(progress, quiet, opts))
     return _finish(result, calculate_mse)
 
 
@@ -187,11 +225,16 @@ def denoise3D(
     quiet: bool = False,
     backend: Union[str, Backend] = Backend.AUTO,
     fista_restart: bool = False,
+    progress: Optional[bool] = None,
 ):
     """Proximal anisotropic TV denoising of a 3D cube (EELS SI).
 
     Signature, defaults (``iterations=7500``, ``FISTA=False``) and return
     contract match the reference (reference cyTVDN/cyTVDN.py:250-435).
+
+    ``progress``: live per-iteration progress (tqdm when available) via
+    bit-exact chunked execution; defaults to on for long non-quiet runs —
+    the default 7500-iteration run is no longer silent until completion.
     """
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 3, 16.0
@@ -219,7 +262,8 @@ def denoise3D(
     )
     _memory_note(datacube, n_f > 0, 3, quiet)
 
-    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data)
+    result = _run(datacube, lambda_inv, lam_mu, opts, reference_data,
+                  _resolve_progress(progress, quiet, opts))
     return _finish(result, calculate_mse)
 
 

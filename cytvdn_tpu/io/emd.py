@@ -107,7 +107,13 @@ def write_emd_regions(
     return path
 
 
-def write_emd_sharded(path: str, array) -> str:
+#: outputs up to this size are stitched into one self-contained file by
+#: default ("gather-small"); larger outputs keep the virtual-dataset master
+#: unless stitch="solid" is forced
+_SOLID_STITCH_MAX_BYTES = 8 << 30
+
+
+def write_emd_sharded(path: str, array, stitch: str = "auto") -> str:
     """Write a (possibly sharded) jax.Array as EMD v0.7 without gathering
     it into one host buffer.
 
@@ -116,11 +122,15 @@ def write_emd_sharded(path: str, array) -> str:
       region writes, mpi.py:493-497).
     - Multi-process (TPU pod): HDF5 without MPI-IO cannot share a writer,
       so every process writes its shards to a ``.partN.h5`` sidecar file
-      and process 0 stitches an EMD master whose datacube is an HDF5
-      *virtual dataset* over the parts — readable transparently by h5py
-      (the parts must stay next to the master). This replaces the
-      reference's parallel-HDF5 collective write (mpi.py:444-498) with no
-      MPI dependency.
+      and process 0 stitches the master. ``stitch`` controls the result,
+      matching the reference's single-artifact contract (mpi.py:444-498)
+      by default:
+
+      - ``"auto"``: one self-contained EMD file (parts copied in, then
+        deleted) up to ``_SOLID_STITCH_MAX_BYTES``; virtual-dataset master
+        above (parts must stay next to the master);
+      - ``"solid"``: always copy into one file;
+      - ``"virtual"``: always the virtual-dataset master (no copy pass).
     """
     import numpy as np
 
@@ -141,7 +151,14 @@ def write_emd_sharded(path: str, array) -> str:
 
     multihost_utils.sync_global_devices("cytv_emd_parts_written")
     if proc == 0:
-        stitch_emd_virtual(path, array.shape, array.dtype, n_proc)
+        nbytes = int(np.prod(array.shape)) * np.dtype(array.dtype).itemsize
+        solid = stitch == "solid" or (
+            stitch == "auto" and nbytes <= _SOLID_STITCH_MAX_BYTES
+        )
+        if solid:
+            stitch_emd_solid(path, array.shape, array.dtype, n_proc)
+        else:
+            stitch_emd_virtual(path, array.shape, array.dtype, n_proc)
     multihost_utils.sync_global_devices("cytv_emd_stitched")
     return emd_path(path)
 
@@ -184,6 +201,36 @@ def stitch_emd_virtual(path: str, global_shape, dtype, num_parts: int) -> str:
     with h5py.File(path, "w") as fout:
         dset = _create_structure(fout, tuple(global_shape), dtype,
                                  virtual_layout=layout)
+    return path
+
+
+def stitch_emd_solid(path: str, global_shape, dtype, num_parts: int,
+                     remove_parts: bool = True) -> str:
+    """Copy the ``.partN.h5`` sidecar blocks into ONE self-contained EMD
+    file (block-by-block streaming — no full-cube host buffer) and delete
+    the parts. This restores the reference's single-artifact output
+    contract (mpi.py:444-498) for outputs that may be moved or archived;
+    the virtual-dataset stitch stays available for very large cubes."""
+    _require_h5py()
+    path = emd_path(path)
+    with h5py.File(path, "w") as fout:
+        dset = _create_structure(fout, tuple(global_shape), dtype)
+        for p in range(num_parts):
+            with h5py.File(_part_path(path, p), "r") as f:
+                for name in f:
+                    blk = f[name]
+                    start = [int(s) for s in blk.attrs["start"]]
+                    sel = tuple(
+                        slice(st, st + ext)
+                        for st, ext in zip(start, blk.shape)
+                    )
+                    dset[sel] = blk[...]
+    if remove_parts:
+        for p in range(num_parts):
+            try:
+                os.remove(_part_path(path, p))
+            except OSError:
+                pass
     return path
 
 

@@ -58,18 +58,50 @@ def _open_h5(path: str) -> InputHandle:
 
 
 def _open_dm(path: str) -> InputHandle:
+    """Lazy ``.dm3``/``.dm4`` open, 3D and 4D.
+
+    3D (EELS SI): ncempy memmap, the reference's path (mpi.py:97-101).
+    4D (4D-STEM): the reference uses a py4DSTEM DM memmap (mpi.py:107-109);
+    here py4DSTEM is tried first for fidelity and ncempy's own memmap of
+    the 4D dataset is the fallback — both lazy, neither loads the cube.
+    """
+    data = None
     try:
-        from ncempy.io.dm import fileDM
-    except Exception as e:
-        raise RuntimeError(
-            "reading .dm3/.dm4 requires ncempy (install extra 'io'); "
-            f"import failed: {e}"
-        )
-    dmf = fileDM(path)
-    data = dmf.getMemmap(2)
+        # py4DSTEM's DM reader knows 4D-STEM scan-shape conventions
+        from py4DSTEM.io.filereaders import read_dm
+
+        dc = read_dm(path, mem="MEMMAP")
+        data = getattr(dc, "data", dc)
+        if getattr(data, "ndim", 0) < 3:
+            data = None
+    except Exception:
+        data = None
+    if data is None:
+        try:
+            from ncempy.io.dm import fileDM
+        except Exception as e:
+            raise RuntimeError(
+                "reading .dm3/.dm4 requires ncempy or py4DSTEM (install "
+                f"extra 'io'); import failed: {e}"
+            )
+        dmf = fileDM(path)
+        # the reference hard-codes dataset index 2 (mpi.py:97-98); DM files
+        # differ in thumbnail layout, so scan down from 2 to the first
+        # mappable dataset with real rank
+        data = None
+        for idx in (2, 1, 0):
+            try:
+                cand = dmf.getMemmap(idx)
+            except Exception:
+                continue
+            if getattr(cand, "ndim", 0) >= 2:
+                data = cand
+                break
+        if data is None:
+            raise RuntimeError(f"no mappable dataset found in {path}")
     # squeeze leading singleton dims while retaining the memmap, as the
     # reference does (reference mpi.py:100-101)
-    while data.shape[0] == 1:
+    while data.ndim > 1 and data.shape[0] == 1:
         data = data.reshape(data.shape[1:])
     return InputHandle(data.shape, data.dtype, lambda sel: data[sel])
 

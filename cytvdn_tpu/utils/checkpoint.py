@@ -84,6 +84,7 @@ def chunk_driver(
     resume: bool,
     meta: Dict[str, Any],
     expected_shape,
+    progress=None,
 ):
     """The shared chunked-execution loop behind both the single-device and
     sharded checkpointing entry points.
@@ -139,6 +140,11 @@ def chunk_driver(
         }
         if checkpoint_path:
             save_state(checkpoint_path, state, meta)
+        if progress is not None:
+            d = np.asarray(out["delta"])
+            nz = d[np.nonzero(d)]
+            progress(int(out["iterations_run"]), n_total,
+                     float(nz[-1]) if nz.size else float("nan"))
         if state["early_stopped"] or int(out["iterations_run"]) >= n_total:
             break
     if out is None:  # checkpoint already covered the whole schedule
@@ -167,8 +173,13 @@ def run_chunked(
     checkpoint_every: int,
     resume: bool = False,
     reference_data: Optional[np.ndarray] = None,
+    progress=None,
 ) -> Dict[str, np.ndarray]:
-    """Run the solver in checkpointed chunks; returns the result dict."""
+    """Run the solver in checkpointed chunks; returns the result dict.
+
+    ``progress``: optional callback ``(iterations_done, n_total, delta)``
+    invoked after each chunk — the jit-compatible equivalent of the
+    reference's per-iteration tqdm (reference cyTVDN.py:147-152)."""
     import jax.numpy as jnp
 
     if opts.backend == Backend.CPP:
@@ -201,7 +212,8 @@ def run_chunked(
                           jstate is not None)
 
     out = chunk_driver(run_chunk, n_total, checkpoint_path,
-                       checkpoint_every, resume, meta, datacube.shape)
+                       checkpoint_every, resume, meta, datacube.shape,
+                       progress=progress)
 
     result = {
         "recon": np.asarray(out["recon"]),

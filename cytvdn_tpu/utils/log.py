@@ -53,3 +53,33 @@ def progress_iter(iterable, desc: str, enable: bool = True):
         return tqdm(iterable, desc=desc)
     except Exception:
         return iterable
+
+
+def make_progress(desc: str, sink=print):
+    """Build a ``(done, total, delta) -> None`` callback for chunked solver
+    runs: a live tqdm bar when available, reference-style log lines
+    otherwise (reference cyTVDN.py:147-152 / mpi.py:298-305). Call the
+    returned object's ``.close()`` when finished."""
+    state = {"bar": None, "last": 0}
+    try:
+        from tqdm import tqdm
+    except Exception:
+        tqdm = None
+
+    def cb(done: int, total: int, delta: float) -> None:
+        if tqdm is not None:
+            if state["bar"] is None:
+                state["bar"] = tqdm(total=total, desc=desc, unit="it")
+            state["bar"].update(done - state["last"])
+            state["bar"].set_postfix(delta=f"{delta:.3e}", refresh=False)
+        else:
+            sink(f"[cytv] {desc}: iteration {done}/{total}, "
+                 f"delta {delta:.3e}")
+        state["last"] = done
+
+    def close() -> None:
+        if state["bar"] is not None:
+            state["bar"].close()
+
+    cb.close = close
+    return cb
