@@ -92,9 +92,39 @@ def check(shape, fista):
     return status == "OK "
 
 
+def check_vs_ops(shape, bc, iso_r=False, iso_q=False):
+    """Full-solver parity, fused vs XLA ops, on the SAME device — covers
+    the BC and iso paths the golden model above doesn't parameterize."""
+    from cytvdn_tpu import denoise3D, denoise4D
+    from cytvdn_tpu.config import Backend  # noqa: F401
+
+    ndim = len(shape)
+    cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    mu = np.linspace(1.0, 2.0, ndim).astype(np.float32)
+    fn = denoise3D if ndim == 3 else denoise4D
+    kw = dict(iterations=(4, 3), quiet=True)
+    if ndim == 4:
+        kw.update(isotropic_R=iso_r, isotropic_Q=iso_q)
+    if not (iso_r or iso_q):
+        kw["BC_mode"] = bc
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = fn(cube, mu, backend="jax", **kw)
+        got = fn(cube, mu, backend="pallas", **kw)
+    err = float(np.max(np.abs(got[0] - want[0])) / np.max(np.abs(want[0])))
+    ok = err < 1e-5
+    print(f"{'OK ' if ok else 'FAIL'} vs-ops {shape} bc={bc} "
+          f"iso=({iso_r},{iso_q}): recon rel-max {err:.2e}", flush=True)
+    return ok, err
+
+
 if __name__ == "__main__":
+    import json
+
     np.asarray(jnp.ones((8,)))  # tunnel warmup on TPU
     ok = True
+    results = {"mode": ON, "golden": [], "vs_ops": []}
     ok &= check((6, 8, 16), True)       # 3D "single" layout
     ok &= check((6, 8, 16), False)
     ok &= check((6, 256, 512), True)    # 3D "flat" layout (E folded to 128)
@@ -104,4 +134,27 @@ if __name__ == "__main__":
         ok &= check((64, 64, 512), True)
         ok &= check((32, 32, 64, 64), True)
         ok &= check((32, 32, 64, 64), False)
+        # compiled-on-TPU sweep of the BC/iso/permutation paths
+        sweep = [
+            ((24, 24, 16, 24), 0, False, False),
+            ((24, 24, 16, 24), 1, False, False),
+            ((24, 24, 16, 24), 2, False, False),   # lane-hostile: permuted
+            ((24, 24, 16, 24), 2, True, False),
+            ((24, 24, 16, 24), 2, False, True),
+            ((24, 24, 16, 24), 2, True, True),
+            ((16, 16, 512), 0, False, False),
+            ((16, 16, 512), 1, False, False),
+        ]
+        for shape, bc, ir, iq in sweep:
+            good, err = check_vs_ops(shape, bc, ir, iq)
+            ok &= good
+            results["vs_ops"].append({
+                "shape": list(shape), "bc": bc, "iso_r": ir, "iso_q": iq,
+                "recon_rel_max_vs_ops": err, "ok": good,
+            })
+        results["all_ok"] = bool(ok)
+        out = os.path.join(os.path.dirname(_HERE), "TPU_FUSED_PARITY.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"artifact written to {out}")
     sys.exit(0 if ok else 1)
