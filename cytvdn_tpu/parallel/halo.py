@@ -128,3 +128,27 @@ class MeshComm:
             _slab(arr, ax, 0), name, [(i, i - 1) for i in range(1, n)]
         )
         return jnp.where(lax.axis_index(name) == n - 1, edge_slab, received)
+
+    # -- ring halos (periodic BC): the global wrap IS the ring, so no edge
+    # masking — every shard, including the global-edge ones, receives its
+    # ring neighbor's slab (the fused kernel's recompute then produces the
+    # periodic wrap operand exactly) ----------------------------------
+
+    def ring_from_prev(self, arr: Array, ax: int) -> Array:
+        """Ring -1 neighbor's last slab; own last slab when unsplit (the
+        whole axis lives on-shard, so the wrap is local)."""
+        name, n = self._mesh_info(ax)
+        my_last = _slab(arr, ax, -1)
+        if name is None or n == 1:
+            return my_last
+        return lax.ppermute(my_last, name,
+                            [(i, (i + 1) % n) for i in range(n)])
+
+    def ring_from_next(self, arr: Array, ax: int) -> Array:
+        """Ring +1 neighbor's first slab; own first slab when unsplit."""
+        name, n = self._mesh_info(ax)
+        my_first = _slab(arr, ax, 0)
+        if name is None or n == 1:
+            return my_first
+        return lax.ppermute(my_first, name,
+                            [(i, (i - 1) % n) for i in range(n)])

@@ -164,11 +164,12 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     if comm is not None and not isinstance(comm, NullComm):
         split = set(getattr(comm, "split_axes", ()))
         if split:
-            # sharded gates: periodic/mirror global edges would need ring
-            # halos the fused path doesn't synthesize; an iso pair's axes
-            # must be unsplit (the pair's seam recompute would need corner
-            # operands); a folded 3D energy axis cannot take halos
-            if opts.bc_mode != BCMode.JIA_ZHAO:
+            # sharded gates: mirror forward edges would need per-shard
+            # masking inside the kernel (ops path covers it exactly); an
+            # iso pair's axes must be unsplit (the pair's seam recompute
+            # would need corner operands); a folded 3D energy axis cannot
+            # take halos. Periodic shards via ring halos.
+            if opts.bc_mode == BCMode.MIRROR:
                 return False, False
             if opts.isotropic_R and split & {0, 1}:
                 return False, False
@@ -259,7 +260,21 @@ def iteration_step(
             halos = {}
             split = set(comm.split_axes)
             halo_axes = sorted({0, 1} | (split & set(range(2, opts.ndim))))
+            periodic = opts.bc_mode == BCMode.PERIODIC
             for ax in halo_axes:
+                if periodic:
+                    # ring halos: the global wrap IS the ring — uniform,
+                    # no edge masking (cf. reference utils.pyx:98-101's
+                    # % wraparound, here across shards)
+                    halos[f"prev{ax}"] = comm.ring_from_prev(recon, ax)
+                    halos[f"next{ax}_recon"] = comm.ring_from_next(
+                        recon, ax)
+                    halos[f"next{ax}_acc"] = comm.ring_from_next(
+                        accs[ax], ax)
+                    if fista:
+                        halos[f"next{ax}_d"] = comm.ring_from_next(
+                            ds[ax], ax)
+                    continue
                 z = jnp.zeros_like(slab(accs[ax], ax, 0))
                 halos[f"prev{ax}"] = comm.shift_from_prev(
                     recon, ax, slab(recon, ax, 0))

@@ -171,6 +171,20 @@ def test_sharded_pallas_q_axis_split():
         np.testing.assert_allclose(np.asarray(got["b_norm"]),
                                    np.asarray(single["b_norm"]), rtol=2e-4)
 
+    # periodic BC sharded: ring halos, no edge masking
+    from cytvdn_tpu.config import BCMode
+    per = dict(base.__dict__)
+    per["bc_mode"] = BCMode.PERIODIC
+    opts_pj = SolverOptions(**{**per, "backend": Backend.JAX})
+    opts_pp = SolverOptions(**{**per, "backend": Backend.PALLAS})
+    single_p = run_solver(jnp.asarray(cube4), jnp.asarray(li4),
+                          jnp.asarray(lm4), opts_pj)
+    for shard in [(2, 3, 1, 1), (2, 1, 2, 2)]:
+        got_p = run_sharded(cube4, li4, lm4, opts_pp, shard=shard)
+        np.testing.assert_allclose(np.asarray(got_p["recon"]),
+                                   np.asarray(single_p["recon"]),
+                                   rtol=2e-6, atol=2e-7)
+
     # 3D single-layout with the energy axis split
     cube3 = _cube((6, 8, 32))
     mu3 = np.full(3, 1.0, np.float32)
