@@ -12,8 +12,13 @@ in host RAM:
   the same mechanism the shard_map path uses (kernels/fused.py). Because
   slabs are processed in ascending order, the +1 neighbor's pre-update
   state is still untouched in host RAM, and the -1 neighbor's pre-update
-  last row is stashed before being overwritten: the math is *identical* to
-  the in-core run (tested to f32 equality).
+  state is read before its write-back: the math is *identical* to the
+  in-core run (tested to f32 equality).
+- **Software pipeline**: slab i+1's host→device transfers are enqueued
+  while slab i computes and slab i-1's results stream back — JAX's async
+  dispatch overlaps all three. Device inputs are donated, so the pallas
+  in-place aliasing holds on device (≈11 slab-size buffers per in-flight
+  slab, two slabs in flight).
 - bnorm/delta partials are summed across slabs host-side (deterministic);
   early stopping works per iteration.
 
@@ -24,12 +29,37 @@ not.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
 
 from cytvdn_tpu.config import BCMode, SolverOptions, normalize_iterations
 from cytvdn_tpu.solver.engine import fista_tk_ratios
+
+
+def _make_step():
+    """Donating jitted wrapper around :func:`fused_iteration`: the device
+    copies of recon/accs/ds are consumed by the call, so the kernel's
+    input→output aliasing holds on device and a slab costs ~11 slab-size
+    buffers instead of ~28 (without donation XLA must defensively copy
+    every aliased operand — enough to OOM the chip at production slab
+    sizes)."""
+    import jax
+
+    from cytvdn_tpu.kernels.fused import fused_iteration
+
+    @functools.partial(jax.jit,
+                       static_argnames=("fista", "interpret", "with_d"),
+                       donate_argnums=(1, 2, 3))
+    def step(orig, recon, accs, ds, tk_ratio, li, lm, halos,
+             fista, interpret, with_d):
+        return fused_iteration(
+            orig, recon, accs, ds if with_d else None, tk_ratio, li, lm,
+            fista=fista, interpret=interpret, halos=halos,
+        )
+
+    return step
 
 
 def _slab_bounds(n0: int, n_slabs: int):
@@ -98,69 +128,102 @@ def solve_outofcore(
     interpret = jax.default_backend() != "tpu"
     it_run = 0
     stopped = False
+    step = _make_step()
+    put = jax.device_put
 
     # device-resident zero halos, allocated once (per-slab shapes)
     zero_row = jnp.zeros((1,) + orig.shape[1:], jnp.float32)
     zero_cols = [jnp.zeros((b - a, 1) + orig.shape[2:], jnp.float32)
                  for a, b in bounds]
 
+    def load_slab(si: int, fista: bool, prev_last_old):
+        """Enqueue slab ``si``'s host→device transfers (inputs + halos)
+        from *pre-update* host state. Called before slab ``si-1``'s results
+        are written back, so the -1 neighbor's last row is still pre-update
+        in host RAM (``prev_last_old`` carries it when the write-back has
+        already happened — i.e. never, under the 1-slab lookahead, but kept
+        for the serial first slab of each sweep)."""
+        a0, a1 = bounds[si]
+        sl = slice(a0, a1)
+        r = recon[sl]
+        if si == 0:
+            prev0 = r[0:1]                 # JZ edge: zero difference
+        else:
+            prev0 = prev_last_old
+        if si + 1 < len(bounds):
+            nb = bounds[si + 1][0]
+            next0_recon = recon[nb:nb + 1]
+            next0_acc = accs[0][nb:nb + 1]
+            next0_d = ds[0][nb:nb + 1] if fista else None
+        else:
+            next0_recon = r[-1:]
+            next0_acc = zero_row
+            next0_d = zero_row if fista else None
+        # axis 1 is never slab-split: its halos are the JZ edge values
+        halos = {
+            "prev0": put(np.ascontiguousarray(prev0)),
+            "prev1": put(np.ascontiguousarray(recon[sl, 0:1])),
+            "next0_recon": put(np.ascontiguousarray(next0_recon)),
+            "next0_acc": put(next0_acc if next0_acc is zero_row
+                             else np.ascontiguousarray(next0_acc)),
+            "next1_recon": put(np.ascontiguousarray(recon[sl, -1:])),
+            "next1_acc": zero_cols[si],
+        }
+        if fista:
+            halos["next0_d"] = put(next0_d if next0_d is zero_row
+                                   else np.ascontiguousarray(next0_d))
+            halos["next1_d"] = zero_cols[si]
+        dev = {
+            "orig": put(orig[sl]),
+            "recon": put(r),
+            "accs": tuple(put(acc[sl]) for acc in accs),
+            "ds": tuple(put(d[sl]) for d in ds) if fista else (),
+            "halos": halos,
+            "prev_last_old": r[-1:].copy(),
+        }
+        return dev
+
     def iteration(fista: bool, tk_ratio: float):
-        """One full sweep over the slabs; returns (bnorm, delta)."""
+        """One full sweep over the slabs, software-pipelined: slab i+1
+        transfers in while slab i computes and slab i-1 streams back.
+        Returns (bnorm, delta)."""
         bnorm_tot = dnum_tot = dden_tot = 0.0
-        # stash of the previous slab's PRE-update last recon row
-        prev_last_old: Optional[np.ndarray] = None
-        for si, (a0, a1) in enumerate(bounds):
-            sl = slice(a0, a1)
-            r = recon[sl]
-            # halos from host state: -1 neighbor's pre-update last row
-            # (stashed), +1 neighbor's pre-update first rows (not yet
-            # processed this sweep, so still pre-update in host RAM).
-            # Edge values realize JZ exactly (see kernels/fused.py).
-            if si == 0:
-                prev0 = r[0:1]
-            else:
-                prev0 = prev_last_old
-            if si + 1 < len(bounds):
-                nb = bounds[si + 1][0]
-                next0_recon = recon[nb:nb + 1]
-                next0_acc = accs[0][nb:nb + 1]
-                next0_d = ds[0][nb:nb + 1] if fista else None
-            else:
-                next0_recon = r[-1:]
-                next0_acc = zero_row
-                next0_d = zero_row if fista else None
-            # axis 1 is never slab-split: its halos are the JZ edge values
-            col = recon[sl, 0:1]
-            halos = {
-                "prev0": jnp.asarray(prev0),
-                "prev1": jnp.asarray(col),                     # zero diff
-                "next0_recon": jnp.asarray(next0_recon),
-                "next0_acc": jnp.asarray(next0_acc),
-                "next1_recon": jnp.asarray(recon[sl, -1:]),    # JZ wrap
-                "next1_acc": zero_cols[si],
-            }
-            if fista:
-                halos["next0_d"] = jnp.asarray(next0_d)
-                halos["next1_d"] = zero_cols[si]
-
-            prev_last_old = r[-1:].copy()
-
-            out = fused_iteration(
-                jnp.asarray(orig[sl]), jnp.asarray(r),
-                tuple(jnp.asarray(acc[sl]) for acc in accs),
-                tuple(jnp.asarray(d[sl]) for d in ds) if fista else None,
-                np.float32(tk_ratio), li, lm,
-                fista=fista, interpret=interpret, halos=halos,
+        tk = jnp.asarray(np.float32(tk_ratio))
+        dev = load_slab(0, fista, None)
+        pending = None  # (slice, out tuple) awaiting write-back
+        for si in range(len(bounds)):
+            a0, a1 = bounds[si]
+            out = step(
+                dev["orig"], dev["recon"], dev["accs"], dev["ds"],
+                tk, li, lm, dev["halos"],
+                fista=fista, interpret=interpret, with_d=fista,
             )
-            recon_new, accs_new, ds_new, bnorm, dnum, dden = out
-            recon[sl] = np.asarray(recon_new)
-            for k in range(ndim):
-                accs[k][sl] = np.asarray(accs_new[k])
-                if fista:
-                    ds[k][sl] = np.asarray(ds_new[k])
-            bnorm_tot += float(bnorm)
-            dnum_tot += float(dnum)
-            dden_tot += float(dden)
+            prev_last_old = dev["prev_last_old"]
+            if si + 1 < len(bounds):
+                # enqueue the next slab's transfers while this one computes
+                dev = load_slab(si + 1, fista, prev_last_old)
+            if pending is not None:
+                psl, pout = pending
+                recon_new, accs_new, ds_new, bnorm, dnum, dden = pout
+                recon[psl] = np.asarray(recon_new)
+                for k in range(ndim):
+                    accs[k][psl] = np.asarray(accs_new[k])
+                    if fista:
+                        ds[k][psl] = np.asarray(ds_new[k])
+                bnorm_tot += float(bnorm)
+                dnum_tot += float(dnum)
+                dden_tot += float(dden)
+            pending = (slice(a0, a1), out)
+        psl, pout = pending
+        recon_new, accs_new, ds_new, bnorm, dnum, dden = pout
+        recon[psl] = np.asarray(recon_new)
+        for k in range(ndim):
+            accs[k][psl] = np.asarray(accs_new[k])
+            if fista:
+                ds[k][psl] = np.asarray(ds_new[k])
+        bnorm_tot += float(bnorm)
+        dnum_tot += float(dnum)
+        dden_tot += float(dden)
         # all-zero input: match the in-core 0/0 -> NaN instead of raising
         delta_tot = dnum_tot / dden_tot if dden_tot else float("nan")
         return bnorm_tot, delta_tot
