@@ -293,21 +293,33 @@ def test_choose_perm_dense_cases():
     assert ws[-1] % 128 == 0 and ws[-2] % 8 == 0
 
 
-@pytest.mark.parametrize("shape,fista", [
-    ((7, 10, 12), True),
-    ((3, 5, 9, 11), False),
-    ((9, 4, 6, 13), True),
+@pytest.mark.parametrize("shape,fista,bc,iso_r,iso_q", [
+    ((7, 10, 12), True, 2, False, False),
+    ((3, 5, 9, 11), False, 2, False, False),
+    ((9, 4, 6, 13), True, 2, False, False),
+    ((7, 9, 11), False, 0, False, False),     # periodic, odd 3D
+    ((5, 7, 4, 9), True, 0, False, False),    # periodic, odd 4D
+    ((5, 7, 4, 9), True, 1, False, False),    # mirror, odd 4D
+    ((3, 9, 5, 7), False, 1, False, False),
+    ((5, 4, 7, 9), True, 2, True, False),     # iso_R, odd
+    ((5, 4, 7, 9), False, 2, False, True),    # iso_Q, odd
 ])
-def test_fused_fuzz_shapes(shape, fista):
-    """Odd, non-aligned shapes through the full solver: fused (interpret)
-    vs XLA ops."""
+def test_fused_fuzz_shapes(shape, fista, bc, iso_r, iso_q):
+    """Odd, non-aligned shapes through the full solver across BC modes and
+    iso pairs: fused (interpret) vs XLA ops."""
+    import warnings
+
     cube = _cube(shape)
     ndim = len(shape)
-    mu = np.full(ndim, 1.0, np.float32)
+    mu = np.linspace(1.0, 2.0, ndim).astype(np.float32)
     fn = denoise3D if ndim == 3 else denoise4D
-    want = fn(cube, mu, iterations=4, FISTA=fista, quiet=True, backend="jax")
-    got = fn(cube, mu, iterations=4, FISTA=fista, quiet=True,
-             backend="pallas")
+    kw = dict(iterations=4, FISTA=fista, BC_mode=bc, quiet=True)
+    if ndim == 4:
+        kw.update(isotropic_R=iso_r, isotropic_Q=iso_q)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = fn(cube, mu, backend="jax", **kw)
+        got = fn(cube, mu, backend="pallas", **kw)
     _compare(got, want)
 
 
