@@ -234,6 +234,68 @@ def test_sharded_pallas_matches_sharded_jax():
                                    rtol=2e-4)
 
 
+@pytest.mark.parametrize("fista,bc,iso_r,iso_q", [
+    (True, 2, False, False),
+    (False, 2, False, False),
+    (True, 0, False, False),
+    (True, 1, False, False),
+    (True, 2, True, False),    # iso (0,1) seam recompute incl. ip-2 operand
+    (False, 2, True, True),
+])
+def test_fused_seam_paths_forced_small_blocks(monkeypatch, fista, bc,
+                                              iso_r, iso_q):
+    """Force B1 small so the axis-1 grid has real seams (G1 > 1) and B0 is
+    multi-row: exercises the pre-gathered seam-column operands, the seam
+    recompute (aniso and iso), and their interaction with every BC — the
+    code paths most production shapes hit but most small test shapes
+    don't (their whole axis 1 fits one block)."""
+    import warnings
+
+    import cytvdn_tpu.kernels.fused as F
+
+    shape = (8, 12, 6, 16)
+    # tail real bytes = 6*16*4 = 384; target 800 → B1 = 2, B0 = 1..
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 800)
+    plan = F._plan(shape, 4)
+    assert plan is not None and shape[1] // plan[4] > 1, plan  # G1 > 1
+
+    cube = _cube(shape)
+    mu = np.linspace(1.0, 2.0, 4).astype(np.float32)
+    kw = dict(iterations=(3, 2) if fista else 5, FISTA=fista, quiet=True,
+              isotropic_R=iso_r, isotropic_Q=iso_q)
+    if not (iso_r or iso_q):
+        kw["BC_mode"] = bc
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = denoise4D(cube, mu, backend="jax", **kw)
+        got = denoise4D(cube, mu, backend="pallas", **kw)
+    _compare(got, want)
+
+
+def test_fused_seam_paths_multirow_blocks(monkeypatch):
+    """Seams with B0 > 1 (multi-row blocks + column strips together)."""
+    import cytvdn_tpu.kernels.fused as F
+
+    shape = (9, 8, 4, 8)
+    # tail real = 4*8*4 = 128 B; target 600 → B1 = 4 (G1 = 2), B0 = 1;
+    # then raise target per-b0 loop: b0 grows while b0*b1*128 <= 600 → 1.
+    # use 1200 → B1 = 4? 4*128=512<=1200, 8*128=1024<=1200 → B1=8 (G1=1).
+    # So pin both: target 600 gives B1=4, B0=1; target 2400 gives B1=8...
+    # choose 1100: B1=4 (512<=1100, 1024<=1100 → 8! ) — compute exactly:
+    # c*128<=1100 → c<=8.6 → divisors of 8: 8 → G1=1. Use target 500:
+    # c<=3.9 → B1=2 (divides 8), then B0: c*2*128<=500 → 1.
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 500)
+    plan = F._plan(shape, 4)
+    _, _, _, b0, b1 = plan
+    assert shape[1] // b1 > 1
+    cube = _cube(shape)
+    mu = np.linspace(1.0, 2.0, 4).astype(np.float32)
+    want = denoise4D(cube, mu, iterations=(3, 2), quiet=True, backend="jax")
+    got = denoise4D(cube, mu, iterations=(3, 2), quiet=True,
+                    backend="pallas")
+    _compare(got, want)
+
+
 def test_lane_dense_permutation_matches_ops():
     """Shapes with a lane-hostile tail (e.g. (..., 9, 18)) run the fused
     kernel under the axis permutation chosen by choose_perm; results must
