@@ -209,7 +209,14 @@ def main(argv=None) -> int:
         f"final delta {delta[np.nonzero(delta)][-1] if np.any(delta) else 0:.5f}")
 
     t0 = time.time()
-    out = write_emd(args.output, recon)
+    if isinstance(recon, np.ndarray):
+        out = write_emd(args.output, recon)
+    else:
+        # sharded device array (possibly multihost): region-write /
+        # per-host parts + stitch, no full-cube gather
+        from cytvdn_tpu.io.emd import write_emd_sharded
+
+        out = write_emd_sharded(args.output, recon)
     log(f"wrote {out} in {time.time() - t0:.2f}s")
     return 0
 

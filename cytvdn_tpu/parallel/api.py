@@ -109,8 +109,14 @@ def denoise_sharded(
         out = chunk_driver(run_chunk, n_total, checkpoint_path,
                            checkpoint_every, resume, meta, datacube.shape)
 
+    recon = out["recon"]
+    if getattr(recon, "is_fully_addressable", True):
+        recon = np.asarray(recon)
+    # else: multihost — no process can hold the global cube; the sharded
+    # jax.Array is returned as-is and writers take it directly
+    # (io.emd.write_emd_sharded writes per-host parts + stitch)
     result = {
-        "recon": np.asarray(out["recon"]),
+        "recon": recon,
         "b_norm": np.asarray(out["b_norm"]),
         "delta": np.asarray(out["delta"]),
         "iterations_run": int(out["iterations_run"]),
