@@ -123,9 +123,10 @@ def _measure_outofcore(shape, iters):
     lam = mu / 32.0
     rng = np.random.default_rng(0)
     cube = (rng.standard_normal(shape).astype(np.float32) * 0.3 + 1.0)
-    # two slabs in flight (double-buffered pipeline) x ~11 slab-buffers
-    # each, plus headroom
-    n_slabs = max(4, int(np.ceil(cube.nbytes * 26 / _USABLE_HBM)))
+    # three slab generations live at the pipeline's peak (pending outputs
+    # + executing + prefetched inputs) x ~11 slab-buffers each, plus
+    # headroom
+    n_slabs = max(4, int(np.ceil(cube.nbytes * 38 / _USABLE_HBM)))
     opts = SolverOptions(ndim=ndim, iterations_fista=iters,
                          iterations_unacc=0)
     # warm: one iteration compiles the slab kernel + pays channel setup

@@ -28,13 +28,33 @@ _STAMP = _OUT + ".hash"
 
 
 def _src_hash() -> str:
-    """Hash of the source + the host ISA tag. The cache key must not be an
-    mtime: after a fresh clone mtimes are arbitrary, and a stale (or
-    foreign-ISA, since we compile -march=native) binary would be loaded."""
+    """Hash of the source + a host ISA fingerprint. The cache key must not
+    be an mtime (after a fresh clone mtimes are arbitrary), and because we
+    compile ``-march=native`` the fingerprint must be finer than the
+    architecture name: on a shared filesystem, an AVX-512 host's binary
+    reused by a non-AVX-512 host would load fine and SIGILL at call time.
+    The CPU feature-flag set plus the compiler version pin the binary to
+    the microarchitecture class that built it."""
     h = hashlib.sha256()
     with open(_SRC, "rb") as f:
         h.update(f.read())
     h.update(os.uname().machine.encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    cc = _compiler()
+    if cc:
+        try:
+            out = subprocess.run([cc, "--version"], capture_output=True,
+                                 text=True, timeout=10).stdout
+            h.update(out.splitlines()[0].encode() if out else b"")
+        except Exception:
+            pass
     return h.hexdigest()
 
 

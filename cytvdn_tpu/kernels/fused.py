@@ -47,11 +47,11 @@ Design (TPU-first, exploits the sequential Pallas grid):
 
 Scope (round 2): float32, all three BC modes (periodic / corrected mirror
 / Jia-Zhao), anisotropic and half-isotropic pairs, single device and
-shard_map meshes with operand halos on ANY axis (scan and Q). The XLA ops
-backend (``cytvdn_tpu/ops``) remains the executable spec and covers
-float64 plus the few sharded interplays the kernel gates off
-(periodic/mirror global ring halos, split iso-pair axes, folded-3D energy
-splits) — see ``solver.engine._resolve_fused``.
+shard_map meshes with operand halos on ANY axis (scan and Q); sharded
+periodic rides ring halos. The XLA ops backend (``cytvdn_tpu/ops``)
+remains the executable spec and covers float64 plus the few sharded
+interplays the kernel gates off (sharded mirror, split iso-pair axes,
+folded-3D energy splits) — see ``solver.engine._resolve_fused``.
 """
 
 from __future__ import annotations
@@ -143,6 +143,11 @@ def choose_perm(shape: Tuple[int, ...], itemsize: int = 4) -> Tuple[int, ...]:
     best = None
     for perm in itertools.permutations(range(ndim)):
         ws = tuple(shape[p] for p in perm)
+        if ws[0] < 2:
+            # fused_supported rejects work shapes with a degenerate
+            # pipeline axis — choosing one would silently disable the
+            # kernel while still paying the transposes
+            continue
         plan = _plan(ws, itemsize)
         if plan is None:
             continue
@@ -322,10 +327,11 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         if iso_r and has_seam:
             # iso (0,1) seam recompute needs the neighbor column's axis-0
             # difference too: the column at row-block ip-2 (for its row-0
-            # backward operand) and the axis-0 accumulator/dual columns
+            # backward operand) and the axis-0 accumulator column. (The
+            # axis-0 dual d0 is NOT needed — only the b1 component of the
+            # pair is reconstructed at the seam.)
             recon_c_ip2 = next(it)            # col @ (ip-2, j+1)
             acc0_next1 = next(it)             # col @ (ip-1, j+1)
-            d0_next1 = next(it) if fista else None
         if with_halo:
             h_prev0 = next(it)                # (1,b1)+tail @ (0, j)
             h_prev1 = next(it)                # (1,1)+tail @ (ip, 0)
@@ -760,9 +766,8 @@ def fused_iteration(
         d1_firstcols = col_gather(ds[1], 0) if fista else None
         if iso_r:
             # the iso (0,1) seam recompute additionally reads the neighbor
-            # column's axis-0 accumulator/dual state
+            # column's axis-0 accumulator state
             acc0_firstcols = col_gather(accs[0], 0)
-            d0_firstcols = col_gather(ds[0], 0) if fista else None
 
     def prev1_map(j, ip):  # strip j-1's last column (clamped) at row ip
         return (
@@ -817,9 +822,6 @@ def fused_iteration(
 
             in_specs += [col(next1_ip2_map), col(next1_map)]
             inputs += [recon_firstcols, acc0_firstcols]
-            if fista:
-                in_specs += [col(next1_map)]
-                inputs += [d0_firstcols]
     # recon IS aliased: its pallas input blocks (ip, j) are each read before
     # the output write of block (ip-1, j) in the same strip touches them,
     # strips write disjoint columns, and all seam re-reads go through the

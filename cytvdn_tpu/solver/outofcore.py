@@ -17,8 +17,10 @@ in host RAM:
 - **Software pipeline**: slab i+1's host→device transfers are enqueued
   while slab i computes and slab i-1's results stream back — JAX's async
   dispatch overlaps all three. Device inputs are donated, so the pallas
-  in-place aliasing holds on device (≈11 slab-size buffers per in-flight
-  slab, two slabs in flight).
+  in-place aliasing holds on device (≈11 slab-size buffers per slab
+  generation; THREE generations are live at the pipeline's peak — pending
+  outputs, executing, prefetched — so size slabs for ~33 slab-buffers of
+  HBM).
 - bnorm/delta partials are summed across slabs host-side (deterministic);
   early stopping works per iteration.
 

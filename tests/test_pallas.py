@@ -122,14 +122,23 @@ def test_fused_iso_pairs_match_ops(iso_r, iso_q):
     _compare(got, want)
 
 
-def test_fused_iso_seam_many_columns():
-    """iso (0,1) with several axis-1 column strips and multi-row blocks —
-    stresses the ip-2 operand of the iso seam recompute."""
+def test_fused_iso_seam_many_columns(monkeypatch):
+    """iso (0,1) with several axis-1 column strips — stresses the ip-2
+    operand of the iso seam recompute (block budget pinned so G1 > 1;
+    at the default budget this shape fits one strip and has no seams)."""
     from cytvdn_tpu.config import SolverOptions, Backend
     from cytvdn_tpu.solver.engine import run_solver
+    import cytvdn_tpu.kernels.fused as F
     import jax.numpy as jnp
 
-    shape = (7, 12, 4, 16)
+    # NOTE: a shape no other test traces — jit caches key on shapes and
+    # statics, not on the (patched) block-budget global, so reusing a
+    # shape already traced at the default budget would silently test the
+    # seam-free plan again
+    shape = (7, 12, 6, 16)
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 800)
+    plan = F._plan(shape, 4)
+    assert plan is not None and shape[1] // plan[4] > 1, plan
     cube = _cube(shape)
     mu = np.full(4, 1.0, np.float32)
     lam = mu / 32.0
@@ -272,27 +281,26 @@ def test_fused_seam_paths_forced_small_blocks(monkeypatch, fista, bc,
     _compare(got, want)
 
 
-def test_fused_seam_paths_multirow_blocks(monkeypatch):
-    """Seams with B0 > 1 (multi-row blocks + column strips together)."""
+@pytest.mark.parametrize("iso_r", [False, True])
+def test_fused_seam_paths_multirow_blocks(monkeypatch, iso_r):
+    """Seams with B0 > 1: multi-row blocks AND multiple column strips
+    together (the seam concat paths with a real in-block body, and for
+    iso the rc_up/prev_last axis-0 recompute with b0 > 1)."""
     import cytvdn_tpu.kernels.fused as F
 
-    shape = (9, 8, 4, 8)
-    # tail real = 4*8*4 = 128 B; target 600 → B1 = 4 (G1 = 2), B0 = 1;
-    # then raise target per-b0 loop: b0 grows while b0*b1*128 <= 600 → 1.
-    # use 1200 → B1 = 4? 4*128=512<=1200, 8*128=1024<=1200 → B1=8 (G1=1).
-    # So pin both: target 600 gives B1=4, B0=1; target 2400 gives B1=8...
-    # choose 1100: B1=4 (512<=1100, 1024<=1100 → 8! ) — compute exactly:
-    # c*128<=1100 → c<=8.6 → divisors of 8: 8 → G1=1. Use target 500:
-    # c<=3.9 → B1=2 (divides 8), then B0: c*2*128<=500 → 1.
-    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 500)
+    shape = (8, 15, 4, 8)
+    # tail real = 4*8*4 = 128 B. b1_target = max(T, min(4*128, cap)) = T
+    # for T=1408 → b1 ≤ 11 → divisors of 15 → 5 (G1 = 3);
+    # b0: c*5*128 ≤ 1408 → 2 (divides 8). Verified by the assert below.
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 1408)
     plan = F._plan(shape, 4)
     _, _, _, b0, b1 = plan
-    assert shape[1] // b1 > 1
+    assert b0 > 1 and shape[1] // b1 > 1, (b0, b1)
     cube = _cube(shape)
     mu = np.linspace(1.0, 2.0, 4).astype(np.float32)
-    want = denoise4D(cube, mu, iterations=(3, 2), quiet=True, backend="jax")
-    got = denoise4D(cube, mu, iterations=(3, 2), quiet=True,
-                    backend="pallas")
+    kw = dict(iterations=(3, 2), quiet=True, isotropic_R=iso_r)
+    want = denoise4D(cube, mu, backend="jax", **kw)
+    got = denoise4D(cube, mu, backend="pallas", **kw)
     _compare(got, want)
 
 
