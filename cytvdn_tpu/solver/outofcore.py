@@ -40,6 +40,49 @@ from cytvdn_tpu.config import BCMode, SolverOptions, normalize_iterations
 from cytvdn_tpu.solver.engine import fista_tk_ratios
 
 
+def _make_temporal_chunk():
+    """K fused iterations on one device-resident extended slab.
+
+    Temporal blocking (trapezoidal tiling): the slab is loaded with a
+    K-row margin on each interior side; each on-device iteration lets
+    boundary garbage creep exactly one row inward from the margins (the
+    stencil's light cone is ±1 row/iteration), so after K iterations the
+    core rows are bit-identical to the serial sweep while host↔device
+    traffic per iteration drops K×. ``halos=None`` (single-device JZ
+    edges) is exactly right: at true cube edges it IS the boundary
+    condition, at interior margin edges its wrongness is confined to the
+    discarded margin.
+
+    Returns ``(recon, accs, ds, recon_prev)`` after the K scanned
+    iterations — ``recon_prev`` (the K-1st recon) lets the caller compute
+    the true iteration-(T+K) delta over the core region.
+    """
+    import jax
+    from jax import lax
+
+    from cytvdn_tpu.kernels.fused import fused_iteration
+
+    @functools.partial(jax.jit,
+                       static_argnames=("fista", "interpret", "with_d"),
+                       donate_argnums=(1, 2, 3))
+    def chunk(orig, recon, accs, ds, tk_ratios, li, lm,
+              fista, interpret, with_d):
+        def body(carry, tk):
+            r, a, d, _ = carry
+            r2, a2, d2, _, _, _ = fused_iteration(
+                orig, r, a, d if with_d else None, tk, li, lm,
+                fista=fista, interpret=interpret, halos=None,
+            )
+            return (r2, a2, d2 if with_d else (), r), None
+
+        (r, a, d, r_prev), _ = lax.scan(
+            body, (recon, accs, ds, recon), tk_ratios
+        )
+        return r, a, d, r_prev
+
+    return chunk
+
+
 def _make_step():
     """Donating jitted wrapper around :func:`fused_iteration`: the device
     copies of recon/accs/ds are consumed by the call, so the kernel's
@@ -255,6 +298,162 @@ def solve_outofcore(
     }
 
 
+def solve_outofcore_temporal(
+    orig: np.ndarray,
+    lambda_inv: np.ndarray,
+    lam_mu: np.ndarray,
+    opts: SolverOptions,
+    n_slabs: int,
+    temporal_k: int,
+) -> Dict[str, np.ndarray]:
+    """Out-of-core solve with temporal blocking: ``temporal_k`` iterations
+    per slab residency.
+
+    Each slab is loaded with a ``K``-row margin on every interior side and
+    iterated K times on device before its core is written back — host ↔
+    device traffic per iteration drops K× (this is what makes out-of-core
+    *compute*-bound on a real PCIe host: a 64 GiB-state sweep moves once
+    per K iterations). Core results are bit-identical to the serial sweep
+    (the boundary light cone is ±1 row/iteration; the margins absorb it).
+
+    Semantics deviations vs ``solve_outofcore`` (documented, opt-in):
+    ``b_norm``/``delta`` traces carry true values only at sweep-final
+    iterations (zeros between), and early stopping is evaluated at sweep
+    granularity — a run that would stop mid-sweep runs to the sweep end.
+    Sweeps never cross the FISTA→unaccelerated phase boundary.
+    """
+    import jax
+
+    from cytvdn_tpu.kernels.fused import fused_supported
+
+    if temporal_k <= 1:
+        return solve_outofcore(orig, lambda_inv, lam_mu, opts, n_slabs)
+    if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
+        raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
+    orig = np.ascontiguousarray(orig)
+    if orig.dtype != np.float32:
+        raise ValueError("out-of-core mode requires float32 data")
+    ndim = opts.ndim
+    n0 = orig.shape[0]
+    K = int(temporal_k)
+    bounds = _slab_bounds(n0, n_slabs)
+    min_core = min(b - a for a, b in bounds)
+    if K > min_core:
+        # a margin deeper than one neighbor slab would read rows the
+        # pipelined write-back has already advanced past iteration T
+        raise ValueError(
+            f"temporal_k={K} exceeds the smallest slab core ({min_core} "
+            f"rows); use fewer slabs or a smaller temporal_k"
+        )
+    ext = [(max(a - K, 0), min(b + K, n0), a, b) for a, b in bounds]
+    for lo, hi, _, _ in ext:
+        if hi - lo < 2 or not fused_supported(
+            (hi - lo,) + orig.shape[1:], np.dtype(np.float32), opts.bc_mode
+        ):
+            raise ValueError(
+                f"extended slab shape {(hi - lo,) + orig.shape[1:]} "
+                "unsupported by the fused kernel"
+            )
+
+    n_f, n_u = opts.iterations_fista, opts.iterations_unacc
+    n_total = n_f + n_u
+    stopping = opts.stopping_relative_change
+    tk_all = fista_tk_ratios(n_f).astype(np.float32)
+
+    recon = orig.copy()
+    accs = [np.zeros_like(orig) for _ in range(ndim)]
+    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    b_norm = np.zeros(n_total, np.float32)
+    delta = np.zeros(n_total, np.float32)
+
+    import jax.numpy as jnp
+
+    li = jnp.asarray(lambda_inv.astype(np.float32))
+    lm = jnp.asarray(lam_mu.astype(np.float32))
+    interpret = jax.default_backend() != "tpu"
+    chunk = _make_temporal_chunk()
+    put = jax.device_put
+
+    @functools.partial(jax.jit, static_argnames=("off", "clen"))
+    def core_stats(r, a_list, r_prev, off, clen):
+        bn = jnp.zeros((), jnp.float32)
+        for a_k in a_list:
+            bn = bn + jnp.sum(jnp.abs(a_k[off:off + clen]))
+        rc, rp = r[off:off + clen], r_prev[off:off + clen]
+        return bn, jnp.sum(jnp.abs(rc - rp)), jnp.sum(jnp.abs(rp))
+
+    def load_ext(si, fista):
+        lo, hi, _, _ = ext[si]
+        sl = slice(lo, hi)
+        return {
+            "orig": put(orig[sl]),
+            "recon": put(recon[sl]),
+            "accs": tuple(put(a[sl]) for a in accs),
+            "ds": tuple(put(d[sl]) for d in ds) if fista else (),
+        }
+
+    def sweep(fista: bool, tks: np.ndarray):
+        """Run len(tks) iterations over all slabs; returns the final
+        iteration's (bnorm, delta) over the global domain."""
+        tks_d = jnp.asarray(tks)
+        bn_t = dn_t = dd_t = 0.0
+        dev = load_ext(0, fista)
+        pending = None
+        for si in range(len(bounds)):
+            out = chunk(dev["orig"], dev["recon"], dev["accs"], dev["ds"],
+                        tks_d, li, lm,
+                        fista=fista, interpret=interpret, with_d=fista)
+            if si + 1 < len(bounds):
+                dev = load_ext(si + 1, fista)
+            if pending is not None:
+                bn_t, dn_t, dd_t = _writeback(*pending, bn_t, dn_t, dd_t,
+                                              fista)
+            pending = (si, out)
+        bn_t, dn_t, dd_t = _writeback(*pending, bn_t, dn_t, dd_t, fista)
+        return bn_t, (dn_t / dd_t if dd_t else float("nan"))
+
+    def _writeback(si, out, bn_t, dn_t, dd_t, fista):
+        lo, hi, a0, a1 = ext[si]
+        off, clen = a0 - lo, a1 - a0
+        r, a_out, d_out, r_prev = out
+        bn, dn, dd = core_stats(r, list(a_out), r_prev, off=off, clen=clen)
+        sl = slice(a0, a1)
+        recon[sl] = np.asarray(r[off:off + clen])
+        for k in range(ndim):
+            accs[k][sl] = np.asarray(a_out[k][off:off + clen])
+            if fista:
+                ds[k][sl] = np.asarray(d_out[k][off:off + clen])
+        return bn_t + float(bn), dn_t + float(dn), dd_t + float(dd)
+
+    it_run = 0
+    stopped = False
+    for fista, count, tks_phase in (
+        (True, n_f, tk_all), (False, n_u, np.zeros(n_u, np.float32))
+    ):
+        if not count:
+            continue
+        if not fista:
+            stopped = False  # second phase runs regardless (reference)
+        t = 0
+        while t < count and not stopped:
+            k_t = min(K, count - t)
+            bn, dl = sweep(fista, tks_phase[t:t + k_t])
+            t += k_t
+            it_run += k_t
+            b_norm[it_run - 1] = bn
+            delta[it_run - 1] = dl
+            if stopping is not None and dl < stopping:
+                stopped = True
+
+    return {
+        "recon": recon,
+        "b_norm": b_norm,
+        "delta": delta,
+        "iterations_run": np.int32(it_run),
+        "early_stopped": np.bool_(stopped),
+    }
+
+
 def denoise_outofcore(
     datacube: np.ndarray,
     mu,
@@ -264,8 +463,13 @@ def denoise_outofcore(
     stopping_relative_change: Optional[float] = None,
     n_slabs: int = 4,
     quiet: bool = True,
+    temporal_k: int = 1,
 ):
     """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
+
+    ``temporal_k > 1`` enables temporal blocking: K iterations per slab
+    residency, cutting host↔device traffic per iteration K× (see
+    :func:`solve_outofcore_temporal` for the trace/early-stop semantics).
 
     Returns ``(recon, b_norm, delta)`` like :func:`cytvdn_tpu.denoise`.
     """
@@ -288,5 +492,9 @@ def denoise_outofcore(
         iterations_unacc=n_u,
         stopping_relative_change=stopping_relative_change,
     )
-    out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs)
+    if temporal_k > 1:
+        out = solve_outofcore_temporal(datacube, lambda_inv, lam_mu, opts,
+                                       n_slabs, temporal_k)
+    else:
+        out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs)
     return out["recon"], out["b_norm"], out["delta"]

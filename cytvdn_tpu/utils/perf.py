@@ -20,10 +20,12 @@ HBM_BW = {
 }
 
 #: measured practical bandwidth for looped read-modify-write workloads on
-#: the bench chip (a trivial XLA saxpy loop on 1 GiB arrays sustains
-#: ~425-560 GB/s on the tunneled v5e; the fused kernel reaches ~470) —
+#: the bench chip. Round-2 note: round 1's lower numbers (425-560 GB/s
+#: saxpy, ~470 kernel) were partly the lane-padding tax on non-128-lane
+#: shapes; with lane-dense layouts the fused kernel sustains ~590-600
+#: GB/s effective (~72% of the 819 GB/s spec peak) on both 3D and 4D —
 #: use this, not the spec peak, when judging kernel efficiency
-PRACTICAL_BW = {"v5e": 500e9, "v5 lite": 500e9}
+PRACTICAL_BW = {"v5e": 600e9, "v5 lite": 600e9}
 
 
 def traversals_per_iteration(ndim: int, fista: bool, backend: str) -> float:

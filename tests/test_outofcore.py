@@ -50,3 +50,45 @@ def test_outofcore_rejects_unsupported():
     cube = _cube((8, 6, 8))
     with pytest.raises(ValueError):
         denoise_outofcore(cube, np.full(3, 1.0, np.float32), n_slabs=8)
+
+
+@pytest.mark.parametrize("n_slabs,k", [(2, 2), (3, 3), (2, 5)])
+@pytest.mark.parametrize("fista", [True, False])
+def test_temporal_blocking_matches_incore(n_slabs, k, fista):
+    """K iterations per slab residency: core results must equal the
+    in-core run (margin contamination fully absorbed), and traces carry
+    true values at sweep-final iterations."""
+    cube = _cube((10, 6, 8, 16))
+    mu = np.full(4, 1.0, np.float32)
+    n_it = 7  # not a multiple of k: exercises the short trailing sweep
+    want = denoise4D(cube, mu, iterations=n_it, FISTA=fista, quiet=True,
+                     backend="pallas")
+    got = denoise_outofcore(cube, mu, iterations=n_it, FISTA=fista,
+                            n_slabs=n_slabs, temporal_k=k)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
+    # sweep-final trace entries match the in-core per-iteration traces
+    idx = sorted({min(i + k, n_it) - 1 for i in range(0, n_it, k)})
+    np.testing.assert_allclose(got[1][idx], want[1][idx], rtol=2e-4)
+    np.testing.assert_allclose(got[2][idx], want[2][idx], rtol=2e-4,
+                               atol=1e-7)
+    # intermediate entries are zeros by contract
+    others = [i for i in range(n_it) if i not in idx]
+    assert np.all(got[1][others] == 0)
+
+
+def test_temporal_blocking_hybrid_schedule():
+    """Sweeps must not cross the FISTA->unaccelerated phase boundary."""
+    cube = _cube((9, 6, 8, 16))
+    mu = np.full(4, 1.0, np.float32)
+    want = denoise4D(cube, mu, iterations=(5, 4), quiet=True,
+                     backend="pallas")
+    got = denoise_outofcore(cube, mu, iterations=(5, 4), n_slabs=2,
+                            temporal_k=3)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
+
+
+def test_temporal_k_exceeding_core_rejected():
+    cube = _cube((8, 6, 8, 16))
+    with pytest.raises(ValueError, match="temporal_k"):
+        denoise_outofcore(cube, np.full(4, 1.0, np.float32), iterations=4,
+                          n_slabs=4, temporal_k=5)
