@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stream the cube through the device in N slabs with "
                         "host-resident state (for cubes whose state exceeds "
                         "HBM; Jia-Zhao anisotropic float32 only)")
+    p.add_argument("--temporal", type=int, default=1, metavar="K",
+                   help="with --out-of-core: K iterations per slab "
+                        "residency (temporal blocking; cuts host-device "
+                        "traffic ~Kx; traces/early-stop at sweep "
+                        "granularity)")
     return p
 
 
@@ -137,6 +142,10 @@ def main(argv=None) -> int:
         backend=args.backend,
     )
 
+    if args.temporal != 1 and not args.out_of_core:
+        print("error: --temporal requires --out-of-core", file=sys.stderr)
+        return 2
+
     import contextlib
 
     from cytvdn_tpu.utils.log import profile_trace
@@ -171,6 +180,7 @@ def main(argv=None) -> int:
         recon, b_norm, delta = denoise_outofcore(
             data, mu, lam=lam, iterations=iterations, FISTA=bool(args.fista),
             stopping_relative_change=args.stop, n_slabs=args.out_of_core,
+            temporal_k=args.temporal, quiet=not verbose,
         )
     elif args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded
