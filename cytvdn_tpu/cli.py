@@ -94,39 +94,73 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    verbose = args.verbose
+
+    # join the multi-host runtime first (no-op on a single host; on a pod
+    # every host runs this same command — the analog of the reference's
+    # one-MPI-rank-per-node launch, reference cori_MPI_example.sh:44)
+    from cytvdn_tpu.parallel.distributed import init_distributed
+
+    multihost = init_distributed()
+    proc, n_proc = 0, 1
+    if multihost:
+        import jax
+
+        proc, n_proc = jax.process_index(), jax.process_count()
+
+    # rank-aware logging like the reference (head rank INFO, others quiet,
+    # reference mpi.py:298-305); CYTV_LOG_ALL_PROCS=1 un-gates the rest
+    verbose = args.verbose and (
+        proc == 0 or os.environ.get("CYTV_LOG_ALL_PROCS"))
+    tag = f"[cytv p{proc}]" if n_proc > 1 else "[cytv]"
 
     def log(msg):
         if verbose:
-            print(f"[cytv] {msg}", flush=True)
+            print(f"{tag} {msg}", flush=True)
 
     if args.dtype == "float64":
         import jax
 
         jax.config.update("jax_enable_x64", True)
 
-    from cytvdn_tpu.io.loaders import load_input
+    if n_proc > 1 and not args.shard:
+        log("multi-host run without --shard: defaulting to --shard auto")
+        args.shard = "auto"
+
+    from cytvdn_tpu.io.loaders import load_input, open_input
     from cytvdn_tpu.io.emd import write_emd
 
     t0 = time.time()
-    data = load_input(args.input, dtype=np.dtype(args.dtype))
-    log(f"loaded {args.input}: shape {data.shape}, {data.dtype}, "
-        f"{data.nbytes / 2**20:.1f} MiB in {time.time() - t0:.2f}s")
+    data_path = None
+    if args.shard and args.dtype == "float32":
+        # sharded float32 runs read per-shard blocks lazily (per-host on a
+        # pod — no process ever loads the full cube, like the reference's
+        # memmap/MPI-IO opens, mpi.py:93-124); peek only at the shape here
+        with open_input(args.input) as h:
+            shape, in_dtype = h.shape, h.dtype
+        data_path = args.input
+        data = None
+        log(f"opened {args.input} lazily: shape {shape}, {in_dtype}")
+    else:
+        data = load_input(args.input, dtype=np.dtype(args.dtype))
+        shape = data.shape
+        log(f"loaded {args.input}: shape {data.shape}, {data.dtype}, "
+            f"{data.nbytes / 2**20:.1f} MiB in {time.time() - t0:.2f}s")
 
-    ndim = args.dimensions or data.ndim
-    if data.ndim != ndim:
-        print(f"error: input is {data.ndim}D but -d {ndim} given",
+    ndim = args.dimensions or len(shape)
+    if len(shape) != ndim:
+        print(f"error: input is {len(shape)}D but -d {ndim} given",
               file=sys.stderr)
         return 2
 
-    mu = np.asarray(args.mu, dtype=data.dtype)
+    run_dtype = np.dtype(args.dtype)
+    mu = np.asarray(args.mu, dtype=run_dtype)
     if mu.size == 1:
-        mu = np.full(ndim, mu[0], dtype=data.dtype)
+        mu = np.full(ndim, mu[0], dtype=run_dtype)
     lam = None
     if args.lam is not None:
-        lam = np.asarray(args.lam, dtype=data.dtype)
+        lam = np.asarray(args.lam, dtype=run_dtype)
         if lam.size == 1:
-            lam = np.full(ndim, lam[0], dtype=data.dtype)
+            lam = np.full(ndim, lam[0], dtype=run_dtype)
 
     iterations = (args.niterations[0] if len(args.niterations) == 1
                   else tuple(args.niterations[:2]))
@@ -188,7 +222,7 @@ def main(argv=None) -> int:
         shard = ("auto" if args.shard == "auto"
                  else tuple(int(s) for s in args.shard.split(",")))
         result = denoise_sharded(
-            data, shard=shard,
+            data_path if data_path is not None else data, shard=shard,
             isotropic_R=args.iso_r, isotropic_Q=args.iso_q,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,

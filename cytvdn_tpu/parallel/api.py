@@ -90,9 +90,10 @@ def denoise_sharded(
         "iterations_unacc": n_u,
     }
 
+    from cytvdn_tpu.utils.checkpoint import checkpoint_exists
+
     checkpointing = bool(checkpoint_path and checkpoint_every)
-    resuming = bool(resume and checkpoint_path
-                    and os.path.exists(checkpoint_path))
+    resuming = bool(resume and checkpoint_exists(checkpoint_path))
 
     if not checkpointing and not resuming:
         out = run_sharded(datacube, lambda_inv, lam_mu, opts,

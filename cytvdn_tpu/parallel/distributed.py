@@ -28,8 +28,11 @@ def init_distributed(
     """
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # NB: must not touch the backend (jax.devices/process_count) before
+    # jax.distributed.initialize — it would lock in a single-process
+    # runtime and make initialize() raise
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     env_np = os.environ.get("JAX_NUM_PROCESSES")

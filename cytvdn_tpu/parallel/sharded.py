@@ -189,6 +189,12 @@ def run_sharded(
     rep_sh = NamedSharding(mesh, P())
 
     def put(x, sh):
+        from cytvdn_tpu.utils.checkpoint import ShardedBlocks
+
+        if isinstance(x, ShardedBlocks):
+            # multi-process checkpoint resume: each process supplies only
+            # the blocks its devices own
+            return jax.make_array_from_callback(x.shape, sh, x.lookup)
         return jax.device_put(x, sh)
 
     args = [put(orig, data_sh), put(jnp.asarray(lambda_inv), rep_sh),

@@ -25,24 +25,50 @@ from cytvdn_tpu.config import Backend, BCMode, SolverOptions, normalize_iteratio
 _FMT_VERSION = 1
 
 
-def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
-    """Atomic .npz checkpoint write (tmp file + rename)."""
-    arrays = {
-        "recon": np.asarray(state["recon"]),
-        "b_norm": np.asarray(state["b_norm"]),
-        "delta": np.asarray(state["delta"]),
-        "mse": np.asarray(state.get("mse", np.zeros(0))),
-        "i": np.asarray(state["i"]),
-        "tk": np.asarray(state.get("tk", 1.0), np.float32),
-        "early_stopped": np.asarray(bool(state.get("early_stopped", False))),
-    }
-    for k, a in enumerate(state["accs"]):
-        arrays[f"acc{k}"] = np.asarray(a)
-    for k, a in enumerate(state.get("ds") or ()):
-        arrays[f"d{k}"] = np.asarray(a)
-    arrays["meta"] = np.frombuffer(
-        json.dumps({**meta, "version": _FMT_VERSION}).encode(), dtype=np.uint8
-    )
+class ShardedBlocks:
+    """A checkpointed state array held as this process's shard blocks.
+
+    Multi-host checkpoints never materialize global cubes: each process
+    saves exactly the blocks its devices own and reloads the same blocks
+    on resume (``run_sharded`` reassembles the global array via
+    ``jax.make_array_from_callback``, which asks each process only for its
+    own blocks). The analog of per-rank MPI-IO checkpointing.
+    """
+
+    def __init__(self, shape, dtype, blocks):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self._blocks = dict(blocks)  # bounds tuple -> np.ndarray
+
+    @staticmethod
+    def bounds_of(index, shape):
+        return tuple(
+            (0, d) if s == slice(None) else s.indices(d)[:2]
+            for s, d in zip(index, shape)
+        )
+
+    def lookup(self, index) -> np.ndarray:
+        key = self.bounds_of(index, self.shape)
+        try:
+            return self._blocks[key]
+        except KeyError:
+            raise ValueError(
+                f"checkpoint resume asked for block {key} but this "
+                f"process saved {sorted(self._blocks)} — resume must use "
+                f"the same process count, device order and --shard tiling "
+                f"as the run that wrote the checkpoint"
+            ) from None
+
+    def items(self):
+        return self._blocks.items()
+
+
+def _is_distributed(x) -> bool:
+    return (isinstance(x, jax.Array)
+            and not getattr(x, "is_fully_addressable", True))
+
+
+def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]):
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".ckpt.tmp")
     os.close(fd)
@@ -55,25 +81,153 @@ def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
             os.unlink(tmp)
 
 
+def _part_path(path: str, proc: int) -> str:
+    return f"{path}.p{proc}" if proc else path
+
+
+def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
+    """Atomic .npz checkpoint write (tmp file + rename).
+
+    Single-process state saves one file at ``path``. Multi-process state
+    (non-fully-addressable ``jax.Array``s) saves one self-contained file
+    per process — process 0 at ``path``, process p at ``path.p<p>`` —
+    each holding only that process's shard blocks plus the replicated
+    scalars/traces; a chunk counter guards against mixed-generation parts.
+    """
+    data_items = [("recon", state["recon"])]
+    data_items += [(f"acc{k}", a) for k, a in enumerate(state["accs"])]
+    data_items += [(f"d{k}", a) for k, a in enumerate(state.get("ds") or ())]
+
+    arrays = {
+        "b_norm": np.asarray(state["b_norm"]),
+        "delta": np.asarray(state["delta"]),
+        "mse": np.asarray(state.get("mse", np.zeros(0))),
+        "i": np.asarray(state["i"]),
+        "tk": np.asarray(state.get("tk", 1.0), np.float32),
+        "early_stopped": np.asarray(bool(state.get("early_stopped", False))),
+    }
+    distributed = any(_is_distributed(v) for _, v in data_items)
+    blockmeta = None
+    if distributed:
+        proc = jax.process_index()
+        blockmeta = {}
+        for k, v in data_items:
+            bounds = []
+            for j, sh in enumerate(v.addressable_shards):
+                arrays[f"{k}.b{j}"] = np.asarray(sh.data)
+                bounds.append(ShardedBlocks.bounds_of(sh.index, v.shape))
+            blockmeta[k] = {
+                "shape": list(v.shape),
+                "dtype": np.dtype(v.dtype).name,
+                "bounds": bounds,
+            }
+        path = _part_path(path, proc)
+    else:
+        for k, v in data_items:
+            arrays[k] = np.asarray(v)
+
+    arrays["meta"] = np.frombuffer(
+        json.dumps({
+            **meta, "version": _FMT_VERSION,
+            **({"blocks": blockmeta,
+                "num_processes": jax.process_count()} if distributed else {}),
+        }).encode(), dtype=np.uint8
+    )
+    _atomic_savez(path, arrays)
+    if distributed:
+        from jax.experimental import multihost_utils
+
+        # no process may resume until every part of this generation exists
+        multihost_utils.sync_global_devices("cytv_ckpt_saved")
+
+
 def load_state(path: str):
-    """Load a checkpoint; returns ``(state, meta)``."""
+    """Load a checkpoint; returns ``(state, meta)``.
+
+    For a multi-process checkpoint each process reads only its own part
+    file; data entries come back as :class:`ShardedBlocks` (reassembled
+    into global arrays by ``run_sharded``), and a cross-process agreement
+    check rejects mixed-generation parts.
+    """
+    # read this process's own part when one exists (hosts of a pod need
+    # not share a filesystem: each process saves and reloads locally);
+    # otherwise the master (single-process saves, or process 0)
+    proc = jax.process_index()
+    own = _part_path(path, proc)
+    path = own if os.path.exists(own) else path
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+    if meta.get("blocks") is not None:
+        if jax.process_count() != meta["num_processes"]:
+            raise ValueError(
+                f"checkpoint was written by {meta['num_processes']} "
+                f"processes; this run has {jax.process_count()}"
+            )
+        if path != own:
+            raise ValueError(
+                f"process {proc} found the multi-process checkpoint master "
+                f"but not its own part '{own}' — resume on the same hosts "
+                f"(or copy each part to its host) with the same process "
+                f"count"
+            )
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"]).decode())
         ndim = meta["ndim"]
+        blockmeta = meta.get("blocks")
+
+        def data(k):
+            if blockmeta is None:
+                return z[k]
+            bm = blockmeta[k]
+            return ShardedBlocks(
+                bm["shape"], bm["dtype"],
+                {tuple(map(tuple, b)): z[f"{k}.b{j}"]
+                 for j, b in enumerate(bm["bounds"])},
+            )
+
         state = {
-            "recon": z["recon"],
+            "recon": data("recon"),
             "b_norm": z["b_norm"],
             "delta": z["delta"],
             "mse": z["mse"],
             "i": z["i"],
             "tk": (z["tk"] if "tk" in z.files else np.float32(1.0)),
-            "accs": tuple(z[f"acc{k}"] for k in range(ndim)),
-            "ds": tuple(z[f"d{k}"] for k in range(ndim)
-                        if f"d{k}" in z.files),
+            "accs": tuple(data(f"acc{k}") for k in range(ndim)),
+            "ds": tuple(data(f"d{k}") for k in range(ndim)
+                        if (f"d{k}" in z.files
+                            or (blockmeta and f"d{k}" in blockmeta))),
         }
         if "early_stopped" in z.files:
             state["early_stopped"] = bool(z["early_stopped"])
+    if blockmeta is not None:
+        from jax.experimental import multihost_utils
+
+        # every process must hold the same generation (a crash between
+        # part writes could leave a mixed set; sync_global_devices above
+        # makes this unlikely but not impossible)
+        gens = multihost_utils.process_allgather(
+            np.asarray([int(state["i"])], np.int64))
+        if int(gens.min()) != int(gens.max()):
+            raise ValueError(
+                f"checkpoint parts disagree on iteration ({gens.ravel()}) "
+                f"— delete '{path}'* and restart"
+            )
     return state, meta
+
+
+def checkpoint_exists(path: Optional[str]) -> bool:
+    """Whether a resumable checkpoint exists for THIS process: the master
+    file, or (multi-process without a shared filesystem) the process's own
+    part file."""
+    if not path:
+        return False
+    if os.path.exists(path):
+        return True
+    try:
+        proc = jax.process_index()
+    except Exception:
+        return False
+    return proc > 0 and os.path.exists(_part_path(path, proc))
 
 
 def chunk_driver(
@@ -96,7 +250,7 @@ def chunk_driver(
     no-op) and stops on convergence or completion.
     """
     state = None
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    if resume and checkpoint_exists(checkpoint_path):
         state, ck_meta = load_state(checkpoint_path)
         if ck_meta["shape"] != list(expected_shape):
             raise ValueError(
@@ -147,9 +301,15 @@ def chunk_driver(
                      float(nz[-1]) if nz.size else float("nan"))
         if state["early_stopped"] or int(out["iterations_run"]) >= n_total:
             break
-    if out is None:  # checkpoint already covered the whole schedule
-        out = {**state, "iterations_run": state["i"],
-               "early_stopped": state.get("early_stopped", False)}
+    if out is None:
+        # checkpoint already covered the whole schedule: run one
+        # zero-iteration chunk so the result comes back through the
+        # engine's normal output contract (device arrays with the target
+        # sharding — the loaded state may be per-process ShardedBlocks)
+        engine_state = {k: v for k, v in state.items()
+                        if k != "early_stopped"}
+        out = run_chunk(engine_state, int(state["i"]))
+        out = {**out, "early_stopped": state.get("early_stopped", False)}
     return out
 
 

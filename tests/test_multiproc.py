@@ -1,0 +1,54 @@
+"""True multi-process distributed tests: N real processes joined by
+jax.distributed over localhost (gloo collectives) — the same code path a
+multi-host TPU pod takes over DCN, minus the hardware.
+
+These spawn subprocesses via tools/multiproc_e2e.py; the in-process mesh
+tests (tests/test_sharded.py) cover the numerics, these cover the
+process-boundary plumbing: runtime bring-up through the CLI, per-process
+lazy input reads, cross-process halos/psum, per-process checkpoint parts
+with kill-and-resume, and the stitched single-file EMD output.
+
+The reference's analog is its runnable MPI smoke test
+(reference local_MPI_example.sh:11-20) — which exercises none of the
+above beyond the solve itself (no metrics, no resume, README.md:34).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+TOOL = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                    "tools", "multiproc_e2e.py")
+
+
+def _run(extra, port_seed):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--port", str(port_seed)] + extra,
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_two_process_e2e_bit_identical():
+    out = _run([], 21000 + os.getpid() % 9000)
+    assert out["multiproc_e2e"] == "ok"
+    assert out["max_abs_err_vs_single_process"] == 0.0
+    assert out["leftover_part_files"] == []
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_kill_resume():
+    out = _run(["--checkpoint"], 22000 + os.getpid() % 9000)
+    assert out["multiproc_e2e"] == "ok"
+    assert out["max_abs_err_vs_single_process"] == 0.0
+    assert out["checkpoint_cycle"] is True
