@@ -48,10 +48,12 @@ Design (TPU-first, exploits the sequential Pallas grid):
 Scope (round 2): float32, all three BC modes (periodic / corrected mirror
 / Jia-Zhao), anisotropic and half-isotropic pairs, single device and
 shard_map meshes with operand halos on ANY axis (scan and Q); sharded
-periodic rides ring halos. The XLA ops backend (``cytvdn_tpu/ops``)
-remains the executable spec and covers float64 plus the few sharded
-interplays the kernel gates off (sharded mirror, split iso-pair axes,
-folded-3D energy splits) — see ``solver.engine._resolve_fused``.
+periodic rides ring halos, sharded mirror rides edge-flagged halos (the
+global trailing shard takes its own updated slab, interior shards the
+neighbor recompute). The XLA ops backend (``cytvdn_tpu/ops``) remains
+the executable spec and covers float64 plus the two sharded interplays
+the kernel gates off (split iso-pair axes, folded-3D energy splits) —
+see ``solver.engine._resolve_fused``.
 """
 
 from __future__ import annotations
@@ -366,6 +368,13 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         g1 = pl.num_programs(0)
         in_acc_phase = ip < g0
 
+        # per-axis "this shard owns the global trailing edge" flags (1.0
+        # single-device / unsplit axes; set per-shard by the engine for
+        # sharded mirror, where the edge shard's forward edge is its own
+        # updated trailing slab while interior shards recompute the +1
+        # neighbor's slab from halos)
+        edge_fl = [scal[0, 2 * n_ax + 1 + k] for k in range(n_ax)]
+
         # reductions run in SMEM scratch across the sequential grid
         # (deterministic order) and land in the outputs at the final step
         @pl.when(jnp.logical_and(j == 0, ip == 0))
@@ -511,6 +520,18 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             a_last = lax.slice_in_dim(a, b0 - 1, b0, axis=0)
             if bc == 1:
                 edge_f0 = lax.slice_in_dim(bp[0], b0 - 1, b0, axis=0)
+                if with_halo:
+                    # interior shards of a sharded mirror run read the +1
+                    # shard's recomputed slab; only the global trailing
+                    # shard uses the own-slab (zero difference) edge
+                    edge_f0 = jnp.where(
+                        edge_fl[0] > 0, edge_f0,
+                        recompute_b(
+                            h_next0_recon[...] - a_last,
+                            h_next0_acc[...],
+                            h_next0_d[...] if fista else None, 0,
+                        ),
+                    )
             elif with_halo:
                 edge_f0 = recompute_b(
                     h_next0_recon[...] - a_last,
@@ -535,6 +556,15 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             old_lastcol = lax.slice_in_dim(recon_old, b1 - 1, b1, axis=1)
             if bc == 1:
                 edge_f1 = lax.slice_in_dim(bp[1], b1 - 1, b1, axis=1)
+                if with_halo:
+                    edge_f1 = jnp.where(
+                        edge_fl[1] > 0, edge_f1,
+                        recompute_b(
+                            h_next1_recon[...] - old_lastcol,
+                            h_next1_acc[...],
+                            h_next1_d[...] if fista else None, 1,
+                        ),
+                    )
             elif with_halo:
                 edge_f1 = recompute_b(
                     h_next1_recon[...] - old_lastcol,
@@ -596,6 +626,17 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 n = bp[k].shape[ax]
                 if bc == 1:
                     last = lax.slice_in_dim(bp[k], n - 1, n, axis=ax)
+                    if with_halo and ax in h_in:
+                        _, hr, ha, hd = h_in[ax]
+                        last = jnp.where(
+                            edge_fl[k] > 0, last,
+                            recompute_b(
+                                hr[...] - lax.slice_in_dim(
+                                    recon_old, n - 1, n, axis=ax),
+                                ha[...],
+                                hd[...] if fista else None, k,
+                            ),
+                        )
                 elif with_halo and ax in h_in:
                     _, hr, ha, hd = h_in[ax]
                     last = recompute_b(
@@ -656,6 +697,7 @@ def fused_iteration(
     bc: int = 2,
     iso_r: bool = False,
     iso_q: bool = False,
+    edge_next=None,
 ):
     """One full TV iteration as a single fused Pallas pass.
 
@@ -668,7 +710,10 @@ def fused_iteration(
     (axis-A extent 1). See :func:`_make_kernel` for seam semantics.
 
     ``bc``: 0 periodic, 1 mirror, 2 Jia-Zhao (static). ``iso_r``/``iso_q``
-    jointly project the (0,1)/(2,3) pairs (4D, JZ only).
+    jointly project the (0,1)/(2,3) pairs (4D, JZ only). ``edge_next``
+    (sharded mirror only): per-data-axis floats, 1.0 where this shard owns
+    the global trailing edge — selects own-slab mirror edges vs neighbor
+    halo recomputes per shard.
 
     Returns ``(recon_new, accs_new, ds_new, bnorm, delta_num, recon_norm)``
     with the reductions as deterministic float32 scalars.
@@ -719,12 +764,15 @@ def fused_iteration(
     one_tail = (b0, 1) + tail   # seam-column operand blocks
     block = (b0, b1) + tail
 
-    n_scal = 2 * ndim + 1
+    n_scal = 3 * ndim + 1
+    if edge_next is None:
+        edge_next = jnp.ones((ndim,), jnp.float32)
     scal = jnp.concatenate(
         [
             lambda_inv.astype(jnp.float32),
             lam_mu.astype(jnp.float32),
             jnp.asarray(tk_ratio, jnp.float32).reshape(1),
+            jnp.asarray(edge_next, jnp.float32).reshape(ndim),
         ]
     ).reshape(1, n_scal)
 

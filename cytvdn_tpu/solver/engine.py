@@ -164,13 +164,10 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     if comm is not None and not isinstance(comm, NullComm):
         split = set(getattr(comm, "split_axes", ()))
         if split:
-            # sharded gates: mirror forward edges would need per-shard
-            # masking inside the kernel (ops path covers it exactly); an
-            # iso pair's axes must be unsplit (the pair's seam recompute
-            # would need corner operands); a folded 3D energy axis cannot
-            # take halos. Periodic shards via ring halos.
-            if opts.bc_mode == BCMode.MIRROR:
-                return False, False
+            # sharded gates: an iso pair's axes must be unsplit (the
+            # pair's seam recompute would need corner operands); a folded
+            # 3D energy axis cannot take halos. Periodic shards via ring
+            # halos; mirror via edge-flagged halos (kernel scal row).
             if opts.isotropic_R and split & {0, 1}:
                 return False, False
             if opts.isotropic_Q and split & {2, 3}:
@@ -248,19 +245,24 @@ def iteration_step(
 
         fista = ds is not None
         halos = None
+        edge_next = None
         if not isinstance(comm, NullComm):
             # shard-seam operand halos (pre-update state) for axes 0, 1 and
             # any split in-block (Q) axis. Edge shards get values that
-            # realize the JZ boundary exactly: backward edges read the own
-            # edge slab (zero difference); forward edges recompute from
-            # (own last recon slab, zero acc, zero d) — the identically-zero
-            # JZ wrap slab.
+            # realize the BC exactly: JZ backward edges read the own edge
+            # slab (zero difference) and forward edges recompute from (own
+            # last recon slab, zero acc, zero d) — the identically-zero JZ
+            # wrap slab; mirror backward edges read the adjacent interior
+            # slab, and mirror forward edges select the own updated
+            # trailing slab in-kernel via per-shard edge flags (interior
+            # shards recompute the +1 neighbor's slab as under JZ).
             from cytvdn_tpu.ops.stencil import _slab as slab
 
             halos = {}
             split = set(comm.split_axes)
             halo_axes = sorted({0, 1} | (split & set(range(2, opts.ndim))))
             periodic = opts.bc_mode == BCMode.PERIODIC
+            mirror = opts.bc_mode == BCMode.MIRROR
             for ax in halo_axes:
                 if periodic:
                     # ring halos: the global wrap IS the ring — uniform,
@@ -276,8 +278,12 @@ def iteration_step(
                             ds[ax], ax)
                     continue
                 z = jnp.zeros_like(slab(accs[ax], ax, 0))
+                prev_edge = slab(recon, ax, 1 if mirror else 0)
                 halos[f"prev{ax}"] = comm.shift_from_prev(
-                    recon, ax, slab(recon, ax, 0))
+                    recon, ax, prev_edge)
+                # edge shards never read the next* slots under mirror (the
+                # edge flag selects the in-kernel own-slab path), so the JZ
+                # edge values serve as well-defined placeholders there
                 halos[f"next{ax}_recon"] = comm.shift_from_next(
                     recon, ax, slab(recon, ax, -1))
                 halos[f"next{ax}_acc"] = comm.shift_from_next(
@@ -285,6 +291,20 @@ def iteration_step(
                 if fista:
                     halos[f"next{ax}_d"] = comm.shift_from_next(
                         ds[ax], ax, z)
+            if mirror:
+                from jax import lax as _lax
+
+                flags = []
+                for ax in range(opts.ndim):
+                    name = comm.axis_names.get(ax)
+                    if name is None:
+                        flags.append(jnp.float32(1.0))
+                    else:
+                        flags.append(
+                            (_lax.axis_index(name)
+                             == _lax.axis_size(name) - 1)
+                            .astype(jnp.float32))
+                edge_next = jnp.stack(flags)
         elif opts.bc_mode == BCMode.PERIODIC:
             # single-device periodic: synthesize the wrap slabs as halo
             # values for axes 0 and 1 (in-block axes wrap inside the
@@ -322,6 +342,7 @@ def iteration_step(
             lambda_inv, lam_mu, fista=fista, interpret=interpret,
             halos=halos, bc=int(opts.bc_mode),
             iso_r=opts.isotropic_R, iso_q=opts.isotropic_Q,
+            edge_next=edge_next,
         )
         bnorm = comm.allsum(bnorm)
         delta = comm.allsum(dnum) / comm.allsum(dden)

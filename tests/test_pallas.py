@@ -211,6 +211,53 @@ def test_sharded_pallas_q_axis_split():
                                rtol=2e-6, atol=2e-7)
 
 
+def test_sharded_pallas_mirror_bc():
+    """Sharded mirror BC on the fused kernel: interior shards read halo
+    recomputes, the global trailing shard its own updated slab (selected
+    by the per-shard edge flags) — must equal the single-device run."""
+    import jax.numpy as jnp
+    from cytvdn_tpu.config import SolverOptions, Backend, BCMode
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    mu4 = np.full(4, 1.0, np.float32)
+    lam4 = mu4 / 32.0
+    li4 = (1.0 / lam4).astype(np.float32)
+    lm4 = (lam4 / mu4).astype(np.float32)
+    cube4 = _cube((8, 8, 6, 16))
+    base = dict(ndim=4, iterations_fista=4, iterations_unacc=2,
+                bc_mode=BCMode.MIRROR)
+    opts_jax = SolverOptions(**base, backend=Backend.JAX)
+    opts_pls = SolverOptions(**base, backend=Backend.PALLAS)
+    single = run_solver(jnp.asarray(cube4), jnp.asarray(li4),
+                        jnp.asarray(lm4), opts_jax)
+    for shard in [(2, 4, 1, 1), (4, 1, 1, 1), (1, 2, 2, 2), (2, 1, 1, 2)]:
+        got = run_sharded(cube4, li4, lm4, opts_pls, shard=shard)
+        np.testing.assert_allclose(np.asarray(got["recon"]),
+                                   np.asarray(single["recon"]),
+                                   rtol=2e-6, atol=2e-7)
+        np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                                   np.asarray(single["b_norm"]), rtol=2e-4)
+
+    # 3D single-layout, unaccelerated, energy axis split
+    cube3 = _cube((6, 8, 32))
+    mu3 = np.full(3, 1.0, np.float32)
+    lam3 = mu3 / 16.0
+    li3 = (1.0 / lam3).astype(np.float32)
+    lm3 = (lam3 / mu3).astype(np.float32)
+    b3 = dict(ndim=3, iterations_fista=0, iterations_unacc=5,
+              bc_mode=BCMode.MIRROR)
+    single3 = run_solver(jnp.asarray(cube3), jnp.asarray(li3),
+                         jnp.asarray(lm3),
+                         SolverOptions(**b3, backend=Backend.JAX))
+    got3 = run_sharded(cube3, li3, lm3,
+                       SolverOptions(**b3, backend=Backend.PALLAS),
+                       shard=(2, 1, 4))
+    np.testing.assert_allclose(np.asarray(got3["recon"]),
+                               np.asarray(single3["recon"]),
+                               rtol=2e-6, atol=2e-7)
+
+
 def test_sharded_pallas_matches_sharded_jax():
     """Fused kernel inside shard_map (operand halos over ppermute) must
     match the XLA sharded path and the single-device run exactly at f32."""
