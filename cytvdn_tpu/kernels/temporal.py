@@ -1,0 +1,710 @@
+"""Temporally-blocked fused Pallas kernel: TWO full TV iterations per HBM
+pass.
+
+The single-iteration fused kernel (``kernels/fused.py``) already runs at
+the streaming floor of ~(4n+3) cube traversals per iteration — on a
+bandwidth-bound stencil the only remaining lever is *temporal blocking*:
+keep a moving window of rows resident in VMEM and advance the iteration
+count twice before the window is written back. Per-iteration HBM traffic
+drops from 19 traversals (4D FISTA) to ~9.5 + O(1/B1) seam bands — a
+~1.8-2x reduction, which is the ceiling XLA/HBM leaves on this workload.
+
+Design (extends the fused kernel's software pipeline two stages deeper;
+grid ``(G1, N0+3)``, axis-1 strips outer, single rows inner):
+
+Step ``(j, ip)`` executes a 4-stage staircase over rows::
+
+    S_A  dual-1   row ip      (reads R0/acc0/d0 blocks; VMEM-only output)
+    S_B  recon-1  row ip-1    (VMEM-only output R1)
+    S_C  dual-2   row ip-2    (writes b2/d2 to HBM)
+    S_D  recon-2  row ip-3    (writes R2 to HBM)
+
+Iteration-1 values (R1, b1, d1) live ONLY in VMEM row carries — they
+never touch HBM. Cross-row (axis-0) stencils ride the carries exactly as
+in the one-iteration kernel.
+
+Axis-1 strip seams need iteration-1 values from neighbor strips:
+
+- LEFT (strip j-1, processed earlier): R1's last column is stored into a
+  persistent VMEM *column buffer* as strip j-1 runs and read back during
+  strip j (double-buffered by strip parity) — zero HBM traffic.
+- RIGHT (strip j+1, processed later): iteration-1 values at its first
+  column are *recomputed* from pre-update state — the identical-arithmetic
+  seam-recompute trick of the one-iteration kernel, one level deeper. The
+  recompute consumes a pre-gathered band of ``::B1``-strided columns
+  (R0 cols {0,1}, per-axis acc0/d0 col {0} (+{1} for axis 1), orig col
+  {0}) — O(1/B1) of a traversal each, and every cube-size array still
+  appears exactly once in the pallas_call so input→output HBM aliasing
+  holds (2n+2 cube arrays + orig, same floor as the K=1 kernel).
+
+Because every seam value is recomputed with the same arithmetic the
+owning block performs, and reductions accumulate in the same (strip, row)
+order as two passes of the K=1 kernel, results — recon, accumulators,
+b_norm and delta traces — are **bit-identical** to running the fused
+kernel twice.
+
+Scope: float32, Jia-Zhao BCs, anisotropic, single device, 4D and 3D
+(single-strip and folded layouts), FISTA and unaccelerated, single-row
+blocks (B0=1 — true for every bandwidth-relevant shape). Everything else
+runs the K=1 kernel / ops path (``solver.engine`` gates).
+
+Reference baseline for the math: one iteration = per-axis dual update +
+reconstruction update (reference cyTVDN/cyTVDN.py:147-194, spec
+SURVEY.md §8.1); this kernel computes exactly two of them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cytvdn_tpu.kernels.fused import (
+    _plan,
+    _shift_down_inblock,
+    _shift_up_inblock,
+    _shift_down_flat,
+    _shift_up_flat,
+    _tail_bytes,
+)
+
+Array = jax.Array
+
+# The pair kernel is per-step-floor bound, not DMA bound, at the K=1
+# kernel's bandwidth-tuned block size (measured: b1=8 blocks run the pair
+# at K=1 speed; b1=16 runs it 1.8x faster on the same shape). Its strips
+# are therefore sized as LARGE as the VMEM budget allows: ~80 live block
+# buffers with seams (pipelined I/O + two iterations of row carries +
+# the R1 seam-column double buffer), ~50 without.
+_VMEM_CAP = 116 * 1024 * 1024   # scoped ask; 128 MB physical on v5e
+_PAIR_BUFFERS = 82
+_PAIR_BUFFERS_NOSEAM = 52
+_SMALL_RESERVE = 2 * 1024 * 1024
+# test hook: cap block bytes to force small strips/seams (None = auto)
+_PAIR_BLOCK_CAP = None
+
+
+def pair_plan(shape: Tuple[int, ...], itemsize: int = 4):
+    """Block plan for the pair kernel: the fused kernel's *layout* (4D /
+    3D-single / 3D-flat) with B0 forced to 1 (the row pipeline is four
+    stages deep) and B1 grown to the VMEM budget — per-step floors, not
+    bandwidth, bound this kernel, so bigger strips win until VMEM runs
+    out.
+
+    Returns ``(work_shape, inblock_axes, flat, b1)`` or None.
+    """
+    plan = _plan(tuple(shape), itemsize)
+    if plan is None:
+        return None
+    work_shape, inblock_axes, flat, b0, _ = plan
+    if work_shape[0] < 4:
+        return None  # pipeline depth exceeds the row count
+    real, pad = _tail_bytes(work_shape, itemsize)
+    n0, n1 = work_shape[0], work_shape[1]
+
+    def max_divisor(limit_bytes):
+        best = 0
+        for c in range(1, n1 + 1):
+            if n1 % c == 0 and c * pad <= limit_bytes:
+                best = c
+        return best
+
+    cap_noseam = (_VMEM_CAP - _SMALL_RESERVE) // _PAIR_BUFFERS_NOSEAM
+    cap_seam = (_VMEM_CAP - _SMALL_RESERVE - 2 * n0 * pad) // _PAIR_BUFFERS
+    if _PAIR_BLOCK_CAP is not None:
+        cap_noseam = min(cap_noseam, _PAIR_BLOCK_CAP)
+        cap_seam = min(cap_seam, _PAIR_BLOCK_CAP)
+    if n1 * pad <= cap_noseam:
+        return work_shape, inblock_axes, flat, n1  # single strip, no seams
+    if cap_seam < pad:
+        return None  # not even one-column strips fit (huge tails / N0)
+    b1 = max_divisor(cap_seam)
+    if b1 == 0:
+        return None
+    return work_shape, inblock_axes, flat, b1
+
+
+def pair_supported(shape, dtype, bc, isotropic_R=False,
+                   isotropic_Q=False) -> bool:
+    """Whether the temporally-blocked pair kernel covers this config
+    (single-device Jia-Zhao anisotropic float32; the engine additionally
+    requires an unsharded run)."""
+    from cytvdn_tpu.config import BCMode
+
+    if dtype != jnp.float32:
+        return False
+    if len(shape) not in (3, 4):
+        return False
+    if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
+        return False
+    return pair_plan(tuple(shape), 4) is not None
+
+
+def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
+                      fista: bool, b1: int, has_seam: bool, n0: int,
+                      g1: int, debug: bool = False):
+    """Kernel body; operand order must match :func:`fused_pair_iteration`.
+
+    Stage guards (grid inner index ``ip`` in [0, n0+2]):
+    S_A ip<=n0-1, S_B 1<=ip<=n0, S_C 2<=ip<=n0+1, S_D 3<=ip<=n0+2.
+    Ring carries shift at the END of the step (reads happen first), so a
+    carry read at step ``ip`` sees the value produced ``depth`` steps ago.
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)                        # SMEM (1, 2n+2)
+        orig = next(it)                        # block @ (ip-1, j)
+        r0 = next(it)                          # block @ (ip,   j)
+        r0_last = next(it) if has_seam else None   # col @ (ip, j-1)
+        acc0 = [next(it) for _ in range(n_ax)]     # blocks @ (ip, j)
+        d0 = [next(it) for _ in range(n_ax)] if fista else None
+        if has_seam:
+            # pre-gathered band columns of strip j+1 @ row ip-1 (c1 is the
+            # band's second global column — strip j+2's first when b1==1)
+            r0b_c0 = next(it)
+            r0b_c1 = next(it)
+            acc0b = [next(it) for _ in range(n_ax)]      # c0 each
+            acc0b1_c1 = next(it)
+            d0b = [next(it) for _ in range(n_ax)] if fista else None
+            d0b1_c1 = next(it) if fista else None
+            origb = next(it)
+
+        r2_out = next(it)                      # block @ (ip-3, j)
+        if debug:
+            r1_out = next(it)                  # block @ (ip-1, j)
+            b1_outs = [next(it) for _ in range(n_ax)]  # blocks @ (ip, j)
+        b2_out = [next(it) for _ in range(n_ax)]   # blocks @ (ip-2, j)
+        d2_out = [next(it) for _ in range(n_ax)] if fista else None
+        bnorm1_o = next(it)
+        dnum1_o = next(it)
+        dden1_o = next(it)
+        bnorm2_o = next(it)
+        dnum2_o = next(it)
+        dden2_o = next(it)
+
+        c_r0 = next(it)                        # R0 row ip-1
+        c_og0 = next(it)                       # orig row ip-2
+        c_og1 = next(it)                       # orig row ip-3
+        c_b1a = [next(it) for _ in range(n_ax)]    # b1 rows ip-1
+        c_b1b = [next(it) for _ in range(n_ax)]    # b1 rows ip-2
+        if fista:
+            c_d1a = [next(it) for _ in range(n_ax)]  # d1 rows ip-1
+            c_d1b = [next(it) for _ in range(n_ax)]  # d1 rows ip-2
+        c_r1_0 = next(it)                      # R1 row ip-2
+        c_r1_1 = next(it)                      # R1 row ip-3
+        c_b2 = [next(it) for _ in range(n_ax)]     # b2 rows ip-3
+        if has_seam:
+            s_colA = next(it)                  # R1 last col, even strips
+            s_colB = next(it)                  # R1 last col, odd strips
+            bb1_a = [next(it) for _ in range(n_ax)]  # band b1 rows ip-2
+            bb1_b = [next(it) for _ in range(n_ax)]  # band b1 rows ip-3
+            if fista:
+                bd1_a = next(it)               # band d1_1 (c0) row ip-2
+                bd1_b = next(it)               # band d1_1 (c0) row ip-3
+            boga = next(it)                    # band orig row ip-2
+            bogb = next(it)                    # band orig row ip-3
+            br0_prev = next(it)                # band R0 (c0) row ip-2
+        s_sums = next(it)                      # SMEM (6,)
+
+        j = pl.program_id(0)
+        ip = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(j == 0, ip == 0))
+        def _():
+            for q in range(6):
+                s_sums[q] = jnp.float32(0.0)
+
+        lam_inv = [scal[0, k] for k in range(n_ax)]
+        lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
+        rho1 = scal[0, 2 * n_ax]
+        rho2 = scal[0, 2 * n_ax + 1]
+
+        in_A = ip <= n0 - 1
+        in_B = jnp.logical_and(ip >= 1, ip <= n0)
+        in_C = jnp.logical_and(ip >= 2, ip <= n0 + 1)
+        in_D = ip >= 3  # upper bound is the grid end
+
+        def dual(diff, acc_v, d_v, k, rho):
+            """(b_new, d_new) of one dual update (reference
+            anisotropic.pyx:127-132; plain when not FISTA)."""
+            c = jnp.clip(diff + acc_v, -lam_inv[k], lam_inv[k])
+            if fista:
+                return c + rho * (c - d_v), c
+            return c, c
+
+        # ---------------- S_A: dual-1 at row ip --------------------------
+        a = r0[...]
+        a_c0 = lax.slice_in_dim(a, 0, 1, axis=1)
+        diffs1 = []
+        row0 = a - c_r0[...]
+        diffs1.append(jnp.where(ip > 0, row0, jnp.zeros_like(a)))
+        if has_seam:
+            seam = a_c0 - r0_last[...]
+            seam = jnp.where(j > 0, seam, jnp.zeros_like(a_c0))
+        else:
+            seam = jnp.zeros_like(a_c0)
+        if b1 > 1:
+            body = a - _shift_down_inblock(a, 1)
+            diffs1.append(lax.concatenate(
+                [seam, lax.slice_in_dim(body, 1, b1, axis=1)], dimension=1))
+        else:
+            diffs1.append(seam)
+        for ax in inblock_axes:
+            diffs1.append(a - _shift_down_inblock(a, ax))
+        if flat:
+            diffs1.append(a - _shift_down_flat(a))
+
+        b1f, d1f = [], []
+        bnorm1 = jnp.zeros((), jnp.float32)
+        for k in range(n_ax):
+            bk, dk = dual(diffs1[k], acc0[k][...],
+                          d0[k][...] if fista else None, k, rho1)
+            b1f.append(bk)
+            d1f.append(dk)
+            bnorm1 = bnorm1 + jnp.sum(jnp.abs(bk))
+
+        @pl.when(in_A)
+        def _():
+            s_sums[0] = s_sums[0] + bnorm1
+            if debug:
+                for k in range(n_ax):
+                    b1_outs[k][...] = b1f[k]
+
+        # ------------- band dual-1 at row ip-1, strip j+1 ----------------
+        if has_seam:
+            bc0 = r0b_c0[...]
+            bc1 = r0b_c1[...]
+            own_last = lax.slice_in_dim(c_r0[...], b1 - 1, b1, axis=1)
+            bb1f, bd1f = [], None
+            for k in range(n_ax):
+                if k == 1:
+                    dif = lax.concatenate(
+                        [bc0 - own_last, bc1 - bc0], dimension=1)
+                    av = lax.concatenate(
+                        [acc0b[1][...], acc0b1_c1[...]], dimension=1)
+                    dv = (lax.concatenate(
+                        [d0b[1][...], d0b1_c1[...]], dimension=1)
+                        if fista else None)
+                else:
+                    av = acc0b[k][...]
+                    dv = d0b[k][...] if fista else None
+                    if k == 0:
+                        dif = jnp.where(ip > 1, bc0 - br0_prev[...],
+                                        jnp.zeros_like(bc0))
+                    elif flat and k == n_ax - 1:
+                        dif = bc0 - _shift_down_flat(bc0)
+                    else:
+                        dif = bc0 - _shift_down_inblock(
+                            bc0, inblock_axes[k - 2])
+                bk, dk = dual(dif, av, dv, k, rho1)
+                bb1f.append(bk)
+                if k == 1:
+                    bd1f = lax.slice_in_dim(dk, 0, 1, axis=1)
+
+        # ---------------- S_B: recon-1 at row ip-1 -----------------------
+        og = orig[...]
+        fwd1 = []
+        # axis 0: next row's fresh dual; zero wrap at the global last row
+        fwd1.append(jnp.where(in_A, b1f[0], jnp.zeros_like(b1f[0])))
+        # axis 1: in-block forward; last col from the band (strip j+1's
+        # first column), zero wrap at the global last column
+        if has_seam:
+            lastc = jnp.where(j < g1 - 1,
+                              lax.slice_in_dim(bb1f[1], 0, 1, axis=1),
+                              jnp.zeros_like(a_c0))
+        else:
+            lastc = jnp.zeros_like(a_c0)
+        if b1 > 1:
+            fwd1.append(lax.concatenate(
+                [lax.slice_in_dim(c_b1a[1][...], 1, b1, axis=1), lastc],
+                dimension=1))
+        else:
+            fwd1.append(lastc)
+        for i_ax, ax in enumerate(inblock_axes):
+            fwd1.append(_shift_up_inblock(c_b1a[2 + i_ax][...], ax))
+        if flat:
+            fwd1.append(_shift_up_flat(c_b1a[n_ax - 1][...]))
+
+        div1 = jnp.zeros_like(og)
+        for k in range(n_ax):
+            div1 = div1 + lam_mu[k] * (c_b1a[k][...] - fwd1[k])
+        r1f = og - div1
+
+        @pl.when(in_B)
+        def _():
+            s_sums[1] = s_sums[1] + jnp.sum(jnp.abs(r1f - c_r0[...]))
+            s_sums[2] = s_sums[2] + jnp.sum(jnp.abs(c_r0[...]))
+            if debug:
+                r1_out[...] = r1f
+            if has_seam:
+                row = jnp.maximum(ip - 1, 0)
+                last = lax.slice_in_dim(r1f, b1 - 1, b1, axis=1)
+
+                @pl.when(j % 2 == 0)
+                def _():
+                    s_colA[pl.ds(row, 1)] = last
+
+                @pl.when(j % 2 == 1)
+                def _():
+                    s_colB[pl.ds(row, 1)] = last
+
+        # ---------------- S_C: dual-2 at row ip-2 ------------------------
+        r1v = c_r1_0[...]
+        r1p = c_r1_1[...]
+        r1_c0 = lax.slice_in_dim(r1v, 0, 1, axis=1)
+        diffs2 = []
+        diffs2.append(jnp.where(ip > 2, r1v - r1p, jnp.zeros_like(r1v)))
+        if has_seam:
+            row2 = jnp.maximum(ip - 2, 0)
+
+            def read_other(sA, sB):
+                # strip j reads strip j-1's buffer: the opposite parity
+                vA = sA[pl.ds(row2, 1)]
+                vB = sB[pl.ds(row2, 1)]
+                return jnp.where(j % 2 == 1, vA, vB)
+
+            left = read_other(s_colA, s_colB)
+            seam2 = jnp.where(j > 0, r1_c0 - left, jnp.zeros_like(r1_c0))
+        else:
+            seam2 = jnp.zeros_like(r1_c0)
+        if b1 > 1:
+            body2 = r1v - _shift_down_inblock(r1v, 1)
+            diffs2.append(lax.concatenate(
+                [seam2, lax.slice_in_dim(body2, 1, b1, axis=1)],
+                dimension=1))
+        else:
+            diffs2.append(seam2)
+        for ax in inblock_axes:
+            diffs2.append(r1v - _shift_down_inblock(r1v, ax))
+        if flat:
+            diffs2.append(r1v - _shift_down_flat(r1v))
+
+        b2f, d2f = [], []
+        bnorm2 = jnp.zeros((), jnp.float32)
+        for k in range(n_ax):
+            bk, dk = dual(diffs2[k], c_b1b[k][...],
+                          c_d1b[k][...] if fista else None, k, rho2)
+            b2f.append(bk)
+            d2f.append(dk)
+            bnorm2 = bnorm2 + jnp.sum(jnp.abs(bk))
+
+            @pl.when(in_C)
+            def _(k=k, bk=bk, dk=dk):
+                b2_out[k][...] = bk
+                if fista:
+                    d2_out[k][...] = dk
+
+        @pl.when(in_C)
+        def _():
+            s_sums[3] = s_sums[3] + bnorm2
+
+        # ---------------- S_D: recon-2 at row ip-3 -----------------------
+        fwd2 = []
+        fwd2.append(jnp.where(in_C, b2f[0], jnp.zeros_like(b2f[0])))
+        if has_seam:
+            # recompute strip j+1's first-column b2_1 at row ip-3 from the
+            # banded iteration-1 values (identical arithmetic to what
+            # strip j+1 will compute at its own S_C)
+            own_r1_last = lax.slice_in_dim(r1p, b1 - 1, b1, axis=1)
+            # R1 at (j+1, c0, ip-3): banded recon-1 recompute
+            bfwd0 = jnp.where(ip <= n0 + 1, bb1_a[0][...],
+                              jnp.zeros_like(bb1_a[0][...]))
+            divb = lam_mu[0] * (bb1_b[0][...] - bfwd0)
+            b1b_c0 = lax.slice_in_dim(bb1_b[1][...], 0, 1, axis=1)
+            b1b_c1 = lax.slice_in_dim(bb1_b[1][...], 1, 2, axis=1)
+            if b1 == 1:
+                # the band's c1 is strip j+2's first column; when the band
+                # (strip j+1) is the global last strip, c0's forward wrap
+                # is the JZ zero instead
+                b1b_c1 = jnp.where(j + 2 <= g1 - 1, b1b_c1,
+                                   jnp.zeros_like(b1b_c1))
+            divb = divb + lam_mu[1] * (b1b_c0 - b1b_c1)
+            for i_ax, ax in enumerate(inblock_axes):
+                k = 2 + i_ax
+                bv = bb1_b[k][...]
+                divb = divb + lam_mu[k] * (bv - _shift_up_inblock(bv, ax))
+            if flat:
+                bv = bb1_b[n_ax - 1][...]
+                divb = divb + lam_mu[n_ax - 1] * (bv - _shift_up_flat(bv))
+            r1b = bogb[...] - divb
+            cb = jnp.clip((r1b - own_r1_last) + b1b_c0,
+                          -lam_inv[1], lam_inv[1])
+            if fista:
+                b2_1b = cb + rho2 * (cb - bd1_b[...])
+            else:
+                b2_1b = cb
+            lastc2 = jnp.where(j < g1 - 1, b2_1b, jnp.zeros_like(b2_1b))
+        else:
+            lastc2 = jnp.zeros_like(r1_c0)
+        if b1 > 1:
+            fwd2.append(lax.concatenate(
+                [lax.slice_in_dim(c_b2[1][...], 1, b1, axis=1), lastc2],
+                dimension=1))
+        else:
+            fwd2.append(lastc2)
+        for i_ax, ax in enumerate(inblock_axes):
+            fwd2.append(_shift_up_inblock(c_b2[2 + i_ax][...], ax))
+        if flat:
+            fwd2.append(_shift_up_flat(c_b2[n_ax - 1][...]))
+
+        div2 = jnp.zeros_like(r1p)
+        for k in range(n_ax):
+            div2 = div2 + lam_mu[k] * (c_b2[k][...] - fwd2[k])
+        r2f = c_og1[...] - div2
+
+        @pl.when(in_D)
+        def _():
+            r2_out[...] = r2f
+            s_sums[4] = s_sums[4] + jnp.sum(jnp.abs(r2f - r1p))
+            s_sums[5] = s_sums[5] + jnp.sum(jnp.abs(r1p))
+
+        # ---------------- end of step: shift the rings -------------------
+        for k in range(n_ax):
+            c_b2[k][...] = b2f[k]
+            c_b1b[k][...] = c_b1a[k][...]
+            c_b1a[k][...] = b1f[k]
+            if fista:
+                c_d1b[k][...] = c_d1a[k][...]
+                c_d1a[k][...] = d1f[k]
+        c_r1_1[...] = r1v
+        c_r1_0[...] = r1f
+        c_og1[...] = c_og0[...]
+        c_og0[...] = og
+        c_r0[...] = a
+        if has_seam:
+            for k in range(n_ax):
+                bb1_b[k][...] = bb1_a[k][...]
+                bb1_a[k][...] = bb1f[k]
+            if fista:
+                bd1_b[...] = bd1_a[...]
+                bd1_a[...] = bd1f
+            bogb[...] = boga[...]
+            boga[...] = origb[...]
+            br0_prev[...] = bc0
+
+        # ---------------- final step: publish the reductions -------------
+        @pl.when(jnp.logical_and(j == g1 - 1, ip == n0 + 2))
+        def _():
+            bnorm1_o[0, 0] = s_sums[0]
+            dnum1_o[0, 0] = s_sums[1]
+            dden1_o[0, 0] = s_sums[2]
+            bnorm2_o[0, 0] = s_sums[3]
+            dnum2_o[0, 0] = s_sums[4]
+            dden2_o[0, 0] = s_sums[5]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fista", "interpret", "debug"))
+def fused_pair_iteration(
+    orig: Array,
+    recon: Array,
+    accs: Tuple[Array, ...],
+    ds: Optional[Tuple[Array, ...]],
+    rho1: Array,
+    rho2: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    fista: bool = True,
+    interpret: bool = False,
+    debug: bool = False,
+):
+    """TWO full TV iterations in one temporally-blocked Pallas pass.
+
+    ``rho1``/``rho2`` are the FISTA momentum ratios of the first/second
+    iteration of the pair (ignored unaccelerated). Returns
+    ``(recon2, accs2, ds2, bnorm1, dnum1, dden1, bnorm2, dnum2, dden2)``
+    — the per-iteration reductions of BOTH iterations, as deterministic
+    float32 scalars, bit-matching two passes of the K=1 kernel.
+    """
+    in_shape = orig.shape
+    ndim = len(in_shape)
+    plan = pair_plan(in_shape, orig.dtype.itemsize)
+    if plan is None:
+        raise ValueError(f"pair kernel does not support shape {in_shape}")
+    shape, inblock_axes, flat, b1 = plan
+
+    def emb(x):
+        return x.reshape(shape)
+
+    orig_w, recon_w = emb(orig), emb(recon)
+    accs_w = tuple(emb(x) for x in accs)
+    ds_w = tuple(emb(x) for x in ds) if fista else None
+
+    n0, n1 = shape[0], shape[1]
+    g1 = n1 // b1
+    has_seam = g1 > 1
+    tail = shape[2:]
+    block = (1, b1) + tail
+    one_tail = (1, 1) + tail
+    zeros_tail = tuple(0 for _ in tail)
+
+    n_scal = 2 * ndim + 2
+    scal = jnp.concatenate(
+        [
+            lambda_inv.astype(jnp.float32),
+            lam_mu.astype(jnp.float32),
+            jnp.asarray(rho1, jnp.float32).reshape(1),
+            jnp.asarray(rho2, jnp.float32).reshape(1),
+        ]
+    ).reshape(1, n_scal)
+
+    def at_i(j, ip):
+        return (jnp.minimum(ip, n0 - 1), j) + zeros_tail
+
+    def at_im1(j, ip):
+        return (jnp.clip(ip - 1, 0, n0 - 1), j) + zeros_tail
+
+    def at_im2(j, ip):
+        return (jnp.clip(ip - 2, 0, n0 - 1), j) + zeros_tail
+
+    def at_im3(j, ip):
+        return (jnp.clip(ip - 3, 0, n0 - 1), j) + zeros_tail
+
+    def lastcol_map(j, ip):
+        return (jnp.minimum(ip, n0 - 1), jnp.maximum(j - 1, 0)) + zeros_tail
+
+    def band_map(j, ip):
+        return (jnp.clip(ip - 1, 0, n0 - 1),
+                jnp.minimum(j + 1, g1 - 1)) + zeros_tail
+
+    def blk(m):
+        return pl.BlockSpec(block, m, memory_space=pltpu.VMEM)
+
+    def col(m):
+        return pl.BlockSpec(one_tail, m, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, n_scal), lambda j, ip: (0, 0),
+                     memory_space=pltpu.SMEM),
+        blk(at_im1),    # orig
+        blk(at_i),      # R0
+    ]
+    inputs = [scal, orig_w, recon_w]
+    ndbg = (1 + ndim) if debug else 0  # debug outputs shift b2/d2 slots
+    aliases = {2: 0}    # R0 -> R2
+
+    if has_seam:
+        # pre-gathered seam/band columns: reshape + unit slice (NOT a
+        # strided slice — see kernels/fused.py on layout assignment), so
+        # every cube array appears exactly once in the pallas_call and
+        # HBM-aliases cleanly
+        def col_gather(x, idx):
+            g = x.reshape((n0, g1, b1) + tail)
+            g = lax.slice_in_dim(g, idx, idx + 1, axis=2)
+            return g.reshape((n0, g1) + tail)
+
+        def col_gather_c1(x):
+            # the band's second global column: in-strip col 1, or the
+            # NEXT strip's col 0 when strips are single columns
+            if b1 >= 2:
+                return col_gather(x, 1)
+            c0 = col_gather(x, 0)
+            lastrep = lax.slice_in_dim(c0, g1 - 1, g1, axis=1)
+            return lax.concatenate(
+                [lax.slice_in_dim(c0, 1, g1, axis=1), lastrep], dimension=1)
+
+        in_specs.append(col(lastcol_map))
+        inputs.append(col_gather(recon_w, b1 - 1))     # r0_last
+
+    acc_base = len(inputs)
+    in_specs += [blk(at_i) for _ in range(ndim)]
+    inputs += [*accs_w]
+    for k in range(ndim):
+        aliases[acc_base + k] = 1 + ndbg + k           # acc0_k -> b2_k
+    if fista:
+        d_base = len(inputs)
+        in_specs += [blk(at_i) for _ in range(ndim)]
+        inputs += [*ds_w]
+        for k in range(ndim):
+            aliases[d_base + k] = 1 + ndbg + ndim + k  # d0_k -> d2_k
+
+    if has_seam:
+        in_specs += [col(band_map), col(band_map)]
+        inputs += [col_gather(recon_w, 0), col_gather_c1(recon_w)]
+        in_specs += [col(band_map) for _ in range(ndim + 1)]
+        inputs += [col_gather(accs_w[k], 0) for k in range(ndim)]
+        inputs += [col_gather_c1(accs_w[1])]
+        if fista:
+            in_specs += [col(band_map) for _ in range(ndim + 1)]
+            inputs += [col_gather(ds_w[k], 0) for k in range(ndim)]
+            inputs += [col_gather_c1(ds_w[1])]
+        in_specs.append(col(band_map))
+        inputs.append(col_gather(orig_w, 0))           # origb
+
+    scal_out = pl.BlockSpec(
+        (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
+    )
+    dt = orig.dtype
+    out_specs = [blk(at_im3)]                          # R2
+    out_shape = [jax.ShapeDtypeStruct(shape, dt)]
+    n_dbg = 0
+    if debug:
+        # expose the VMEM-only iteration-1 values (tests only)
+        out_specs += [blk(at_im1)] + [blk(at_i) for _ in range(ndim)]
+        out_shape += [jax.ShapeDtypeStruct(shape, dt)] * (1 + ndim)
+        n_dbg = 1 + ndim
+    out_specs += [blk(at_im2) for _ in range(ndim)]    # b2
+    out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim
+    if fista:
+        out_specs += [blk(at_im2) for _ in range(ndim)]  # d2
+        out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim
+    out_specs += [scal_out] * 6
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 6
+
+    scratch = [pltpu.VMEM(block, dt) for _ in range(3)]   # c_r0, c_og0/1
+    scratch += [pltpu.VMEM(block, dt) for _ in range(2 * ndim)]  # c_b1a/b
+    if fista:
+        scratch += [pltpu.VMEM(block, dt) for _ in range(2 * ndim)]
+    scratch += [pltpu.VMEM(block, dt) for _ in range(2)]  # c_r1_0/1
+    scratch += [pltpu.VMEM(block, dt) for _ in range(ndim)]  # c_b2
+    if has_seam:
+        scratch += [pltpu.VMEM((n0, 1) + tail, dt)] * 2   # s_colA/B
+        band_blk = [(1, 2) + tail if k == 1 else one_tail
+                    for k in range(ndim)]
+        scratch += [pltpu.VMEM(band_blk[k], dt) for k in range(ndim)]
+        scratch += [pltpu.VMEM(band_blk[k], dt) for k in range(ndim)]
+        if fista:
+            scratch += [pltpu.VMEM(one_tail, dt)] * 2     # bd1_a/b
+        scratch += [pltpu.VMEM(one_tail, dt)] * 3  # boga, bogb, br0_prev
+    scratch += [pltpu.SMEM((6,), jnp.float32)]
+
+    outs = pl.pallas_call(
+        _make_pair_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
+                          n0, g1, debug=debug),
+        grid=(g1, n0 + 3),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_CAP
+        ),
+    )(*inputs)
+
+    def unemb(x):
+        return x.reshape(in_shape)
+
+    recon2 = unemb(outs[0])
+    dbg = None
+    if debug:
+        dbg = tuple(unemb(o) for o in outs[1:1 + ndim + 1])  # (r1, b1_k...)
+    base = 1 + n_dbg
+    accs2 = tuple(unemb(o) for o in outs[base:base + ndim])
+    if fista:
+        ds2 = tuple(unemb(o) for o in outs[base + ndim:base + 2 * ndim])
+        scals = outs[base + 2 * ndim:]
+    else:
+        ds2 = None
+        scals = outs[base + ndim:]
+    bnorm1, dnum1, dden1, bnorm2, dnum2, dden2 = [s[0, 0] for s in scals]
+    out = (recon2, accs2, ds2, bnorm1, dnum1, dden1, bnorm2, dnum2, dden2)
+    return out + ((dbg,) if debug else ())

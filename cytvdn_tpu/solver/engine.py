@@ -452,6 +452,93 @@ def _run_phase(
     return lax.while_loop(cond, body, carry)
 
 
+def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
+    """Whether iterations may run in PAIRS through the temporally-blocked
+    K=2 kernel (``kernels/temporal.py``): single-device Jia-Zhao
+    anisotropic float32, fixed momentum schedule, no per-iteration early
+    stop or MSE (those need iteration-1 state the pair kernel keeps in
+    VMEM only). Results are bit-identical to the K=1 kernel, so this is
+    purely a throughput decision."""
+    from cytvdn_tpu.config import BCMode
+
+    if not opts.temporal_pairs:
+        return False
+    if comm is not None and not isinstance(comm, NullComm):
+        return False
+    if opts.stopping_relative_change is not None or opts.calculate_mse:
+        return False
+    if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
+        return False
+    if opts.bc_mode != BCMode.JIA_ZHAO:
+        return False
+    use_fused, _ = _resolve_fused(opts, shape, dtype, comm)
+    if not use_fused:
+        return False
+    from cytvdn_tpu.kernels.temporal import pair_supported
+
+    return pair_supported(shape, dtype, opts.bc_mode)
+
+
+def _run_phase_paired(
+    fista: bool,
+    i_bound,
+    carry: _PhaseCarry,
+    orig: Array,
+    tk_ratios: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    interpret: bool,
+    i_stop,
+) -> _PhaseCarry:
+    """Advance a phase two iterations at a time through the K=2 kernel.
+
+    Runs ``floor((bound - i)/2)`` pairs; the caller's ``_run_phase``
+    finishes any odd remainder through the K=1 path. Both per-iteration
+    trace entries are recorded exactly as the one-at-a-time loop would."""
+    from cytvdn_tpu.kernels.temporal import fused_pair_iteration
+
+    bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
+                        jnp.asarray(i_stop, jnp.int32))
+    dtype = orig.dtype
+
+    def cond(c: _PhaseCarry):
+        return c.i + 2 <= bound
+
+    def body(c: _PhaseCarry):
+        if fista:
+            rho1 = tk_ratios[c.i].astype(dtype)
+            rho2 = tk_ratios[c.i + 1].astype(dtype)
+            ds = c.ds
+        else:
+            rho1 = rho2 = jnp.zeros((), dtype)
+            ds = None
+        recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = \
+            fused_pair_iteration(
+                orig, c.recon, c.accs, ds, rho1, rho2, lambda_inv, lam_mu,
+                fista=fista, interpret=interpret,
+            )
+        b_norm = (c.b_norm
+                  .at[c.i].set(bn1.astype(c.b_norm.dtype))
+                  .at[c.i + 1].set(bn2.astype(c.b_norm.dtype)))
+        delta_tr = (c.delta
+                    .at[c.i].set((dn1 / dd1).astype(c.delta.dtype))
+                    .at[c.i + 1].set((dn2 / dd2).astype(c.delta.dtype)))
+        return _PhaseCarry(
+            i=c.i + 2,
+            done=c.done,
+            recon=recon2,
+            accs=accs2,
+            ds=ds2 if fista else c.ds,
+            b_norm=b_norm,
+            delta=delta_tr,
+            mse=c.mse,
+            tk=c.tk,
+        )
+
+    return lax.while_loop(cond, body, carry)
+
+
 def run_solver(
     orig: Array,
     lambda_inv: Array,
@@ -556,8 +643,17 @@ def run_solver(
         tk=tk0,
     )
 
+    temporal_ok = _resolve_temporal(opts, orig.shape, dtype, comm)
+    if temporal_ok:
+        _, t_interpret = _resolve_fused(opts, orig.shape, dtype, comm)
+
     i_stop2 = jnp.asarray(i_stop, jnp.int32)
     if n_f:
+        if temporal_ok:
+            carry = _run_phase_paired(
+                True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
+                opts, t_interpret, i_stop,
+            )
         carry = _run_phase(
             True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
             comm, reference_data, i_stop,
@@ -584,6 +680,11 @@ def run_solver(
         if not keep_state:
             carry = carry._replace(ds=())
     if n_u:
+        if temporal_ok:
+            carry = _run_phase_paired(
+                False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
+                opts, t_interpret, i_stop2,
+            )
         carry = _run_phase(
             False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
             comm, reference_data, i_stop2,

@@ -119,12 +119,44 @@ def check_vs_ops(shape, bc, iso_r=False, iso_q=False):
     return ok, err
 
 
+def check_pair(shape, iters_f, iters_u):
+    """Temporally-blocked K=2 kernel vs the K=1 kernel, compiled on the
+    same device: full solver runs must agree bit-for-bit on the recon."""
+    import jax
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(shape)
+    cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    li = jnp.asarray(1.0 / lam)
+    lm = jnp.asarray(lam / mu)
+    outs = {}
+    for pairs in (False, True):
+        opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
+                             iterations_unacc=iters_u,
+                             temporal_pairs=pairs)
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        outs[pairs] = {k: np.asarray(v) for k, v in
+                       fn(jnp.asarray(cube), li, lm).items()}
+    err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
+    bn_a, bn_b = outs[True]["b_norm"], outs[False]["b_norm"]
+    err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
+    ok = err_r == 0.0 and err_t < 1e-5
+    print(f"{'OK ' if ok else 'FAIL'} pair-vs-k1 {shape} "
+          f"iters=({iters_f},{iters_u}): recon max {err_r:.2e} "
+          f"bnorm rel {err_t:.2e}", flush=True)
+    return ok, err_r, err_t
+
+
 if __name__ == "__main__":
     import json
 
     np.asarray(jnp.ones((8,)))  # tunnel warmup on TPU
     ok = True
-    results = {"mode": ON, "golden": [], "vs_ops": []}
+    results = {"mode": ON, "golden": [], "vs_ops": [], "pair_vs_k1": []}
     ok &= check((6, 8, 16), True)       # 3D "single" layout
     ok &= check((6, 8, 16), False)
     ok &= check((6, 256, 512), True)    # 3D "flat" layout (E folded to 128)
@@ -151,6 +183,19 @@ if __name__ == "__main__":
             results["vs_ops"].append({
                 "shape": list(shape), "bc": bc, "iso_r": ir, "iso_q": iq,
                 "recon_rel_max_vs_ops": err, "ok": good,
+            })
+        # compiled K=2 temporal pairs vs K=1, incl. odd/hybrid schedules
+        # and the lane-hostile permuted path
+        for shape, itf, itu in [
+            ((32, 32, 64, 64), 5, 0),
+            ((24, 24, 16, 24), 4, 3),
+            ((64, 64, 512), 0, 6),
+        ]:
+            good, er, et = check_pair(shape, itf, itu)
+            ok &= good
+            results["pair_vs_k1"].append({
+                "shape": list(shape), "iters": [itf, itu],
+                "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
             })
         results["all_ok"] = bool(ok)
         out = os.path.join(os.path.dirname(_HERE), "TPU_FUSED_PARITY.json")

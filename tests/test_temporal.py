@@ -1,0 +1,132 @@
+"""Temporally-blocked K=2 kernel (kernels/temporal.py): two iterations
+per HBM pass must be bit-identical to two passes of the K=1 fused kernel,
+and the engine's paired phase runner must preserve full-schedule results.
+
+All kernel runs use interpret mode (CPU CI); the real-TPU compiled-kernel
+check lives in tests/manual_fused_check.py / TPU_FUSED_PARITY.json.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import cytvdn_tpu.kernels.fused as F
+import cytvdn_tpu.kernels.temporal as T
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions
+
+
+def _state(shape, fista, seed=0):
+    rng = np.random.default_rng(seed)
+    ndim = len(shape)
+    orig = jnp.asarray(rng.standard_normal(shape) * 0.4 + 1.0,
+                       dtype=jnp.float32)
+    accs = tuple(jnp.zeros(shape, jnp.float32) for _ in range(ndim))
+    ds = tuple(jnp.zeros(shape, jnp.float32) for _ in range(ndim)) \
+        if fista else None
+    li = jnp.asarray(np.full(ndim, 32.0, np.float32))
+    lm = jnp.asarray(np.full(ndim, 1 / 32.0, np.float32))
+    return orig, accs, ds, li, lm
+
+
+# (shape, fista, fused-budget override (layout forcing), pair block cap
+# (seam forcing)) — the pair planner otherwise grows strips so large that
+# tiny test shapes never have seams
+CASES = [
+    ((6, 4, 6, 16), True, None, None),      # 4D, single strip (no seams)
+    ((6, 4, 6, 16), False, None, None),
+    ((7, 12, 6, 16), True, None, 16384),    # 4D, 3 strips (bands+colbuf)
+    ((7, 12, 6, 16), False, None, 16384),
+    ((5, 24, 6, 16), True, None, 16384),    # many strips
+    ((5, 24, 6, 16), True, None, 4096),     # single-column strips (b1=1)
+    ((8, 6, 64), True, None, None),         # 3D single layout
+    ((6, 5, 256), True, 3000, 4096),        # 3D flat fold, b1=1 strips
+    ((6, 5, 256), False, 3000, None),       # 3D flat fold, single strip
+]
+
+
+@pytest.mark.parametrize("shape,fista,budget,cap", CASES)
+def test_pair_bitexact_vs_two_k1_passes(monkeypatch, shape, fista, budget,
+                                        cap):
+    if budget is not None:
+        monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", budget)
+    if cap is not None:
+        monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", cap)
+    orig, accs, ds, li, lm = _state(shape, fista)
+    rhos = [0.0, 0.28, 0.43, 0.52]
+    ndim = len(shape)
+
+    r_p, a_p, d_p = orig, accs, ds
+    tr_p = []
+    for i in (0, 2):
+        out = T.fused_pair_iteration(
+            orig, r_p, a_p, d_p, jnp.float32(rhos[i]),
+            jnp.float32(rhos[i + 1]), li, lm, fista=fista, interpret=True)
+        r_p, a_p, d_p = out[0], out[1], out[2]
+        tr_p += list(out[3:9])
+
+    r_f, a_f, d_f = orig, accs, ds
+    tr_f = []
+    for i in range(4):
+        o = F.fused_iteration(orig, r_f, a_f, d_f, jnp.float32(rhos[i]),
+                              li, lm, fista=fista, interpret=True)
+        r_f, a_f, d_f = o[0], o[1], o[2]
+        tr_f += [o[3], o[4], o[5]]
+
+    np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_f))
+    for k in range(ndim):
+        np.testing.assert_array_equal(np.asarray(a_p[k]), np.asarray(a_f[k]))
+        if fista:
+            np.testing.assert_array_equal(np.asarray(d_p[k]),
+                                          np.asarray(d_f[k]))
+    # reductions agree to grouping ulps (identical when the K=1 plan has
+    # B0 == 1, which holds for every bandwidth-relevant shape)
+    np.testing.assert_allclose([float(x) for x in tr_p],
+                               [float(x) for x in tr_f], rtol=1e-5)
+
+
+@pytest.mark.parametrize("iters", [(4, 0), (5, 0), (0, 6), (3, 4), (5, 3)])
+def test_solver_paired_matches_unpaired(iters):
+    """Full schedules (odd counts, hybrid) through the engine: paired
+    execution must reproduce the one-at-a-time fused path exactly."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (7, 12, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=3)
+    base = dict(ndim=4, iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True))
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(want["b_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-4)
+
+
+def test_temporal_gates():
+    """Configs the pair kernel cannot serve must resolve temporal off."""
+    from cytvdn_tpu.solver.engine import _resolve_temporal
+
+    ok = dict(ndim=4, iterations_fista=4, iterations_unacc=0,
+              backend=Backend.PALLAS)
+    shape, dt = (8, 8, 6, 16), jnp.float32
+    assert _resolve_temporal(SolverOptions(**ok), shape, dt, None)
+    for bad in (
+        dict(stopping_relative_change=0.01),
+        dict(calculate_mse=True),
+        dict(fista_restart=True),
+        dict(isotropic_R=True),
+        dict(bc_mode=BCMode.PERIODIC),
+        dict(temporal_pairs=False),
+        dict(backend=Backend.JAX),
+    ):
+        assert not _resolve_temporal(
+            SolverOptions(**{**ok, **bad}), shape, dt, None), bad
+
+
+def test_pair_plan_row_floor():
+    assert T.pair_plan((3, 8, 6, 16)) is None  # pipeline needs >= 4 rows
+    assert T.pair_plan((4, 8, 6, 16)) is not None
