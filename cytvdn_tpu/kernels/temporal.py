@@ -84,12 +84,14 @@ Array = jax.Array
 _VMEM_CAP = 116 * 1024 * 1024   # scoped ask; 128 MB physical on v5e
 _PAIR_BUFFERS = 82
 _PAIR_BUFFERS_NOSEAM = 52
+_PAIR_BUFFERS_HALO0 = 26        # extra block buffers in axis-0 halo mode
 _SMALL_RESERVE = 2 * 1024 * 1024
 # test hook: cap block bytes to force small strips/seams (None = auto)
 _PAIR_BLOCK_CAP = None
 
 
-def pair_plan(shape: Tuple[int, ...], itemsize: int = 4):
+def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
+              halo0: bool = False):
     """Block plan for the pair kernel: the fused kernel's *layout* (4D /
     3D-single / 3D-flat) with B0 forced to 1 (the row pipeline is four
     stages deep) and B1 grown to the VMEM budget — per-step floors, not
@@ -114,8 +116,11 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4):
                 best = c
         return best
 
-    cap_noseam = (_VMEM_CAP - _SMALL_RESERVE) // _PAIR_BUFFERS_NOSEAM
-    cap_seam = (_VMEM_CAP - _SMALL_RESERVE - 2 * n0 * pad) // _PAIR_BUFFERS
+    extra = _PAIR_BUFFERS_HALO0 if halo0 else 0
+    cap_noseam = ((_VMEM_CAP - _SMALL_RESERVE)
+                  // (_PAIR_BUFFERS_NOSEAM + extra))
+    cap_seam = ((_VMEM_CAP - _SMALL_RESERVE - 2 * n0 * pad)
+                // (_PAIR_BUFFERS + extra))
     if _PAIR_BLOCK_CAP is not None:
         cap_noseam = min(cap_noseam, _PAIR_BLOCK_CAP)
         cap_seam = min(cap_seam, _PAIR_BLOCK_CAP)
@@ -130,10 +135,10 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4):
 
 
 def pair_supported(shape, dtype, bc, isotropic_R=False,
-                   isotropic_Q=False) -> bool:
+                   isotropic_Q=False, halo0: bool = False) -> bool:
     """Whether the temporally-blocked pair kernel covers this config
-    (single-device Jia-Zhao anisotropic float32; the engine additionally
-    requires an unsharded run)."""
+    (Jia-Zhao anisotropic float32; ``shape`` is the per-device local
+    shape, ``halo0`` for axis-0-sharded runs)."""
     from cytvdn_tpu.config import BCMode
 
     if dtype != jnp.float32:
@@ -142,18 +147,28 @@ def pair_supported(shape, dtype, bc, isotropic_R=False,
         return False
     if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
         return False
-    return pair_plan(tuple(shape), 4) is not None
+    return pair_plan(tuple(shape), 4, halo0=halo0) is not None
 
 
 def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                       fista: bool, b1: int, has_seam: bool, n0: int,
-                      g1: int, debug: bool = False):
+                      g1: int, debug: bool = False,
+                      with_halo0: bool = False):
     """Kernel body; operand order must match :func:`fused_pair_iteration`.
 
     Stage guards (grid inner index ``ip`` in [0, n0+2]):
     S_A ip<=n0-1, S_B 1<=ip<=n0, S_C 2<=ip<=n0+1, S_D 3<=ip<=n0+2.
     Ring carries shift at the END of the step (reads happen first), so a
     carry read at step ``ip`` sees the value produced ``depth`` steps ago.
+
+    ``with_halo0`` (sharded axis-0 meshes): pre-update 2-row bands from
+    the +/-1 axis-0 neighbor shards replace the Jia-Zhao row edges at
+    shard seams. Iteration-1 values the seams need (the -1 neighbor's
+    last-row recon-1, the +1 neighbor's first-row dual/recon-1) are
+    RECOMPUTED from the bands with the identical arithmetic the neighbor
+    performs — exact seams, as in the K=1 scheme (SURVEY.md §8.3), one
+    iteration deeper. Global edges are selected by the first0/last0 scal
+    flags (band fills there are never read).
     """
 
     def kernel(*refs):
@@ -174,6 +189,32 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             d0b = [next(it) for _ in range(n_ax)] if fista else None
             d0b1_c1 = next(it) if fista else None
             origb = next(it)
+        if with_halo0:
+            # axis-0 shard-seam operands; row blocks are constant in ip
+            # (fetched once per strip). p_* = -1 neighbor's last rows,
+            # n_* = +1 neighbor's first rows (pre-update state).
+            h_p_r0 = next(it)                  # (2, b1)+tail @ (0, j)
+            h_p_orig = next(it)                # (1, b1)+tail @ (0, j)
+            h_p_acc = [next(it) for _ in range(n_ax)]
+            h_p_d = [next(it) for _ in range(n_ax)] if fista else None
+            # seam columns of the -1 band row: backward col (strip j-1's
+            # last) and forward col (strip j+1's first) of R0/acc1/d1
+            h_p_r0_cb = next(it)               # (2, 1)+tail @ col j*b1-1
+            h_p_r0_cf = next(it)               # (2, 1)+tail @ col (j+1)*b1
+            h_p_acc1_cf = next(it)
+            h_p_d1_cf = next(it) if fista else None
+            h_n_r0 = next(it)                  # (2, b1)+tail @ (0, j)
+            h_n_orig = next(it)                # (1, b1)+tail @ (0, j)
+            h_n_acc = [next(it) for _ in range(n_ax)]   # next row 0
+            h_n_d = [next(it) for _ in range(n_ax)] if fista else None
+            h_n_acc0_r1 = next(it)             # acc0_0 @ next row 1
+            h_n_d0_r1 = next(it) if fista else None
+            h_n_r0_cb = next(it)               # (2, 1)+tail @ col j*b1-1
+            h_n_r0_cf = next(it)               # (2, 1)+tail @ col (j+1)*b1
+            h_n_acc1_cf = next(it)
+            h_n_d1_cf = next(it) if fista else None
+            h_n_acc0_cf = next(it)             # acc0_0 @ next row0, col f
+            h_n_d0_cf = next(it) if fista else None
 
         r2_out = next(it)                      # block @ (ip-3, j)
         if debug:
@@ -210,6 +251,11 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             boga = next(it)                    # band orig row ip-2
             bogb = next(it)                    # band orig row ip-3
             br0_prev = next(it)                # band R0 (c0) row ip-2
+        if with_halo0:
+            s_r1pm1 = next(it)                 # -1 shard last-row recon-1
+            s_b1n0 = next(it)                  # +1 shard row-0 dual-1 (ax0)
+            s_d1n0 = next(it) if fista else None
+            s_b2n0 = next(it)                  # +1 shard row-0 dual-2 (ax0)
         s_sums = next(it)                      # SMEM (6,)
 
         j = pl.program_id(0)
@@ -224,6 +270,10 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
         rho1 = scal[0, 2 * n_ax]
         rho2 = scal[0, 2 * n_ax + 1]
+        # global-edge flags (1.0 when this shard owns the global row edge;
+        # always 1.0 single-device)
+        first0 = scal[0, 2 * n_ax + 2]
+        last0 = scal[0, 2 * n_ax + 3]
 
         in_A = ip <= n0 - 1
         in_B = jnp.logical_and(ip >= 1, ip <= n0)
@@ -243,7 +293,15 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         a_c0 = lax.slice_in_dim(a, 0, 1, axis=1)
         diffs1 = []
         row0 = a - c_r0[...]
-        diffs1.append(jnp.where(ip > 0, row0, jnp.zeros_like(a)))
+        if with_halo0:
+            # shard leading row: backward operand is the -1 shard's last
+            # row (global edge shards keep the JZ zero, selected by flag)
+            edge0_A = jnp.where(
+                first0 > 0, jnp.zeros_like(a),
+                a - lax.slice_in_dim(h_p_r0[...], 1, 2, axis=0))
+        else:
+            edge0_A = jnp.zeros_like(a)
+        diffs1.append(jnp.where(ip > 0, row0, edge0_A))
         if has_seam:
             seam = a_c0 - r0_last[...]
             seam = jnp.where(j > 0, seam, jnp.zeros_like(a_c0))
@@ -295,8 +353,14 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                     av = acc0b[k][...]
                     dv = d0b[k][...] if fista else None
                     if k == 0:
-                        dif = jnp.where(ip > 1, bc0 - br0_prev[...],
-                                        jnp.zeros_like(bc0))
+                        if with_halo0:
+                            bedge = jnp.where(
+                                first0 > 0, jnp.zeros_like(bc0),
+                                bc0 - lax.slice_in_dim(
+                                    h_p_r0_cf[...], 1, 2, axis=0))
+                        else:
+                            bedge = jnp.zeros_like(bc0)
+                        dif = jnp.where(ip > 1, bc0 - br0_prev[...], bedge)
                     elif flat and k == n_ax - 1:
                         dif = bc0 - _shift_down_flat(bc0)
                     else:
@@ -307,11 +371,133 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 if k == 1:
                     bd1f = lax.slice_in_dim(dk, 0, 1, axis=1)
 
+        # ------------- axis-0 shard-seam recomputes ----------------------
+        if with_halo0:
+            def halo_row_duals(rm, r_back, accs_h, ds_h, back_col,
+                               r_cf, acc1_cf, d1_cf):
+                """All per-axis dual-1 values of one neighbor row ``rm``
+                (1, b1, tail), plus the axis-1 forward-column value —
+                identical arithmetic to the neighbor's own S_A."""
+                outs = []
+                for k in range(n_ax):
+                    dvk = ds_h[k][...] if fista else None
+                    if k == 0:
+                        dif = rm - r_back
+                    elif k == 1:
+                        c0d = (lax.slice_in_dim(rm, 0, 1, axis=1)
+                               - back_col)
+                        c0d = jnp.where(j > 0, c0d,
+                                        jnp.zeros_like(c0d))
+                        if b1 > 1:
+                            bod = rm - _shift_down_inblock(rm, 1)
+                            dif = lax.concatenate(
+                                [c0d,
+                                 lax.slice_in_dim(bod, 1, b1, axis=1)],
+                                dimension=1)
+                        else:
+                            dif = c0d
+                    elif flat and k == n_ax - 1:
+                        dif = rm - _shift_down_flat(rm)
+                    else:
+                        dif = rm - _shift_down_inblock(
+                            rm, inblock_axes[k - 2])
+                    outs.append(dual(dif, accs_h[k][...], dvk, k, rho1))
+                # axis-1 forward column (strip j+1's first col of this
+                # row); zero wrap (b1_1 global-col-0 invariant) at the
+                # global last strip
+                fc = dual(
+                    r_cf - lax.slice_in_dim(rm, b1 - 1, b1, axis=1),
+                    acc1_cf[...],
+                    d1_cf[...] if fista else None, 1, rho1,
+                )[0]
+                fc = jnp.where(j < g1 - 1, fc, jnp.zeros_like(fc))
+                return outs, fc
+
+            def halo_row_recon(orig_row, duals, fwd0, fc):
+                """recon-1 of a neighbor row from its dual-1 values."""
+                div = lam_mu[0] * (duals[0][0] - fwd0)
+                b1r = duals[1][0]
+                if b1 > 1:
+                    f1 = lax.concatenate(
+                        [lax.slice_in_dim(b1r, 1, b1, axis=1), fc],
+                        dimension=1)
+                else:
+                    f1 = fc
+                div = div + lam_mu[1] * (b1r - f1)
+                for i_ax, ax in enumerate(inblock_axes):
+                    k = 2 + i_ax
+                    div = div + lam_mu[k] * (
+                        duals[k][0] - _shift_up_inblock(duals[k][0], ax))
+                if flat:
+                    k = n_ax - 1
+                    div = div + lam_mu[k] * (
+                        duals[k][0] - _shift_up_flat(duals[k][0]))
+                return orig_row - div
+
+            p_rm = lax.slice_in_dim(h_p_r0[...], 1, 2, axis=0)
+            p_rb = lax.slice_in_dim(h_p_r0[...], 0, 1, axis=0)
+            n_r0v = h_n_r0[...]
+            n_rm = lax.slice_in_dim(n_r0v, 0, 1, axis=0)
+            n_r1r = lax.slice_in_dim(n_r0v, 1, 2, axis=0)
+
+            # the -1 shard's last-row recon-1, needed by S_C's row-0
+            # backward at step ip==2 only
+            @pl.when(jnp.logical_and(ip == 2, first0 < 1))
+            def _():
+                duals_p, fc_p = halo_row_duals(
+                    p_rm, p_rb, h_p_acc, h_p_d,
+                    lax.slice_in_dim(h_p_r0_cb[...], 1, 2, axis=0),
+                    lax.slice_in_dim(h_p_r0_cf[...], 1, 2, axis=0),
+                    h_p_acc1_cf, h_p_d1_cf,
+                )
+                # forward axis-0 of the -1 row is our own row 0's dual-1
+                s_r1pm1[...] = halo_row_recon(
+                    h_p_orig[...], duals_p, c_b1b[0][...], fc_p)
+
+            # the +1 shard's first-row dual-1 (axis 0), needed by S_B's
+            # last-row forward at ip==n0 and by S_D at ip==n0+2; `a` is
+            # clamped to our own last row at both steps
+            @pl.when(jnp.logical_and(ip == n0, last0 < 1))
+            def _():
+                bv, cv = dual(n_rm - a, h_n_acc[0][...],
+                              h_n_d[0][...] if fista else None, 0, rho1)
+                s_b1n0[...] = bv
+                if fista:
+                    s_d1n0[...] = cv
+
+            # the +1 shard's first-row dual-2 (axis 0) — its recon-1 is
+            # recomputed from the band, its axis-0 forward from the +1
+            # shard's second row
+            @pl.when(jnp.logical_and(ip == n0 + 2, last0 < 1))
+            def _():
+                duals_n, fc_n = halo_row_duals(
+                    n_rm, a, h_n_acc, h_n_d,
+                    lax.slice_in_dim(h_n_r0_cb[...], 0, 1, axis=0),
+                    lax.slice_in_dim(h_n_r0_cf[...], 0, 1, axis=0),
+                    h_n_acc1_cf, h_n_d1_cf,
+                )
+                fwd0_n, _ = dual(
+                    n_r1r - n_rm, h_n_acc0_r1[...],
+                    h_n_d0_r1[...] if fista else None, 0, rho1)
+                r1_n0 = halo_row_recon(h_n_orig[...], duals_n, fwd0_n,
+                                       fc_n)
+                b2v, _ = dual(
+                    r1_n0 - c_r1_1[...],
+                    s_b1n0[...],
+                    s_d1n0[...] if fista else None, 0, rho2)
+                s_b2n0[...] = b2v
+
         # ---------------- S_B: recon-1 at row ip-1 -----------------------
         og = orig[...]
         fwd1 = []
-        # axis 0: next row's fresh dual; zero wrap at the global last row
-        fwd1.append(jnp.where(in_A, b1f[0], jnp.zeros_like(b1f[0])))
+        # axis 0: next row's fresh dual; at the shard's last row the +1
+        # shard's row-0 dual (recomputed), zero at the global last row
+        if with_halo0:
+            edge1_B = jnp.where(last0 > 0, jnp.zeros_like(b1f[0]),
+                                s_b1n0[...])
+        else:
+            edge1_B = jnp.zeros_like(b1f[0])
+        fwd1.append(jnp.where(in_A, b1f[0], edge1_B))
         # axis 1: in-block forward; last col from the band (strip j+1's
         # first column), zero wrap at the global last column
         if has_seam:
@@ -359,7 +545,12 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         r1p = c_r1_1[...]
         r1_c0 = lax.slice_in_dim(r1v, 0, 1, axis=1)
         diffs2 = []
-        diffs2.append(jnp.where(ip > 2, r1v - r1p, jnp.zeros_like(r1v)))
+        if with_halo0:
+            edge2_C = jnp.where(first0 > 0, jnp.zeros_like(r1v),
+                                r1v - s_r1pm1[...])
+        else:
+            edge2_C = jnp.zeros_like(r1v)
+        diffs2.append(jnp.where(ip > 2, r1v - r1p, edge2_C))
         if has_seam:
             row2 = jnp.maximum(ip - 2, 0)
 
@@ -406,15 +597,33 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
 
         # ---------------- S_D: recon-2 at row ip-3 -----------------------
         fwd2 = []
-        fwd2.append(jnp.where(in_C, b2f[0], jnp.zeros_like(b2f[0])))
+        if with_halo0:
+            edge2_D = jnp.where(last0 > 0, jnp.zeros_like(b2f[0]),
+                                s_b2n0[...])
+        else:
+            edge2_D = jnp.zeros_like(b2f[0])
+        fwd2.append(jnp.where(in_C, b2f[0], edge2_D))
         if has_seam:
             # recompute strip j+1's first-column b2_1 at row ip-3 from the
             # banded iteration-1 values (identical arithmetic to what
             # strip j+1 will compute at its own S_C)
             own_r1_last = lax.slice_in_dim(r1p, b1 - 1, b1, axis=1)
-            # R1 at (j+1, c0, ip-3): banded recon-1 recompute
-            bfwd0 = jnp.where(ip <= n0 + 1, bb1_a[0][...],
-                              jnp.zeros_like(bb1_a[0][...]))
+            # R1 at (j+1, c0, ip-3): banded recon-1 recompute. Its axis-0
+            # forward at the shard's last row is the +1 shard's row-0 dual
+            # at the band column (r0b_c0 is clamped to our last row at the
+            # drain steps, exactly the backward operand that dual needs).
+            if with_halo0:
+                bnext0 = dual(
+                    lax.slice_in_dim(h_n_r0_cf[...], 0, 1, axis=0)
+                    - r0b_c0[...],
+                    h_n_acc0_cf[...],
+                    h_n_d0_cf[...] if fista else None, 0, rho1,
+                )[0]
+                bedge0 = jnp.where(last0 > 0, jnp.zeros_like(bnext0),
+                                   bnext0)
+            else:
+                bedge0 = jnp.zeros_like(bb1_a[0][...])
+            bfwd0 = jnp.where(ip <= n0 + 1, bb1_a[0][...], bedge0)
             divb = lam_mu[0] * (bb1_b[0][...] - bfwd0)
             b1b_c0 = lax.slice_in_dim(bb1_b[1][...], 0, 1, axis=1)
             b1b_c1 = lax.slice_in_dim(bb1_b[1][...], 1, 2, axis=1)
@@ -514,6 +723,9 @@ def fused_pair_iteration(
     fista: bool = True,
     interpret: bool = False,
     debug: bool = False,
+    halos0=None,
+    first0=None,
+    last0=None,
 ):
     """TWO full TV iterations in one temporally-blocked Pallas pass.
 
@@ -522,10 +734,18 @@ def fused_pair_iteration(
     ``(recon2, accs2, ds2, bnorm1, dnum1, dden1, bnorm2, dnum2, dden2)``
     — the per-iteration reductions of BOTH iterations, as deterministic
     float32 scalars, bit-matching two passes of the K=1 kernel.
+
+    ``halos0`` (axis-0-sharded runs, used inside ``shard_map``): dict of
+    pre-update neighbor bands — ``p_r0`` (2 rows: the -1 shard's rows
+    [-2,-1]), ``p_orig``/``p_acc{k}``/``p_d{k}`` (its row -1), ``n_r0``
+    (the +1 shard's rows [0,1]), ``n_orig``/``n_acc{k}``/``n_d{k}`` (its
+    row 0) and ``n_acc0_r1``/``n_d0_r1`` (axis-0 state at its row 1).
+    ``first0``/``last0``: 1.0 on the shards owning the global row edges.
     """
     in_shape = orig.shape
     ndim = len(in_shape)
-    plan = pair_plan(in_shape, orig.dtype.itemsize)
+    with_halo0 = halos0 is not None
+    plan = pair_plan(in_shape, orig.dtype.itemsize, halo0=with_halo0)
     if plan is None:
         raise ValueError(f"pair kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b1 = plan
@@ -545,13 +765,18 @@ def fused_pair_iteration(
     one_tail = (1, 1) + tail
     zeros_tail = tuple(0 for _ in tail)
 
-    n_scal = 2 * ndim + 2
+    n_scal = 2 * ndim + 4
+    one_f = jnp.ones((), jnp.float32)
     scal = jnp.concatenate(
         [
             lambda_inv.astype(jnp.float32),
             lam_mu.astype(jnp.float32),
             jnp.asarray(rho1, jnp.float32).reshape(1),
             jnp.asarray(rho2, jnp.float32).reshape(1),
+            jnp.asarray(one_f if first0 is None else first0,
+                        jnp.float32).reshape(1),
+            jnp.asarray(one_f if last0 is None else last0,
+                        jnp.float32).reshape(1),
         ]
     ).reshape(1, n_scal)
 
@@ -638,6 +863,67 @@ def fused_pair_iteration(
         in_specs.append(col(band_map))
         inputs.append(col_gather(orig_w, 0))           # origb
 
+    if with_halo0:
+        # axis-0 neighbor bands: full-width (1|2, N1)+tail arrays read as
+        # per-strip row blocks plus a few direct column blocks (halo
+        # arrays are not aliased, so double-reads are safe). Row blocks
+        # are constant in ip — fetched once per strip.
+        def hemb(x, rows):
+            return x.reshape((rows, n1) + tail)
+
+        def hrow(rows):
+            return pl.BlockSpec((rows, b1) + tail,
+                                lambda j, ip: (0, j) + zeros_tail,
+                                memory_space=pltpu.VMEM)
+
+        def hcol(rows, which):
+            if which == "back":
+                def m(j, ip):
+                    return (0, jnp.maximum(j * b1 - 1, 0)) + zeros_tail
+            else:
+                def m(j, ip):
+                    return (0, jnp.minimum((j + 1) * b1, n1 - 1)) \
+                        + zeros_tail
+            return pl.BlockSpec((rows, 1) + tail, m,
+                                memory_space=pltpu.VMEM)
+
+        p_r0 = hemb(halos0["p_r0"], 2)
+        n_r0 = hemb(halos0["n_r0"], 2)
+        in_specs += [hrow(2), hrow(1)]
+        inputs += [p_r0, hemb(halos0["p_orig"], 1)]
+        in_specs += [hrow(1)] * ndim
+        inputs += [hemb(halos0[f"p_acc{k}"], 1) for k in range(ndim)]
+        if fista:
+            in_specs += [hrow(1)] * ndim
+            inputs += [hemb(halos0[f"p_d{k}"], 1) for k in range(ndim)]
+        in_specs += [hcol(2, "back"), hcol(2, "fwd"), hcol(1, "fwd")]
+        inputs += [p_r0, p_r0, hemb(halos0["p_acc1"], 1)]
+        if fista:
+            in_specs += [hcol(1, "fwd")]
+            inputs += [hemb(halos0["p_d1"], 1)]
+        in_specs += [hrow(2), hrow(1)]
+        inputs += [n_r0, hemb(halos0["n_orig"], 1)]
+        in_specs += [hrow(1)] * ndim
+        inputs += [hemb(halos0[f"n_acc{k}"], 1) for k in range(ndim)]
+        if fista:
+            in_specs += [hrow(1)] * ndim
+            inputs += [hemb(halos0[f"n_d{k}"], 1) for k in range(ndim)]
+        in_specs += [hrow(1)]
+        inputs += [hemb(halos0["n_acc0_r1"], 1)]
+        if fista:
+            in_specs += [hrow(1)]
+            inputs += [hemb(halos0["n_d0_r1"], 1)]
+        in_specs += [hcol(2, "back"), hcol(2, "fwd"), hcol(1, "fwd")]
+        inputs += [n_r0, n_r0, hemb(halos0["n_acc1"], 1)]
+        if fista:
+            in_specs += [hcol(1, "fwd")]
+            inputs += [hemb(halos0["n_d1"], 1)]
+        in_specs += [hcol(1, "fwd")]
+        inputs += [hemb(halos0["n_acc0"], 1)]
+        if fista:
+            in_specs += [hcol(1, "fwd")]
+            inputs += [hemb(halos0["n_d0"], 1)]
+
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
     )
@@ -673,11 +959,17 @@ def fused_pair_iteration(
         if fista:
             scratch += [pltpu.VMEM(one_tail, dt)] * 2     # bd1_a/b
         scratch += [pltpu.VMEM(one_tail, dt)] * 3  # boga, bogb, br0_prev
+    if with_halo0:
+        scratch += [pltpu.VMEM(block, dt)]                # s_r1pm1
+        scratch += [pltpu.VMEM(block, dt)]                # s_b1n0
+        if fista:
+            scratch += [pltpu.VMEM(block, dt)]            # s_d1n0
+        scratch += [pltpu.VMEM(block, dt)]                # s_b2n0
     scratch += [pltpu.SMEM((6,), jnp.float32)]
 
     outs = pl.pallas_call(
         _make_pair_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
-                          n0, g1, debug=debug),
+                          n0, g1, debug=debug, with_halo0=with_halo0),
         grid=(g1, n0 + 3),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -134,6 +134,51 @@ class MeshComm:
     # ring neighbor's slab (the fused kernel's recompute then produces the
     # periodic wrap operand exactly) ----------------------------------
 
+    # -- 2-deep bands (used by the temporally-blocked K=2 pair kernel,
+    # kernels/temporal.py: iteration-1 values at shard seams are
+    # recomputed from the neighbor's pre-update state, whose stencil
+    # reaches 2 rows into the neighbor) --------------------------------
+
+    def band_from_prev(self, arr: Array, ax: int) -> Array:
+        """-1 neighbor's LAST TWO slabs of ``arr`` along ``ax`` (ordered
+        [-2, -1]); zeros at the global leading edge (the pair kernel
+        masks edge shards by flag, so the fill is never read)."""
+        name, n = self._mesh_info(ax)
+        band = lax.concatenate(
+            [_slab(arr, ax, -2), _slab(arr, ax, -1)], dimension=ax)
+        if name is None or n == 1:
+            return jnp.zeros_like(band)
+        received = lax.ppermute(
+            band, name, [(i, i + 1) for i in range(n - 1)])
+        return jnp.where(lax.axis_index(name) == 0,
+                         jnp.zeros_like(band), received)
+
+    def band_from_next(self, arr: Array, ax: int) -> Array:
+        """+1 neighbor's FIRST TWO slabs along ``ax`` (ordered [0, 1]);
+        zeros at the global trailing edge."""
+        name, n = self._mesh_info(ax)
+        band = lax.concatenate(
+            [_slab(arr, ax, 0), _slab(arr, ax, 1)], dimension=ax)
+        if name is None or n == 1:
+            return jnp.zeros_like(band)
+        received = lax.ppermute(
+            band, name, [(i, i - 1) for i in range(1, n)])
+        return jnp.where(lax.axis_index(name) == n - 1,
+                         jnp.zeros_like(band), received)
+
+    def is_first(self, ax: int):
+        """1.0 on the shard owning the global leading edge of ``ax``."""
+        name, _ = self._mesh_info(ax)
+        if name is None:
+            return jnp.float32(1.0)
+        return (lax.axis_index(name) == 0).astype(jnp.float32)
+
+    def is_last(self, ax: int):
+        name, n = self._mesh_info(ax)
+        if name is None:
+            return jnp.float32(1.0)
+        return (lax.axis_index(name) == n - 1).astype(jnp.float32)
+
     def ring_from_prev(self, arr: Array, ax: int) -> Array:
         """Ring -1 neighbor's last slab; own last slab when unsplit (the
         whole axis lives on-shard, so the wrap is local)."""

@@ -454,17 +454,22 @@ def _run_phase(
 
 def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     """Whether iterations may run in PAIRS through the temporally-blocked
-    K=2 kernel (``kernels/temporal.py``): single-device Jia-Zhao
-    anisotropic float32, fixed momentum schedule, no per-iteration early
-    stop or MSE (those need iteration-1 state the pair kernel keeps in
-    VMEM only). Results are bit-identical to the K=1 kernel, so this is
-    purely a throughput decision."""
+    K=2 kernel (``kernels/temporal.py``): Jia-Zhao anisotropic float32,
+    fixed momentum schedule, no per-iteration early stop or MSE (those
+    need iteration-1 state the pair kernel keeps in VMEM only), on a
+    single device or an axis-0 mesh (2-row operand-halo bands). Results
+    are bit-identical to the K=1 kernel, so this is purely a throughput
+    decision."""
     from cytvdn_tpu.config import BCMode
 
     if not opts.temporal_pairs:
         return False
+    halo0 = False
     if comm is not None and not isinstance(comm, NullComm):
-        return False
+        split = set(getattr(comm, "split_axes", ()))
+        if split - {0}:
+            return False  # axis-1 / Q splits run the K=1 sharded path
+        halo0 = bool(split)
     if opts.stopping_relative_change is not None or opts.calculate_mse:
         return False
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
@@ -476,7 +481,7 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
         return False
     from cytvdn_tpu.kernels.temporal import pair_supported
 
-    return pair_supported(shape, dtype, opts.bc_mode)
+    return pair_supported(shape, dtype, opts.bc_mode, halo0=halo0)
 
 
 def _run_phase_paired(
@@ -490,14 +495,20 @@ def _run_phase_paired(
     opts: SolverOptions,
     interpret: bool,
     i_stop,
+    comm=None,
 ) -> _PhaseCarry:
     """Advance a phase two iterations at a time through the K=2 kernel.
 
     Runs ``floor((bound - i)/2)`` pairs; the caller's ``_run_phase``
     finishes any odd remainder through the K=1 path. Both per-iteration
-    trace entries are recorded exactly as the one-at-a-time loop would."""
+    trace entries are recorded exactly as the one-at-a-time loop would.
+    On an axis-0 mesh the body exchanges 2-row pre-update bands with the
+    neighbor shards per pair (the pair kernel's ``halos0``) and ``psum``s
+    the reductions."""
     from cytvdn_tpu.kernels.temporal import fused_pair_iteration
 
+    comm = comm or NullComm()
+    sharded = not isinstance(comm, NullComm)
     bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
                         jnp.asarray(i_stop, jnp.int32))
     dtype = orig.dtype
@@ -513,11 +524,50 @@ def _run_phase_paired(
         else:
             rho1 = rho2 = jnp.zeros((), dtype)
             ds = None
+        halos0 = f0 = l0 = None
+        if sharded:
+            from cytvdn_tpu.ops.stencil import _slab as slab
+
+            def z1(x):
+                return jnp.zeros_like(slab(x, 0, 0))
+
+            halos0 = {
+                "p_r0": comm.band_from_prev(c.recon, 0),
+                "p_orig": comm.shift_from_prev(orig, 0, z1(orig)),
+                "n_r0": comm.band_from_next(c.recon, 0),
+                "n_orig": comm.shift_from_next(orig, 0, z1(orig)),
+            }
+            for k in range(opts.ndim):
+                halos0[f"p_acc{k}"] = comm.shift_from_prev(
+                    c.accs[k], 0, z1(c.accs[k]))
+                if fista:
+                    halos0[f"p_d{k}"] = comm.shift_from_prev(
+                        ds[k], 0, z1(ds[k]))
+            nb_acc0 = comm.band_from_next(c.accs[0], 0)
+            halos0["n_acc0"] = slab(nb_acc0, 0, 0)
+            halos0["n_acc0_r1"] = slab(nb_acc0, 0, 1)
+            for k in range(1, opts.ndim):
+                halos0[f"n_acc{k}"] = comm.shift_from_next(
+                    c.accs[k], 0, z1(c.accs[k]))
+            if fista:
+                nb_d0 = comm.band_from_next(ds[0], 0)
+                halos0["n_d0"] = slab(nb_d0, 0, 0)
+                halos0["n_d0_r1"] = slab(nb_d0, 0, 1)
+                for k in range(1, opts.ndim):
+                    halos0[f"n_d{k}"] = comm.shift_from_next(
+                        ds[k], 0, z1(ds[k]))
+            f0, l0 = comm.is_first(0), comm.is_last(0)
         recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = \
             fused_pair_iteration(
                 orig, c.recon, c.accs, ds, rho1, rho2, lambda_inv, lam_mu,
                 fista=fista, interpret=interpret,
+                halos0=halos0, first0=f0, last0=l0,
             )
+        if sharded:
+            bn1, bn2 = comm.allsum(bn1), comm.allsum(bn2)
+            dn1 = comm.allsum(dn1) / comm.allsum(dd1)
+            dn2 = comm.allsum(dn2) / comm.allsum(dd2)
+            dd1 = dd2 = jnp.ones((), jnp.float32)
         b_norm = (c.b_norm
                   .at[c.i].set(bn1.astype(c.b_norm.dtype))
                   .at[c.i + 1].set(bn2.astype(c.b_norm.dtype)))
@@ -652,7 +702,7 @@ def run_solver(
         if temporal_ok:
             carry = _run_phase_paired(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                opts, t_interpret, i_stop,
+                opts, t_interpret, i_stop, comm,
             )
         carry = _run_phase(
             True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
@@ -683,7 +733,7 @@ def run_solver(
         if temporal_ok:
             carry = _run_phase_paired(
                 False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                opts, t_interpret, i_stop2,
+                opts, t_interpret, i_stop2, comm,
             )
         carry = _run_phase(
             False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,

@@ -67,17 +67,46 @@ def _make_temporal_chunk():
                        donate_argnums=(1, 2, 3))
     def chunk(orig, recon, accs, ds, tk_ratios, li, lm,
               fista, interpret, with_d):
+        from cytvdn_tpu.kernels.temporal import (
+            fused_pair_iteration,
+            pair_supported,
+        )
+
+        k = tk_ratios.shape[0]
+        r, a, d = recon, accs, ds
+        # run the bulk as K=2 temporal pairs (two on-device iterations per
+        # HBM pass of the slab — bit-identical, see kernels/temporal.py);
+        # keep the last 1-2 iterations on the K=1 path so the serial scan
+        # naturally yields recon_prev (the K-1st recon, needed for the
+        # true iteration-(T+K) delta)
+        n_pairs = max((k - 1) // 2, 0)
+        if n_pairs and pair_supported(orig.shape, orig.dtype,
+                                      BCMode.JIA_ZHAO):
+            def pbody(carry, tks):
+                rr, aa, dd = carry
+                r2, a2, d2 = fused_pair_iteration(
+                    orig, rr, aa, dd if with_d else None, tks[0], tks[1],
+                    li, lm, fista=fista, interpret=interpret,
+                )[:3]
+                return (r2, a2, d2 if with_d else ()), None
+
+            (r, a, d), _ = lax.scan(
+                pbody, (r, a, d),
+                tk_ratios[:2 * n_pairs].reshape(n_pairs, 2),
+            )
+            rest = tk_ratios[2 * n_pairs:]
+        else:
+            rest = tk_ratios
+
         def body(carry, tk):
-            r, a, d, _ = carry
+            rr, aa, dd, _ = carry
             r2, a2, d2, _, _, _ = fused_iteration(
-                orig, r, a, d if with_d else None, tk, li, lm,
+                orig, rr, aa, dd if with_d else None, tk, li, lm,
                 fista=fista, interpret=interpret, halos=None,
             )
-            return (r2, a2, d2 if with_d else (), r), None
+            return (r2, a2, d2 if with_d else (), rr), None
 
-        (r, a, d, r_prev), _ = lax.scan(
-            body, (recon, accs, ds, recon), tk_ratios
-        )
+        (r, a, d, r_prev), _ = lax.scan(body, (r, a, d, r), rest)
         return r, a, d, r_prev
 
     return chunk

@@ -106,6 +106,67 @@ def test_solver_paired_matches_unpaired(iters):
                                np.asarray(want["delta"]), rtol=1e-4)
 
 
+@pytest.mark.parametrize("shard,shape,iters", [
+    ((8, 1, 1, 1), (32, 8, 6, 16), (4, 0)),
+    ((4, 1, 1, 1), (16, 8, 6, 16), (5, 0)),     # odd: pair + K=1 mop-up
+    ((2, 1, 1, 1), (8, 8, 6, 16), (3, 2)),      # hybrid
+    ((4, 1, 1), (16, 6, 64), (0, 4)),           # 3D unaccelerated
+])
+def test_sharded_pairs_match_single_device(shard, shape, iters):
+    """Axis-0 mesh through the K=2 pair kernel (2-row halo bands) must
+    equal the single-device run exactly."""
+    import jax.numpy as jnp
+    import cytvdn_tpu.solver.engine as E
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(shape)
+    orig, _, _, li, lm = _state(shape, True, seed=5)
+    opts = SolverOptions(ndim=ndim, iterations_fista=iters[0],
+                         iterations_unacc=iters[1],
+                         backend=Backend.PALLAS)
+    # the sharded run must actually take the paired path
+    assert E._resolve_temporal(
+        opts, (shape[0] // shard[0],) + shape[1:], jnp.float32,
+        type("C", (), {"split_axes": (0,)})() if shard[0] > 1 else None)
+
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=shard)
+    # seam recomputes perform the same math, but the compiler may contract
+    # c + rho*(c-d) to an FMA in one code path and not the other — ulp
+    # tolerance, same as the K=1 sharded equivalence tests
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(single["b_norm"]), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(single["delta"]), rtol=2e-4)
+
+
+def test_sharded_pairs_with_strip_seams(monkeypatch):
+    """Axis-0 mesh AND in-shard axis-1 strips together (bands + colbufs +
+    shard halos interacting)."""
+    import cytvdn_tpu.kernels.temporal as TT
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(TT, "_PAIR_BLOCK_CAP", 16384)  # force G1 > 1
+    shape = (16, 12, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=9)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=2,
+                         backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(4, 1, 1, 1))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+
+
 def test_temporal_gates():
     """Configs the pair kernel cannot serve must resolve temporal off."""
     from cytvdn_tpu.solver.engine import _resolve_temporal
