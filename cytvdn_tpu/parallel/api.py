@@ -51,8 +51,25 @@ def denoise_sharded(
         # (per-host on a pod) — no process ever holds the full cube, like
         # the reference's memmap/MPI-IO opens (mpi.py:93-124). Data is cast
         # to float32 as the reference loader does (mpi.py:223-230).
-        from cytvdn_tpu.parallel.multihost import load_sharded_array
+        # The mesh is resolved BEFORE loading (with the pair-kernel's
+        # axis-0 preference) so blocks are read with their final sharding.
+        import jax
 
+        from cytvdn_tpu.io.loaders import open_input
+        from cytvdn_tpu.parallel.multihost import load_sharded_array
+        from cytvdn_tpu.parallel.sharded import resolve_shard
+
+        if isinstance(datacube, str):
+            with open_input(datacube) as h:
+                in_shape = tuple(h.shape)
+        else:
+            in_shape = tuple(datacube.shape)
+        n_dev = len(devices) if devices is not None else len(jax.devices())
+        prefer = (BC_mode == BCMode.JIA_ZHAO and not isotropic_R
+                  and not isotropic_Q
+                  and stopping_relative_change is None
+                  and reference_data is None)
+        shard = resolve_shard(shard, in_shape, n_dev, prefer_axis0=prefer)
         data_arr = load_sharded_array(datacube, shard, devices,
                                       dtype=np.float32)
         ndim = data_arr.ndim
