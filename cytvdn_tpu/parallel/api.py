@@ -33,15 +33,20 @@ def denoise_sharded(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    progress: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Denoise a datacube sharded over a device mesh.
 
     Returns a dict with ``recon``, ``b_norm``, ``delta``,
     ``iterations_run`` [, ``mse``] as numpy arrays. Supports everything the
     single-device path does — FISTA, hybrid schedules, early stopping,
-    MSE tracking, all BC modes, half-isotropic pairs, checkpoint/resume —
-    none of which the reference's MPI runtime implements
-    (reference mpi.py:252-255, 310-311; README.md:22-34).
+    MSE tracking, all BC modes, half-isotropic pairs, checkpoint/resume,
+    live progress — none of which the reference's MPI runtime implements
+    (reference mpi.py:252-255, 310-311; README.md:22-34; its head rank
+    shows tqdm only in the single-node driver, cyTVDN.py:147-152).
+
+    ``progress``: live per-iteration progress via bit-exact chunked
+    execution; default = on for long non-quiet runs, head process only.
     """
     from cytvdn_tpu.api import _validate_and_derive
     from cytvdn_tpu.io.loaders import InputHandle
@@ -107,12 +112,22 @@ def denoise_sharded(
         "iterations_unacc": n_u,
     }
 
+    from cytvdn_tpu.api import _resolve_progress
     from cytvdn_tpu.utils.checkpoint import checkpoint_exists
 
     checkpointing = bool(checkpoint_path and checkpoint_every)
     resuming = bool(resume and checkpoint_exists(checkpoint_path))
+    # NB: the chunk-vs-single-shot decision must be IDENTICAL on every
+    # process of a multi-host run (divergent programs would deadlock the
+    # collectives) — only the display is head-process-only
+    want_progress = _resolve_progress(progress, quiet, opts)
+    show_progress = want_progress
+    if want_progress:
+        import jax
 
-    if not checkpointing and not resuming:
+        show_progress = jax.process_index() == 0
+
+    if not checkpointing and not resuming and not want_progress:
         out = run_sharded(datacube, lambda_inv, lam_mu, opts,
                           reference_data, shard, devices)
     else:
@@ -124,8 +139,21 @@ def denoise_sharded(
                 devices, state=engine_state, i_stop=i_stop, keep_state=True,
             )
 
-        out = chunk_driver(run_chunk, n_total, checkpoint_path,
-                           checkpoint_every, resume, meta, datacube.shape)
+        cb = None
+        every = checkpoint_every
+        if want_progress and not every:
+            every = max(25, min(250, n_total // 40 or 1))
+        if show_progress:
+            from cytvdn_tpu.utils.log import make_progress
+
+            cb = make_progress("TV denoising (sharded)")
+        try:
+            out = chunk_driver(run_chunk, n_total, checkpoint_path,
+                               every, resume, meta, datacube.shape,
+                               progress=cb)
+        finally:
+            if cb is not None:
+                cb.close()
 
     recon = out["recon"]
     if getattr(recon, "is_fully_addressable", True):

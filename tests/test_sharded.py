@@ -160,3 +160,27 @@ def test_sharded_fista_restart_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded["delta"]), np.asarray(single["delta"]), rtol=1e-9
     )
+
+
+def test_sharded_progress_chunked_matches_single_shot():
+    """denoise_sharded(progress=True) routes through chunked execution;
+    results must match the single-shot sharded run bit-for-bit (and the
+    progress callback path must actually fire)."""
+    import io
+    from contextlib import redirect_stdout, redirect_stderr
+
+    import numpy as np
+
+    from cytvdn_tpu.parallel.api import denoise_sharded
+
+    rng = np.random.default_rng(11)
+    cube = (rng.standard_normal((16, 8, 6, 8)) * 0.3 + 1.0).astype(
+        np.float32)
+    mu = np.full(4, 1.0, np.float32)
+    kw = dict(iterations=(4, 3), shard=(4, 1, 1, 1), quiet=True)
+    want = denoise_sharded(cube, mu, **kw)
+    buf = io.StringIO()
+    with redirect_stdout(buf), redirect_stderr(buf):
+        got = denoise_sharded(cube, mu, progress=True, **kw)
+    np.testing.assert_array_equal(got["recon"], want["recon"])
+    np.testing.assert_array_equal(got["delta"], want["delta"])
