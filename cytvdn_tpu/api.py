@@ -41,16 +41,24 @@ def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
          progress: bool = False):
     """Dispatch to the native CPU backend or the jitted device solver.
 
-    ``progress`` routes the run through bit-exact chunked execution so a
-    live per-iteration bar can be shown (the reference's tqdm operator
+    ``progress`` routes the run through chunked execution so a live
+    per-iteration bar can be shown (the reference's tqdm operator
     experience, cyTVDN.py:147-152, without a host sync per iteration).
+    The reconstruction/accumulator state is bit-exact vs the unchunked
+    run; the b_norm/delta traces can differ in the last ulp when a chunk
+    boundary changes which kernel sums an iteration's reduction (the
+    reference's own traces are order-nondeterministic OpenMP sums,
+    SURVEY.md §2.1).
     """
     if opts.backend == Backend.CPP:
         from cytvdn_tpu.cpp.backend import solve_cpp
 
         return solve_cpp(datacube, lambda_inv, lam_mu, opts, reference_data)
     if progress:
-        from cytvdn_tpu.utils.checkpoint import run_chunked
+        from cytvdn_tpu.utils.checkpoint import (
+            progress_chunk_size,
+            run_chunked,
+        )
         from cytvdn_tpu.utils.log import make_progress
 
         n_total = opts.total_iterations
@@ -59,7 +67,7 @@ def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
             return run_chunked(
                 datacube, lambda_inv, lam_mu, opts,
                 checkpoint_path=None,
-                checkpoint_every=max(25, min(250, n_total // 40 or 1)),
+                checkpoint_every=progress_chunk_size(n_total),
                 reference_data=reference_data, progress=cb,
             )
         finally:
@@ -175,7 +183,8 @@ def denoise4D(
     ``(recon, b_norm, delta_recon[, MSE])``.
 
     ``progress``: live per-iteration progress (tqdm when available) via
-    bit-exact chunked execution; defaults to on for long non-quiet runs.
+    chunked execution (state bit-exact; traces to the last ulp);
+    defaults to on for long non-quiet runs.
     """
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 4, 32.0
@@ -233,8 +242,9 @@ def denoise3D(
     contract match the reference (reference cyTVDN/cyTVDN.py:250-435).
 
     ``progress``: live per-iteration progress (tqdm when available) via
-    bit-exact chunked execution; defaults to on for long non-quiet runs —
-    the default 7500-iteration run is no longer silent until completion.
+    chunked execution (state bit-exact; traces to the last ulp);
+    defaults to on for long non-quiet runs — the default 7500-iteration
+    run is no longer silent until completion.
     """
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 3, 16.0

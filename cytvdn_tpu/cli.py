@@ -172,7 +172,11 @@ def main(argv=None) -> int:
         FISTA=bool(args.fista),
         stopping_relative_change=args.stop,
         BC_mode=args.bc_mode,
-        quiet=not verbose,
+        # NB: `quiet` must be IDENTICAL on every process of a multi-host
+        # run (it feeds the chunk-vs-single-shot progress decision, which
+        # must not diverge across processes); rank-gating applies only to
+        # the log lines above. Progress display itself is head-only.
+        quiet=not args.verbose,
         backend=args.backend,
     )
 

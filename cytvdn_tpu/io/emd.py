@@ -107,24 +107,47 @@ def write_emd_regions(
     return path
 
 
+#: outputs up to this size are gathered over DCN and written by process 0
+#: alone (no part files, NO shared filesystem needed — each device briefly
+#: holds the full cube)
+_GATHER_MAX_BYTES = 4 << 30
 #: outputs up to this size are stitched into one self-contained file by
-#: default ("gather-small"); larger outputs keep the virtual-dataset master
-#: unless stitch="solid" is forced
+#: default; larger outputs keep the virtual-dataset master unless
+#: stitch="solid" is forced. Part-based paths require the hosts to share
+#: the output filesystem — the same requirement the reference's
+#: parallel-HDF5 MPI-IO writer has (mpi.py:115,447).
 _SOLID_STITCH_MAX_BYTES = 8 << 30
+
+
+def _gather_replicated(array):
+    """Reshard a global array to fully-replicated (allgather over
+    ICI/DCN) and return it as one host ndarray."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = getattr(array.sharding, "mesh", None)
+    if mesh is None:
+        raise ValueError("array has no mesh sharding")
+    rep = jax.device_put(array, NamedSharding(mesh, P()))
+    return np.asarray(rep)
 
 
 def write_emd_sharded(path: str, array, stitch: str = "auto") -> str:
     """Write a (possibly sharded) jax.Array as EMD v0.7 without gathering
-    it into one host buffer.
+    it into one host buffer (except the small-output gather path below).
 
     - Single process: each addressable shard is written as a region into
       one file (the analog of the reference's per-rank ``write_direct``
       region writes, mpi.py:493-497).
-    - Multi-process (TPU pod): HDF5 without MPI-IO cannot share a writer,
-      so every process writes its shards to a ``.partN.h5`` sidecar file
-      and process 0 stitches the master. ``stitch`` controls the result,
-      matching the reference's single-artifact contract (mpi.py:444-498)
-      by default:
+    - Multi-process (TPU pod), ``stitch="auto"`` and output ≤
+      ``_GATHER_MAX_BYTES``: the array is replicated over DCN and process
+      0 writes ONE file — no part files, no shared-filesystem
+      requirement.
+    - Multi-process, larger outputs (or explicit ``stitch=``): HDF5
+      without MPI-IO cannot share a writer, so every process writes its
+      shards to a ``.partN.h5`` sidecar file and process 0 stitches the
+      master — this path (like the reference's MPI-IO writer,
+      mpi.py:115,447) requires a shared filesystem:
 
       - ``"auto"``: one self-contained EMD file (parts copied in, then
         deleted) up to ``_SOLID_STITCH_MAX_BYTES``; virtual-dataset master
@@ -142,16 +165,26 @@ def write_emd_sharded(path: str, array, stitch: str = "auto") -> str:
         return write_emd_regions(path, array.shape, array.dtype, regions)
 
     import jax
+    from jax.experimental import multihost_utils
 
     proc = jax.process_index()
     n_proc = jax.process_count()
+    nbytes = int(np.prod(array.shape)) * np.dtype(array.dtype).itemsize
+    if stitch == "auto" and nbytes <= _GATHER_MAX_BYTES:
+        try:
+            full = _gather_replicated(array)
+        except Exception:
+            full = None  # fall back to the part-based writer
+        if full is not None:
+            if proc == 0:
+                write_emd(path, full)
+            multihost_utils.sync_global_devices("cytv_emd_gather_written")
+            return emd_path(path)
+
     regions = [(s.index, np.asarray(s.data)) for s in shards]
     write_emd_part(path, proc, regions)
-    from jax.experimental import multihost_utils
-
     multihost_utils.sync_global_devices("cytv_emd_parts_written")
     if proc == 0:
-        nbytes = int(np.prod(array.shape)) * np.dtype(array.dtype).itemsize
         solid = stitch == "solid" or (
             stitch == "auto" and nbytes <= _SOLID_STITCH_MAX_BYTES
         )

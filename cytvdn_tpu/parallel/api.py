@@ -45,53 +45,26 @@ def denoise_sharded(
     (reference mpi.py:252-255, 310-311; README.md:22-34; its head rank
     shows tqdm only in the single-node driver, cyTVDN.py:147-152).
 
-    ``progress``: live per-iteration progress via bit-exact chunked
-    execution; default = on for long non-quiet runs, head process only.
+    ``progress``: live per-iteration progress via chunked execution
+    (state bit-exact; traces to the last ulp); default = on for long
+    non-quiet runs, displayed on the head process only.
     """
     from cytvdn_tpu.api import _validate_and_derive
     from cytvdn_tpu.io.loaders import InputHandle
 
-    if isinstance(datacube, (str, InputHandle)):
-        # lazy source: each device's shard is read directly from the file
-        # (per-host on a pod) — no process ever holds the full cube, like
-        # the reference's memmap/MPI-IO opens (mpi.py:93-124). Data is cast
-        # to float32 as the reference loader does (mpi.py:223-230).
-        # The mesh is resolved BEFORE loading (with the pair-kernel's
-        # axis-0 preference) so blocks are read with their final sharding.
-        import jax
-
+    lazy = isinstance(datacube, (str, InputHandle))
+    if lazy:
         from cytvdn_tpu.io.loaders import open_input
-        from cytvdn_tpu.parallel.multihost import load_sharded_array
-        from cytvdn_tpu.parallel.sharded import resolve_shard
 
         if isinstance(datacube, str):
             with open_input(datacube) as h:
+                ndim = len(h.shape)
                 in_shape = tuple(h.shape)
         else:
             in_shape = tuple(datacube.shape)
-        n_dev = len(devices) if devices is not None else len(jax.devices())
-        prefer = (BC_mode == BCMode.JIA_ZHAO and not isotropic_R
-                  and not isotropic_Q
-                  and stopping_relative_change is None
-                  and reference_data is None)
-        shard = resolve_shard(shard, in_shape, n_dev, prefer_axis0=prefer)
-        data_arr = load_sharded_array(datacube, shard, devices,
-                                      dtype=np.float32)
-        ndim = data_arr.ndim
-        mu = np.asarray(mu, dtype=np.float32)
-        if mu.ndim == 0:
-            mu = np.full((ndim,), mu, dtype=np.float32)
-        if lam is None:
-            lam = mu * (1.0 / (32.0 if ndim == 4 else 16.0))
-        lam = np.asarray(lam, dtype=np.float32)
-        lambda_inv = (1.0 / lam).astype(np.float32)
-        lam_mu = (lam / mu).astype(np.float32)
-        datacube = data_arr
+            ndim = len(in_shape)
     else:
         ndim = np.asarray(datacube).ndim
-        datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
-            datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
-        )
     n_f, n_u = normalize_iterations(iterations, FISTA)
     opts = SolverOptions(
         ndim=ndim,
@@ -104,6 +77,41 @@ def denoise_sharded(
         calculate_mse=reference_data is not None,
         backend=Backend(backend),
     )
+
+    if lazy:
+        # lazy source: each device's shard is read directly from the file
+        # (per-host on a pod) — no process ever holds the full cube, like
+        # the reference's memmap/MPI-IO opens (mpi.py:93-124). Data is cast
+        # to float32 as the reference loader does (mpi.py:223-230).
+        # The mesh is resolved BEFORE loading (with the pair-kernel's
+        # axis-0 preference) so blocks are read with their final sharding.
+        import jax
+
+        from cytvdn_tpu.parallel.multihost import load_sharded_array
+        from cytvdn_tpu.parallel.sharded import (
+            resolve_shard,
+            temporal_mesh_preference,
+        )
+
+        n_dev = len(devices) if devices is not None else len(jax.devices())
+        shard = resolve_shard(
+            shard, in_shape, n_dev,
+            prefer_axis0=temporal_mesh_preference(opts, np.float32))
+        data_arr = load_sharded_array(datacube, shard, devices,
+                                      dtype=np.float32)
+        mu = np.asarray(mu, dtype=np.float32)
+        if mu.ndim == 0:
+            mu = np.full((ndim,), mu, dtype=np.float32)
+        if lam is None:
+            lam = mu * (1.0 / (32.0 if ndim == 4 else 16.0))
+        lam = np.asarray(lam, dtype=np.float32)
+        lambda_inv = (1.0 / lam).astype(np.float32)
+        lam_mu = (lam / mu).astype(np.float32)
+        datacube = data_arr
+    else:
+        datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
+            datacube, mu, lam, ndim, 32.0 if ndim == 4 else 16.0
+        )
     n_total = opts.total_iterations
     meta = {
         "ndim": ndim,
@@ -117,6 +125,22 @@ def denoise_sharded(
 
     checkpointing = bool(checkpoint_path and checkpoint_every)
     resuming = bool(resume and checkpoint_exists(checkpoint_path))
+    if resume:
+        import jax
+
+        if jax.process_count() > 1:
+            # the resume decision must be COLLECTIVE: a crash between one
+            # process's part write and another's leaves mixed generations,
+            # and divergent resume-vs-fresh programs would deadlock the
+            # collectives. All processes resume only if every one of them
+            # has a checkpoint; otherwise all start fresh (stale parts are
+            # overwritten at the next save).
+            from jax.experimental import multihost_utils
+
+            votes = multihost_utils.process_allgather(
+                np.asarray([1 if resuming else 0], np.int32))
+            resuming = bool(votes.min())
+            resume = resuming
     # NB: the chunk-vs-single-shot decision must be IDENTICAL on every
     # process of a multi-host run (divergent programs would deadlock the
     # collectives) — only the display is head-process-only
@@ -142,7 +166,9 @@ def denoise_sharded(
         cb = None
         every = checkpoint_every
         if want_progress and not every:
-            every = max(25, min(250, n_total // 40 or 1))
+            from cytvdn_tpu.utils.checkpoint import progress_chunk_size
+
+            every = progress_chunk_size(n_total)
         if show_progress:
             from cytvdn_tpu.utils.log import make_progress
 

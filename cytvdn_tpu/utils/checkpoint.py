@@ -215,6 +215,13 @@ def load_state(path: str):
     return state, meta
 
 
+def progress_chunk_size(n_total: int) -> int:
+    """Chunk length for progress-driven chunked execution: frequent
+    enough for a live bar, long enough to amortize dispatch (shared by
+    the single-device and sharded entry points)."""
+    return max(25, min(250, n_total // 40 or 1))
+
+
 def checkpoint_exists(path: Optional[str]) -> bool:
     """Whether a resumable checkpoint exists for THIS process: the master
     file, or (multi-process without a shared filesystem) the process's own

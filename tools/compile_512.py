@@ -16,12 +16,12 @@ This tool therefore records BOTH:
 
 1. v5e:4x4 (16 chips): the full sharded solver *lowers and compiles*
    through the TPU toolchain until buffer assignment, whose report is the
-   per-shard HBM math — ~40.25 GB demanded of 15.75 GB. Captured
+   per-shard HBM math — 36.25 GB demanded of 15.75 GB. Captured
    verbatim: the config runs on 16 chips only in streaming mode
    (``solver/outofcore.py`` per host — the "streamed HDF5 I/O" in the
    BASELINE config text), not HBM-resident.
 2. v5e:8x8 (64 chips): the same program compiles AND fits
-   (~10.7 GB/chip) — the smallest standard v5e pod slice that runs the
+   (~13.2 GB/chip) — the smallest standard v5e pod slice that runs the
    north-star config fully in HBM.
 
 Writes COMPILE_512.json. Usage: python tools/compile_512.py
