@@ -203,15 +203,24 @@ def load_state(path: str):
         from jax.experimental import multihost_utils
 
         # every process must hold the same generation (a crash between
-        # part writes could leave a mixed set; sync_global_devices above
-        # makes this unlikely but not impossible)
+        # part writes leaves a mixed set; sync_global_devices above makes
+        # the window narrow but not zero). A process can only hold its
+        # own latest part, so a mixed set cannot be reconciled — recover
+        # by collectively discarding the checkpoint and starting fresh
+        # (the allgather result is identical everywhere, so every process
+        # takes the same branch; stale parts are overwritten at the next
+        # save). The reference cannot resume a crashed job at all
+        # (SURVEY.md §5), so a from-scratch restart is the worst case.
+        import warnings
+
         gens = multihost_utils.process_allgather(
             np.asarray([int(state["i"])], np.int64))
         if int(gens.min()) != int(gens.max()):
-            raise ValueError(
-                f"checkpoint parts disagree on iteration ({gens.ravel()}) "
-                f"— delete '{path}'* and restart"
-            )
+            warnings.warn(
+                f"checkpoint parts disagree on iteration ({gens.ravel()})"
+                " — the job died mid-save; discarding the checkpoint and "
+                "restarting from scratch", stacklevel=2)
+            return None, meta
     return state, meta
 
 
@@ -259,6 +268,9 @@ def chunk_driver(
     state = None
     if resume and checkpoint_exists(checkpoint_path):
         state, ck_meta = load_state(checkpoint_path)
+        if state is None:  # mixed-generation multi-process parts
+            ck_meta = None
+    if state is not None:
         if ck_meta["shape"] != list(expected_shape):
             raise ValueError(
                 f"checkpoint shape {ck_meta['shape']} does not match input "

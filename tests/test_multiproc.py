@@ -52,3 +52,13 @@ def test_two_process_checkpoint_kill_resume():
     assert out["multiproc_e2e"] == "ok"
     assert out["max_abs_err_vs_single_process"] == 0.0
     assert out["checkpoint_cycle"] is True
+
+
+@pytest.mark.slow
+def test_two_process_temporal_pairs_axis0_mesh():
+    """The K=2 pair kernel's 2-row halo bands ppermute across a real
+    process boundary (axis-0 mesh spanning both processes)."""
+    out = _run(["--pairs"], 23000 + os.getpid() % 9000)
+    assert out["multiproc_e2e"] == "ok"
+    assert out["rel_err"] < 1e-6
+    assert out["temporal_pairs_mesh"] is True

@@ -75,8 +75,14 @@ def child(args) -> int:
     argv = [
         "-i", f"{work}/noisy.emd", "-o", f"{work}/denoised.emd",
         "-m", str(MU), "-n", str(ITERS[0]), str(ITERS[1]), "-f", "1",
-        "--shard", SHARD, "-v", "1",
+        "-v", "1",
     ]
+    if args.pairs:
+        # axis-0 mesh + forced Pallas (interpret on CPU): the K=2 pair
+        # kernel's 2-row halo bands ppermute ACROSS the process boundary
+        argv += ["--shard", "8,1,1,1", "--backend", "pallas"]
+    else:
+        argv += ["--shard", SHARD]
     if args.checkpoint:
         argv += ["--checkpoint", f"{work}/state.ck",
                  "--checkpoint-every", "2", "--resume", "1"]
@@ -125,7 +131,8 @@ def parent(args) -> int:
              "--pid", str(pid), "--nproc", str(args.nproc),
              "--port", str(port), "--workdir", work,
              "--local-devices", str(8 // args.nproc)]
-            + (["--checkpoint"] if args.checkpoint else []),
+            + (["--checkpoint"] if args.checkpoint else [])
+            + (["--pairs"] if args.pairs else []),
             env=env,
         ) for pid in range(args.nproc)]
 
@@ -175,6 +182,7 @@ def parent(args) -> int:
         "rel_err": rel,
         "leftover_part_files": parts,
         "checkpoint_cycle": bool(args.checkpoint),
+        "temporal_pairs_mesh": bool(args.pairs),
         "interrupted_mid_run": interrupted,
     }))
     if not args.keep:
@@ -193,6 +201,9 @@ def build_parser():
     p.add_argument("--local-devices", type=int, default=4)
     p.add_argument("--checkpoint", action="store_true",
                    help="exercise chunked checkpointed execution")
+    p.add_argument("--pairs", action="store_true",
+                   help="exercise the K=2 pair kernel over an axis-0 "
+                        "mesh spanning both processes")
     p.add_argument("--keep", default=None, metavar="WORKDIR",
                    help="use (and keep) WORKDIR instead of a temp dir")
     return p
