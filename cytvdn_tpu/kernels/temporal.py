@@ -60,6 +60,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -84,7 +85,12 @@ Array = jax.Array
 _VMEM_CAP = 116 * 1024 * 1024   # scoped ask; 128 MB physical on v5e
 _PAIR_BUFFERS = 82
 _PAIR_BUFFERS_NOSEAM = 52
-_PAIR_BUFFERS_HALO0 = 26        # extra block buffers in axis-0 halo mode
+# extra block buffers in axis-0 halo mode: the 2-row neighbor bands, the
+# per-strip halo row operands and the four edge-recompute scratches, each
+# pipelined — calibrated against the compiler's own VMEM accounting for
+# the 512^2x256^2 per-shard geometry (an estimate of 26 under-counted:
+# Mosaic measured ~159 block-equivalents total at b1=4 there)
+_PAIR_BUFFERS_HALO0 = 80
 _SMALL_RESERVE = 2 * 1024 * 1024
 # test hook: cap block bytes to force small strips/seams (None = auto)
 _PAIR_BLOCK_CAP = None
@@ -132,6 +138,24 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
     if b1 == 0:
         return None
     return work_shape, inblock_axes, flat, b1
+
+
+def pair_hbm_viable(shape, itemsize: int = 4,
+                    usable_hbm: float = 15.3e9) -> bool:
+    """Whether the pair program's HBM footprint fits one device for this
+    (local) shape: 2n+2 state arrays + orig + the pre-gathered seam/band
+    columns (~15 column sets of cube/B1 bytes each — significant when
+    VMEM forces small strips, e.g. pod-scale 256-square tails)."""
+    ndim = len(shape)
+    plan = pair_plan(tuple(shape), itemsize, halo0=True)
+    if plan is None:
+        return False
+    work_shape, _, _, b1 = plan
+    cube = int(np.prod(work_shape)) * itemsize
+    n_band = (2 * ndim + 6) if work_shape[1] // b1 > 1 else 0
+    state = (2 * ndim + 3) * cube          # orig + recon + accs + ds
+    bands = (n_band + 1) * cube // b1      # packed band + lastcols
+    return state + bands <= usable_hbm
 
 
 def pair_supported(shape, dtype, bc, isotropic_R=False,
@@ -182,13 +206,37 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         if has_seam:
             # pre-gathered band columns of strip j+1 @ row ip-1 (c1 is the
             # band's second global column — strip j+2's first when b1==1)
-            r0b_c0 = next(it)
-            r0b_c1 = next(it)
-            acc0b = [next(it) for _ in range(n_ax)]      # c0 each
-            acc0b1_c1 = next(it)
-            d0b = [next(it) for _ in range(n_ax)] if fista else None
-            d0b1_c1 = next(it) if fista else None
-            origb = next(it)
+            # all band columns ride ONE packed operand (one DMA program
+            # instead of 13 — the kernel's throughput is partly bound by
+            # fixed per-operand pipeline cost). Pack layout along axis 2:
+            # [r0_c0, r0_c1, acc0..acc{n-1} (c0), acc1_c1,
+            #  d0..d{n-1} (c0), d1_c1 (fista), orig_c0]
+            bandpk = next(it)                  # (1,1,C)+tail @ (ip-1, j+1)
+
+            def _bp(i):
+                v = bandpk[...]
+                v = lax.slice_in_dim(v, i, i + 1, axis=2)
+                return v.reshape((1, 1) + v.shape[3:])
+
+            class _Slot:
+                def __init__(self, i):
+                    self.i = i
+
+                def __getitem__(self, _):
+                    return _bp(self.i)
+
+            r0b_c0 = _Slot(0)
+            r0b_c1 = _Slot(1)
+            acc0b = [_Slot(2 + k) for k in range(n_ax)]
+            acc0b1_c1 = _Slot(2 + n_ax)
+            if fista:
+                d0b = [_Slot(3 + n_ax + k) for k in range(n_ax)]
+                d0b1_c1 = _Slot(3 + 2 * n_ax)
+                origb = _Slot(4 + 2 * n_ax)
+            else:
+                d0b = None
+                d0b1_c1 = None
+                origb = _Slot(3 + n_ax)
         if with_halo0:
             # axis-0 shard-seam operands; row blocks are constant in ip
             # (fetched once per strip). p_* = -1 neighbor's last rows,
@@ -851,17 +899,25 @@ def fused_pair_iteration(
             aliases[d_base + k] = 1 + ndbg + ndim + k  # d0_k -> d2_k
 
     if has_seam:
-        in_specs += [col(band_map), col(band_map)]
-        inputs += [col_gather(recon_w, 0), col_gather_c1(recon_w)]
-        in_specs += [col(band_map) for _ in range(ndim + 1)]
-        inputs += [col_gather(accs_w[k], 0) for k in range(ndim)]
-        inputs += [col_gather_c1(accs_w[1])]
+        # pack every band column into ONE operand (order must match the
+        # kernel's _Slot indices)
+        band_cols = [col_gather(recon_w, 0), col_gather_c1(recon_w)]
+        band_cols += [col_gather(accs_w[k], 0) for k in range(ndim)]
+        band_cols += [col_gather_c1(accs_w[1])]
         if fista:
-            in_specs += [col(band_map) for _ in range(ndim + 1)]
-            inputs += [col_gather(ds_w[k], 0) for k in range(ndim)]
-            inputs += [col_gather_c1(ds_w[1])]
-        in_specs.append(col(band_map))
-        inputs.append(col_gather(orig_w, 0))           # origb
+            band_cols += [col_gather(ds_w[k], 0) for k in range(ndim)]
+            band_cols += [col_gather_c1(ds_w[1])]
+        band_cols += [col_gather(orig_w, 0)]
+        n_band = len(band_cols)
+        bandpk = jnp.stack(band_cols, axis=2)      # (n0, g1, C)+tail
+
+        def bandpk_map(j, ip):
+            return (jnp.clip(ip - 1, 0, n0 - 1),
+                    jnp.minimum(j + 1, g1 - 1), 0) + zeros_tail
+
+        in_specs.append(pl.BlockSpec((1, 1, n_band) + tail, bandpk_map,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(bandpk)
 
     if with_halo0:
         # axis-0 neighbor bands: full-width (1|2, N1)+tail arrays read as

@@ -54,7 +54,13 @@ def resolve_shard(
     if shard == "auto":
         if prefer_axis0 and shape[0] % n_devices == 0 \
                 and shape[0] // n_devices >= 4:
-            return (n_devices,) + (1,) * (ndim - 1)
+            from cytvdn_tpu.kernels.temporal import pair_hbm_viable
+
+            local = (shape[0] // n_devices,) + tuple(shape[1:])
+            if pair_hbm_viable(local):
+                return (n_devices,) + (1,) * (ndim - 1)
+            # pod-scale shards where the pair program's band state would
+            # not fit HBM: fall through to the 2D grid + K=1 kernel
         # prefer all devices; when the scan axes have no even tiling over
         # that count (e.g. 250×250 on 8 devices), degrade to the largest
         # device count that tiles evenly rather than failing (the reference

@@ -479,9 +479,18 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     use_fused, _ = _resolve_fused(opts, shape, dtype, comm)
     if not use_fused:
         return False
-    from cytvdn_tpu.kernels.temporal import pair_supported
+    from cytvdn_tpu.kernels.temporal import pair_hbm_viable, pair_supported
 
-    return pair_supported(shape, dtype, opts.bc_mode, halo0=halo0)
+    if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo0):
+        return False
+    if halo0 and jax.default_backend() == "tpu" \
+            and not pair_hbm_viable(shape):
+        # pod-scale shards: VMEM forces small strips, and the band
+        # gathers (cube/B1 each) then exceed HBM — run the K=1 kernel.
+        # (Single-device configs are sized by the bench/caller against
+        # the in-core budget and validated empirically.)
+        return False
+    return True
 
 
 def _run_phase_paired(

@@ -191,3 +191,24 @@ def test_temporal_gates():
 def test_pair_plan_row_floor():
     assert T.pair_plan((3, 8, 6, 16)) is None  # pipeline needs >= 4 rows
     assert T.pair_plan((4, 8, 6, 16)) is not None
+
+
+def test_headline_geometry_stays_pair_eligible():
+    """Regression guard: the bench headline work shape (the permuted
+    256,256,72,72 cube) must resolve to the pair kernel — a prior HBM
+    gate misfire silently dropped the headline back to K=1."""
+    import jax.numpy as jnp
+    from cytvdn_tpu.solver.engine import _resolve_temporal
+
+    opts = SolverOptions(ndim=4, iterations_fista=24, iterations_unacc=0,
+                         backend=Backend.PALLAS)
+    assert _resolve_temporal(opts, (72, 256, 72, 256), jnp.float32, None)
+    # the 3D flagship too
+    opts3 = SolverOptions(ndim=3, iterations_fista=24, iterations_unacc=0,
+                          backend=Backend.PALLAS)
+    assert _resolve_temporal(opts3, (256, 256, 2048), jnp.float32, None)
+    # pod-scale sharded shards with non-viable band HBM fall back on TPU
+    # only; on CPU (tests) they stay eligible
+    from cytvdn_tpu.kernels.temporal import pair_hbm_viable
+    assert not pair_hbm_viable((8, 512, 256, 256))
+    assert pair_hbm_viable((16, 256, 128, 128))

@@ -40,7 +40,8 @@ SHAPE = (512, 512, 256, 256)
 ITERS = 40  # the reference's Cori production iteration count
 
 
-def _compile_for(topology_name: str, n_dev: int):
+def _compile_for(topology_name: str, n_dev: int, axis0_pairs: bool = False,
+                 shape=None):
     import jax
     from jax.experimental import topologies
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -49,16 +50,25 @@ def _compile_for(topology_name: str, n_dev: int):
     from cytvdn_tpu.parallel.partition import choose_grid
     from cytvdn_tpu.parallel.sharded import _build_sharded_fn
 
+    shape = tuple(shape) if shape is not None else SHAPE
     topo = topologies.get_topology_desc(platform="tpu",
                                         topology_name=topology_name)
     devices = tuple(topo.devices)
     assert len(devices) == n_dev, (topology_name, len(devices))
 
-    grid = choose_grid(n_dev, SHAPE[:2])  # edge-minimizing partitioner
+    if axis0_pairs:
+        # the axis-0-only mesh the auto partitioner picks for
+        # pair-eligible runs: the K=2 temporal kernel runs on every chip
+        # (2-row halo bands over ICI)
+        grid = (n_dev, 1)
+        opts = SolverOptions(ndim=4, iterations_fista=ITERS,
+                             iterations_unacc=0)
+    else:
+        grid = choose_grid(n_dev, shape[:2])  # edge-minimizing partitioner
+        opts = SolverOptions(ndim=4, iterations_fista=ITERS,
+                             iterations_unacc=0,
+                             stopping_relative_change=1e-6)
     shard = tuple(grid) + (1, 1)
-    opts = SolverOptions(ndim=4, iterations_fista=ITERS,
-                         iterations_unacc=0,
-                         stopping_relative_change=1e-6)
     fn, mesh, data_spec = _build_sharded_fn(
         opts, shard, 4, False, False, False, devices
     )
@@ -69,7 +79,7 @@ def _compile_for(topology_name: str, n_dev: int):
         return jax.ShapeDtypeStruct(shape_, dtype, sharding=sh)
 
     args = (
-        sds(SHAPE, np.float32, data_sh),
+        sds(shape, np.float32, data_sh),
         sds((4,), np.float32, rep_sh),
         sds((4,), np.float32, rep_sh),
         sds((), np.int32, rep_sh),
@@ -79,7 +89,10 @@ def _compile_for(topology_name: str, n_dev: int):
         "topology": topology_name,
         "n_devices": n_dev,
         "mesh_grid_over_scan_axes": list(grid),
-        "per_shard_shape": [s // w for s, w in zip(SHAPE, shard)],
+        "shape": list(shape),
+        "per_shard_shape": [s // w for s, w in zip(shape, shard)],
+        "kernel": ("K=2 temporal pairs (axis-0 mesh)" if axis0_pairs
+                   else "K=1 fused (2D scan grid)"),
         "lowered": True,
     }
     try:
@@ -129,6 +142,14 @@ def main() -> int:
         "compiles": [
             _compile_for("v5e:4x4", 16),
             _compile_for("v5e:8x8", 64),
+            # the 256^2x128^2 north-star (BASELINE configs[3] — exceeds
+            # one chip's HBM) runs fully HBM-resident on a v5e-16 with
+            # the K=2 temporal pair kernel over an axis-0 mesh. (The
+            # 512^2 config's pod shards force pair strips too small —
+            # band state would exceed HBM — so it stays on the K=1
+            # program above; pair_hbm_viable gates this automatically.)
+            _compile_for("v5e:4x4", 16, axis0_pairs=True,
+                         shape=(256, 256, 128, 128)),
         ],
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
