@@ -136,6 +136,7 @@ def parent(args) -> int:
             env=env,
         ) for pid in range(args.nproc)]
 
+    result_sink = args.artifact
     interrupted = False
     if args.checkpoint:
         # pass 1: run until the first multi-process checkpoint generation
@@ -173,18 +174,27 @@ def parent(args) -> int:
     rel = err / float(np.max(np.abs(expected)))
     # one self-contained file: no dangling part files after solid stitch
     parts = [p for p in os.listdir(work) if ".part" in p]
-    print(json.dumps({
+    result = {
         "multiproc_e2e": "ok" if rel < 1e-6 else "FAIL",
         "nproc": args.nproc,
         "global_devices": 8,
-        "shard": SHARD,
+        "shard": "8,1,1,1" if args.pairs else SHARD,
         "max_abs_err_vs_single_process": err,
         "rel_err": rel,
         "leftover_part_files": parts,
         "checkpoint_cycle": bool(args.checkpoint),
         "temporal_pairs_mesh": bool(args.pairs),
         "interrupted_mid_run": interrupted,
-    }))
+    }
+    print(json.dumps(result))
+    if result_sink:
+        existing = []
+        if os.path.exists(result_sink):
+            with open(result_sink) as f:
+                existing = json.load(f)
+        existing.append(result)
+        with open(result_sink, "w") as f:
+            json.dump(existing, f, indent=2)
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
     return 0 if rel < 1e-6 and not parts else 1
@@ -206,6 +216,8 @@ def build_parser():
                         "mesh spanning both processes")
     p.add_argument("--keep", default=None, metavar="WORKDIR",
                    help="use (and keep) WORKDIR instead of a temp dir")
+    p.add_argument("--artifact", default=None, metavar="JSON",
+                   help="append the result record to this JSON file")
     return p
 
 
