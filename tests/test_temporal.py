@@ -212,3 +212,73 @@ def test_headline_geometry_stays_pair_eligible():
     from cytvdn_tpu.kernels.temporal import pair_hbm_viable
     assert not pair_hbm_viable((8, 512, 256, 256))
     assert pair_hbm_viable((16, 256, 128, 128))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pair_fuzz_random_shapes(monkeypatch, seed):
+    """Randomized shapes/caps through full solver runs: the paired engine
+    path must match the unpaired fused path exactly (recon/accs) across
+    odd extents, prime strips, forced-small blocks, 3D/4D, hybrid and
+    unaccelerated schedules."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    rng = np.random.default_rng(1000 + seed)
+    ndim = int(rng.choice([3, 4]))
+    if ndim == 4:
+        shape = (int(rng.integers(4, 12)), int(rng.integers(2, 14)),
+                 int(rng.integers(2, 9)), int(rng.integers(8, 20)))
+    else:
+        shape = (int(rng.integers(4, 12)), int(rng.integers(2, 10)),
+                 int(rng.integers(16, 300)))
+    cap = int(rng.choice([0, 4096, 16384]))
+    if cap:
+        monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", cap)
+    n_f = int(rng.integers(0, 6))
+    n_u = int(rng.integers(0, 5))
+    if n_f + n_u == 0:
+        n_f = 3
+    orig, _, _, li, lm = _state(shape, True, seed=seed)
+    base = dict(ndim=ndim, iterations_fista=n_f, iterations_unacc=n_u,
+                backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True))
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]),
+                                  err_msg=f"{shape} cap={cap} "
+                                          f"iters=({n_f},{n_u})")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pair_fuzz_sharded_axis0(monkeypatch, seed):
+    """Randomized axis-0 meshes through the paired sharded path vs the
+    single-device run (ulp tolerance — FMA contraction differs between
+    seam recomputes and in-carry computation)."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    rng = np.random.default_rng(2000 + seed)
+    n_shards = int(rng.choice([2, 4, 8]))
+    rows = n_shards * int(rng.integers(4, 8))
+    ndim = int(rng.choice([3, 4]))
+    if ndim == 4:
+        shape = (rows, int(rng.integers(2, 10)),
+                 int(rng.integers(2, 8)), int(rng.integers(8, 18)))
+    else:
+        shape = (rows, int(rng.integers(2, 10)), int(rng.integers(16, 128)))
+    cap = int(rng.choice([0, 16384]))
+    if cap:
+        monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", cap)
+    n_f = int(rng.integers(1, 5))
+    n_u = int(rng.integers(0, 3))
+    orig, _, _, li, lm = _state(shape, True, seed=seed)
+    opts = SolverOptions(ndim=ndim, iterations_fista=n_f,
+                         iterations_unacc=n_u, backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(n_shards,) + (1,) * (ndim - 1))
+    np.testing.assert_allclose(
+        np.asarray(got["recon"]), np.asarray(single["recon"]),
+        rtol=5e-7, atol=1e-7,
+        err_msg=f"{shape} shards={n_shards} cap={cap} iters=({n_f},{n_u})")
