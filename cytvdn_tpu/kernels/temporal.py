@@ -43,10 +43,13 @@ order as two passes of the K=1 kernel, results — recon, accumulators,
 b_norm and delta traces — are **bit-identical** to running the fused
 kernel twice.
 
-Scope: float32, Jia-Zhao BCs, anisotropic, single device, 4D and 3D
-(single-strip and folded layouts), FISTA and unaccelerated, single-row
-blocks (B0=1 — true for every bandwidth-relevant shape). Everything else
-runs the K=1 kernel / ops path (``solver.engine`` gates).
+Scope: float32, Jia-Zhao BCs, anisotropic, 4D and 3D (single-strip and
+folded layouts), FISTA and unaccelerated, single-row blocks (B0=1 — true
+for every bandwidth-relevant shape); single device, axis-0 meshes (2-row
+neighbor bands) and axis-1 meshes (the right shard's columns ride the
+band machinery as an extra slot, the left shard's last-column recon-1 is
+recomputed per row). Q-splits and 2D grids (which would need corner
+exchanges) run the K=1 kernel / ops path (``solver.engine`` gates).
 
 Reference baseline for the math: one iteration = per-axis dual update +
 reconstruction update (reference cyTVDN/cyTVDN.py:147-194, spec
@@ -177,7 +180,8 @@ def pair_supported(shape, dtype, bc, isotropic_R=False,
 def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                       fista: bool, b1: int, has_seam: bool, n0: int,
                       g1: int, debug: bool = False,
-                      with_halo0: bool = False):
+                      with_halo0: bool = False,
+                      with_halo1: bool = False):
     """Kernel body; operand order must match :func:`fused_pair_iteration`.
 
     Stage guards (grid inner index ``ip`` in [0, n0+2]):
@@ -263,6 +267,19 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             h_n_d1_cf = next(it) if fista else None
             h_n_acc0_cf = next(it)             # acc0_0 @ next row0, col f
             h_n_d0_cf = next(it) if fista else None
+        if with_halo1:
+            # LEFT axis-1 neighbor's packed last-column state, fetched at
+            # two row offsets (S_A needs row ip; the left-band recon-1
+            # staging needs row ip-1). Pack layout along axis 2:
+            # [r0 col -2, r0 col -1, orig col -1, acc0..acc{n-1} col -1,
+            #  d0..d{n-1} col -1 (fista)]
+            h1L_i = next(it)                   # (1,1,L)+tail @ (ip, 0)
+            h1L_im1 = next(it)                 # (1,1,L)+tail @ (ip-1, 0)
+
+            def _lp(ref, i):
+                v = ref[...]
+                v = lax.slice_in_dim(v, i, i + 1, axis=2)
+                return v.reshape((1, 1) + v.shape[3:])
 
         r2_out = next(it)                      # block @ (ip-3, j)
         if debug:
@@ -304,6 +321,10 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             s_b1n0 = next(it)                  # +1 shard row-0 dual-1 (ax0)
             s_d1n0 = next(it) if fista else None
             s_b2n0 = next(it)                  # +1 shard row-0 dual-2 (ax0)
+        if with_halo1:
+            lb1 = [next(it) for _ in range(n_ax)]  # left-band b1 @ ip-2
+            lr0_prev = next(it)                # left r0 col -1 @ ip-2
+            l_og = next(it)                    # left orig col -1 @ ip-2
         s_sums = next(it)                      # SMEM (6,)
 
         j = pl.program_id(0)
@@ -318,10 +339,12 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
         rho1 = scal[0, 2 * n_ax]
         rho2 = scal[0, 2 * n_ax + 1]
-        # global-edge flags (1.0 when this shard owns the global row edge;
-        # always 1.0 single-device)
+        # global-edge flags (1.0 when this shard owns the global edge of
+        # the axis; always 1.0 single-device)
         first0 = scal[0, 2 * n_ax + 2]
         last0 = scal[0, 2 * n_ax + 3]
+        first1 = scal[0, 2 * n_ax + 4]
+        last1 = scal[0, 2 * n_ax + 5]
 
         in_A = ip <= n0 - 1
         in_B = jnp.logical_and(ip >= 1, ip <= n0)
@@ -352,7 +375,14 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         diffs1.append(jnp.where(ip > 0, row0, edge0_A))
         if has_seam:
             seam = a_c0 - r0_last[...]
-            seam = jnp.where(j > 0, seam, jnp.zeros_like(a_c0))
+            if with_halo1:
+                # shard leading column: backward operand is the left
+                # shard's last column (global edges keep the JZ zero)
+                e1_A = jnp.where(first1 > 0, jnp.zeros_like(a_c0),
+                                 a_c0 - _lp(h1L_i, 1))
+            else:
+                e1_A = jnp.zeros_like(a_c0)
+            seam = jnp.where(j > 0, seam, e1_A)
         else:
             seam = jnp.zeros_like(a_c0)
         if b1 > 1:
@@ -535,6 +565,47 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                     s_d1n0[...] if fista else None, 0, rho2)
                 s_b2n0[...] = b2v
 
+        # --------- axis-1 LEFT-shard seam staging (sharded axis 1) -------
+        if with_halo1:
+            # fresh left-band dual-1 values at row ip-1 from the left
+            # shard's packed last-column pre-update state
+            Lr0 = _lp(h1L_im1, 1)      # left r0 col -1
+            Lr0m2 = _lp(h1L_im1, 0)    # left r0 col -2
+            Log = _lp(h1L_im1, 2)
+            lb1f = []
+            for k in range(n_ax):
+                avL = _lp(h1L_im1, 3 + k)
+                dvL = _lp(h1L_im1, 3 + n_ax + k) if fista else None
+                if k == 0:
+                    difL = jnp.where(ip > 1, Lr0 - lr0_prev[...],
+                                     jnp.zeros_like(Lr0))
+                elif k == 1:
+                    difL = Lr0 - Lr0m2
+                elif flat and k == n_ax - 1:
+                    difL = Lr0 - _shift_down_flat(Lr0)
+                else:
+                    difL = Lr0 - _shift_down_inblock(
+                        Lr0, inblock_axes[k - 2])
+                lb1f.append(dual(difL, avL, dvL, k, rho1)[0])
+            # the left shard's last-column recon-1 at row ip-2 (the
+            # dual-2 backward operand at our first column): ringed duals;
+            # axis-0 forward is the fresh row above (JZ zero at the
+            # global last row), axis-1 forward is OUR OWN global-col-0
+            # dual-1 at the same row (c_b1b)
+            divL = lam_mu[0] * (lb1[0][...] - jnp.where(
+                ip <= n0, lb1f[0], jnp.zeros_like(lb1f[0])))
+            f1L = lax.slice_in_dim(c_b1b[1][...], 0, 1, axis=1)
+            divL = divL + lam_mu[1] * (lb1[1][...] - f1L)
+            for i_ax, ax in enumerate(inblock_axes):
+                k = 2 + i_ax
+                divL = divL + lam_mu[k] * (
+                    lb1[k][...] - _shift_up_inblock(lb1[k][...], ax))
+            if flat:
+                k = n_ax - 1
+                divL = divL + lam_mu[k] * (
+                    lb1[k][...] - _shift_up_flat(lb1[k][...]))
+            r1L = l_og[...] - divL
+
         # ---------------- S_B: recon-1 at row ip-1 -----------------------
         og = orig[...]
         fwd1 = []
@@ -547,9 +618,14 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             edge1_B = jnp.zeros_like(b1f[0])
         fwd1.append(jnp.where(in_A, b1f[0], edge1_B))
         # axis 1: in-block forward; last col from the band (strip j+1's
-        # first column), zero wrap at the global last column
+        # first column — the RIGHT shard's first column at the last strip
+        # of an axis-1-sharded run), zero wrap at the global last column
         if has_seam:
-            lastc = jnp.where(j < g1 - 1,
+            if with_halo1:
+                onr = jnp.logical_or(j < g1 - 1, last1 < 1)
+            else:
+                onr = j < g1 - 1
+            lastc = jnp.where(onr,
                               lax.slice_in_dim(bb1f[1], 0, 1, axis=1),
                               jnp.zeros_like(a_c0))
         else:
@@ -609,7 +685,12 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 return jnp.where(j % 2 == 1, vA, vB)
 
             left = read_other(s_colA, s_colB)
-            seam2 = jnp.where(j > 0, r1_c0 - left, jnp.zeros_like(r1_c0))
+            if with_halo1:
+                e2C = jnp.where(first1 > 0, jnp.zeros_like(r1_c0),
+                                r1_c0 - r1L)
+            else:
+                e2C = jnp.zeros_like(r1_c0)
+            seam2 = jnp.where(j > 0, r1_c0 - left, e2C)
         else:
             seam2 = jnp.zeros_like(r1_c0)
         if b1 > 1:
@@ -676,10 +757,14 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             b1b_c0 = lax.slice_in_dim(bb1_b[1][...], 0, 1, axis=1)
             b1b_c1 = lax.slice_in_dim(bb1_b[1][...], 1, 2, axis=1)
             if b1 == 1:
-                # the band's c1 is strip j+2's first column; when the band
-                # (strip j+1) is the global last strip, c0's forward wrap
-                # is the JZ zero instead
-                b1b_c1 = jnp.where(j + 2 <= g1 - 1, b1b_c1,
+                # the band's c1 is the next strip's first column; when
+                # the band is the global last strip, c0's forward wrap is
+                # the JZ zero (with an axis-1 right shard, the columns
+                # continue into it instead)
+                keep_c1 = j + 2 <= g1 - 1
+                if with_halo1:
+                    keep_c1 = jnp.logical_or(keep_c1, last1 < 1)
+                b1b_c1 = jnp.where(keep_c1, b1b_c1,
                                    jnp.zeros_like(b1b_c1))
             divb = divb + lam_mu[1] * (b1b_c0 - b1b_c1)
             for i_ax, ax in enumerate(inblock_axes):
@@ -696,7 +781,11 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 b2_1b = cb + rho2 * (cb - bd1_b[...])
             else:
                 b2_1b = cb
-            lastc2 = jnp.where(j < g1 - 1, b2_1b, jnp.zeros_like(b2_1b))
+            if with_halo1:
+                onr2 = jnp.logical_or(j < g1 - 1, last1 < 1)
+            else:
+                onr2 = j < g1 - 1
+            lastc2 = jnp.where(onr2, b2_1b, jnp.zeros_like(b2_1b))
         else:
             lastc2 = jnp.zeros_like(r1_c0)
         if b1 > 1:
@@ -744,6 +833,11 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             bogb[...] = boga[...]
             boga[...] = origb[...]
             br0_prev[...] = bc0
+        if with_halo1:
+            for k in range(n_ax):
+                lb1[k][...] = lb1f[k]
+            lr0_prev[...] = Lr0
+            l_og[...] = Log
 
         # ---------------- final step: publish the reductions -------------
         @pl.when(jnp.logical_and(j == g1 - 1, ip == n0 + 2))
@@ -774,6 +868,9 @@ def fused_pair_iteration(
     halos0=None,
     first0=None,
     last0=None,
+    halos1=None,
+    first1=None,
+    last1=None,
 ):
     """TWO full TV iterations in one temporally-blocked Pallas pass.
 
@@ -793,7 +890,10 @@ def fused_pair_iteration(
     in_shape = orig.shape
     ndim = len(in_shape)
     with_halo0 = halos0 is not None
-    plan = pair_plan(in_shape, orig.dtype.itemsize, halo0=with_halo0)
+    with_halo1 = halos1 is not None
+    assert not (with_halo0 and with_halo1), "one split axis at a time"
+    plan = pair_plan(in_shape, orig.dtype.itemsize,
+                     halo0=with_halo0 or with_halo1)
     if plan is None:
         raise ValueError(f"pair kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b1 = plan
@@ -807,13 +907,15 @@ def fused_pair_iteration(
 
     n0, n1 = shape[0], shape[1]
     g1 = n1 // b1
-    has_seam = g1 > 1
+    # an axis-1-sharded shard needs the full seam machinery even when its
+    # own columns fit one strip (the shard seams ARE column seams)
+    has_seam = g1 > 1 or with_halo1
     tail = shape[2:]
     block = (1, b1) + tail
     one_tail = (1, 1) + tail
     zeros_tail = tuple(0 for _ in tail)
 
-    n_scal = 2 * ndim + 4
+    n_scal = 2 * ndim + 6
     one_f = jnp.ones((), jnp.float32)
     scal = jnp.concatenate(
         [
@@ -824,6 +926,10 @@ def fused_pair_iteration(
             jnp.asarray(one_f if first0 is None else first0,
                         jnp.float32).reshape(1),
             jnp.asarray(one_f if last0 is None else last0,
+                        jnp.float32).reshape(1),
+            jnp.asarray(one_f if first1 is None else first1,
+                        jnp.float32).reshape(1),
+            jnp.asarray(one_f if last1 is None else last1,
                         jnp.float32).reshape(1),
         ]
     ).reshape(1, n_scal)
@@ -900,20 +1006,49 @@ def fused_pair_iteration(
 
     if has_seam:
         # pack every band column into ONE operand (order must match the
-        # kernel's _Slot indices)
-        band_cols = [col_gather(recon_w, 0), col_gather_c1(recon_w)]
-        band_cols += [col_gather(accs_w[k], 0) for k in range(ndim)]
-        band_cols += [col_gather_c1(accs_w[1])]
+        # kernel's _Slot indices). On an axis-1-sharded run the RIGHT
+        # shard's first columns ride along as an extra band slot — the
+        # in-kernel band machinery then computes the shard-seam values
+        # with zero new staging.
+        def hslab(key):
+            return halos1[key].reshape((n0, 1) + tail)
+
+        def add_slot(own, key):
+            if not with_halo1:
+                return own
+            return jnp.concatenate([own, hslab(key)], axis=1)
+
+        def c1_of(x, key_c0):
+            # the band's second global column per slot; for b1==1 that is
+            # the NEXT strip's first column (the right SHARD's first for
+            # the last own strip)
+            if b1 >= 2:
+                return col_gather(x, 1)
+            c0 = col_gather(x, 0)
+            fill = (hslab(key_c0) if with_halo1
+                    else lax.slice_in_dim(c0, g1 - 1, g1, axis=1))
+            return lax.concatenate(
+                [lax.slice_in_dim(c0, 1, g1, axis=1), fill], dimension=1)
+
+        band_cols = [
+            add_slot(col_gather(recon_w, 0), "n_r0_c0"),
+            add_slot(c1_of(recon_w, "n_r0_c0"), "n_r0_c1"),
+        ]
+        band_cols += [add_slot(col_gather(accs_w[k], 0), f"n_acc{k}_c0")
+                      for k in range(ndim)]
+        band_cols += [add_slot(c1_of(accs_w[1], "n_acc1_c0"), "n_acc1_c1")]
         if fista:
-            band_cols += [col_gather(ds_w[k], 0) for k in range(ndim)]
-            band_cols += [col_gather_c1(ds_w[1])]
-        band_cols += [col_gather(orig_w, 0)]
+            band_cols += [add_slot(col_gather(ds_w[k], 0), f"n_d{k}_c0")
+                          for k in range(ndim)]
+            band_cols += [add_slot(c1_of(ds_w[1], "n_d1_c0"), "n_d1_c1")]
+        band_cols += [add_slot(col_gather(orig_w, 0), "n_orig_c0")]
         n_band = len(band_cols)
-        bandpk = jnp.stack(band_cols, axis=2)      # (n0, g1, C)+tail
+        bandpk = jnp.stack(band_cols, axis=2)   # (n0, g1[+1], C)+tail
+        g1b = g1 + (1 if with_halo1 else 0)
 
         def bandpk_map(j, ip):
             return (jnp.clip(ip - 1, 0, n0 - 1),
-                    jnp.minimum(j + 1, g1 - 1), 0) + zeros_tail
+                    jnp.minimum(j + 1, g1b - 1), 0) + zeros_tail
 
         in_specs.append(pl.BlockSpec((1, 1, n_band) + tail, bandpk_map,
                                      memory_space=pltpu.VMEM))
@@ -980,6 +1115,25 @@ def fused_pair_iteration(
             in_specs += [hcol(1, "fwd")]
             inputs += [hemb(halos0["n_d0"], 1)]
 
+    if with_halo1:
+        # LEFT shard's packed last-column state, read at rows ip and ip-1
+        lcols = [hslab("p_r0_m2"), hslab("p_r0_m1"), hslab("p_orig_m1")]
+        lcols += [hslab(f"p_acc{k}_m1") for k in range(ndim)]
+        if fista:
+            lcols += [hslab(f"p_d{k}_m1") for k in range(ndim)]
+        n_l = len(lcols)
+        lpk = jnp.stack(lcols, axis=2)          # (n0, 1, L)+tail
+
+        def lspec(row_off):
+            def m(j, ip):
+                return (jnp.clip(ip - row_off, 0, n0 - 1), 0, 0) \
+                    + zeros_tail
+            return pl.BlockSpec((1, 1, n_l) + tail, m,
+                                memory_space=pltpu.VMEM)
+
+        in_specs += [lspec(0), lspec(1)]
+        inputs += [lpk, lpk]
+
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
     )
@@ -1021,11 +1175,16 @@ def fused_pair_iteration(
         if fista:
             scratch += [pltpu.VMEM(block, dt)]            # s_d1n0
         scratch += [pltpu.VMEM(block, dt)]                # s_b2n0
+    if with_halo1:
+        scratch += [pltpu.VMEM(one_tail, dt)
+                    for _ in range(ndim)]                 # lb1 rings
+        scratch += [pltpu.VMEM(one_tail, dt)] * 2  # lr0_prev, l_og
     scratch += [pltpu.SMEM((6,), jnp.float32)]
 
     outs = pl.pallas_call(
         _make_pair_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
-                          n0, g1, debug=debug, with_halo0=with_halo0),
+                          n0, g1, debug=debug, with_halo0=with_halo0,
+                          with_halo1=with_halo1),
         grid=(g1, n0 + 3),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -166,6 +166,30 @@ class MeshComm:
         return jnp.where(lax.axis_index(name) == n - 1,
                          jnp.zeros_like(band), received)
 
+    def slab_from_prev(self, arr: Array, ax: int, idx: int) -> Array:
+        """-1 neighbor's slab at (its own) index ``idx`` along ``ax``;
+        zeros at the global leading edge (flag-masked by the consumer)."""
+        name, n = self._mesh_info(ax)
+        slab = _slab(arr, ax, idx)
+        if name is None or n == 1:
+            return jnp.zeros_like(slab)
+        received = lax.ppermute(
+            slab, name, [(i, i + 1) for i in range(n - 1)])
+        return jnp.where(lax.axis_index(name) == 0,
+                         jnp.zeros_like(slab), received)
+
+    def slab_from_next(self, arr: Array, ax: int, idx: int) -> Array:
+        """+1 neighbor's slab at index ``idx`` along ``ax``; zeros at the
+        global trailing edge."""
+        name, n = self._mesh_info(ax)
+        slab = _slab(arr, ax, idx)
+        if name is None or n == 1:
+            return jnp.zeros_like(slab)
+        received = lax.ppermute(
+            slab, name, [(i, i - 1) for i in range(1, n)])
+        return jnp.where(lax.axis_index(name) == n - 1,
+                         jnp.zeros_like(slab), received)
+
     def is_first(self, ax: int):
         """1.0 on the shard owning the global leading edge of ``ax``."""
         name, _ = self._mesh_info(ax)

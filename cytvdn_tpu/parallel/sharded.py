@@ -52,13 +52,21 @@ def resolve_shard(
     if shard is None:
         return (1,) * ndim
     if shard == "auto":
-        if prefer_axis0 and shape[0] % n_devices == 0 \
-                and shape[0] // n_devices >= 4:
+        if prefer_axis0:
             from cytvdn_tpu.kernels.temporal import pair_hbm_viable
 
-            local = (shape[0] // n_devices,) + tuple(shape[1:])
-            if pair_hbm_viable(local):
-                return (n_devices,) + (1,) * (ndim - 1)
+            # single-axis splits unlock the K=2 pair kernel; axis 0
+            # first (cheapest seams), axis 1 as fallback
+            if shape[0] % n_devices == 0 and shape[0] // n_devices >= 4:
+                local = (shape[0] // n_devices,) + tuple(shape[1:])
+                if pair_hbm_viable(local):
+                    return (n_devices,) + (1,) * (ndim - 1)
+            if shape[0] >= 4 and shape[1] % n_devices == 0 \
+                    and shape[1] // n_devices >= 2:
+                local = (shape[0], shape[1] // n_devices) \
+                    + tuple(shape[2:])
+                if pair_hbm_viable(local):
+                    return (1, n_devices) + (1,) * (ndim - 2)
             # pod-scale shards where the pair program's band state would
             # not fit HBM: fall through to the 2D grid + K=1 kernel
         # prefer all devices; when the scan axes have no even tiling over

@@ -464,12 +464,14 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
 
     if not opts.temporal_pairs:
         return False
-    halo0 = False
+    halo = False
     if comm is not None and not isinstance(comm, NullComm):
         split = set(getattr(comm, "split_axes", ()))
-        if split - {0}:
-            return False  # axis-1 / Q splits run the K=1 sharded path
-        halo0 = bool(split)
+        if split not in (set(), {0}, {1}):
+            return False  # Q splits / 2D grids run the K=1 sharded path
+        if split == {1} and shape[1] < 2:
+            return False  # the left/right seam recomputes need 2 columns
+        halo = bool(split)
     if opts.stopping_relative_change is not None or opts.calculate_mse:
         return False
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
@@ -481,9 +483,9 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
         return False
     from cytvdn_tpu.kernels.temporal import pair_hbm_viable, pair_supported
 
-    if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo0):
+    if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo):
         return False
-    if halo0 and jax.default_backend() == "tpu" \
+    if halo and jax.default_backend() == "tpu" \
             and not pair_hbm_viable(shape):
         # pod-scale shards: VMEM forces small strips, and the band
         # gathers (cube/B1 each) then exceed HBM — run the K=1 kernel.
@@ -534,7 +536,32 @@ def _run_phase_paired(
             rho1 = rho2 = jnp.zeros((), dtype)
             ds = None
         halos0 = f0 = l0 = None
-        if sharded:
+        halos1 = f1 = l1 = None
+        if sharded and 1 in comm.split_axes:
+            from cytvdn_tpu.ops.stencil import _slab as slab
+
+            halos1 = {
+                "n_r0_c0": comm.slab_from_next(c.recon, 1, 0),
+                "n_r0_c1": comm.slab_from_next(c.recon, 1, 1),
+                "n_orig_c0": comm.slab_from_next(orig, 1, 0),
+                "p_r0_m2": comm.slab_from_prev(c.recon, 1, -2),
+                "p_r0_m1": comm.slab_from_prev(c.recon, 1, -1),
+                "p_orig_m1": comm.slab_from_prev(orig, 1, -1),
+            }
+            for k in range(opts.ndim):
+                halos1[f"n_acc{k}_c0"] = comm.slab_from_next(
+                    c.accs[k], 1, 0)
+                halos1[f"p_acc{k}_m1"] = comm.slab_from_prev(
+                    c.accs[k], 1, -1)
+                if fista:
+                    halos1[f"n_d{k}_c0"] = comm.slab_from_next(ds[k], 1, 0)
+                    halos1[f"p_d{k}_m1"] = comm.slab_from_prev(
+                        ds[k], 1, -1)
+            halos1["n_acc1_c1"] = comm.slab_from_next(c.accs[1], 1, 1)
+            if fista:
+                halos1["n_d1_c1"] = comm.slab_from_next(ds[1], 1, 1)
+            f1, l1 = comm.is_first(1), comm.is_last(1)
+        elif sharded:
             from cytvdn_tpu.ops.stencil import _slab as slab
 
             def z1(x):
@@ -571,6 +598,7 @@ def _run_phase_paired(
                 orig, c.recon, c.accs, ds, rho1, rho2, lambda_inv, lam_mu,
                 fista=fista, interpret=interpret,
                 halos0=halos0, first0=f0, last0=l0,
+                halos1=halos1, first1=f1, last1=l1,
             )
         if sharded:
             bn1, bn2 = comm.allsum(bn1), comm.allsum(bn2)

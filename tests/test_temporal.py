@@ -111,10 +111,14 @@ def test_solver_paired_matches_unpaired(iters):
     ((4, 1, 1, 1), (16, 8, 6, 16), (5, 0)),     # odd: pair + K=1 mop-up
     ((2, 1, 1, 1), (8, 8, 6, 16), (3, 2)),      # hybrid
     ((4, 1, 1), (16, 6, 64), (0, 4)),           # 3D unaccelerated
+    ((1, 4, 1, 1), (8, 16, 6, 16), (4, 0)),     # axis-1 mesh
+    ((1, 2, 1, 1), (8, 8, 6, 16), (3, 2)),      # axis-1 hybrid
+    ((1, 8, 1, 1), (8, 16, 6, 16), (5, 0)),     # axis-1, 2-col shards
+    ((1, 4, 1), (6, 12, 64), (0, 4)),           # axis-1 3D unacc
 ])
 def test_sharded_pairs_match_single_device(shard, shape, iters):
-    """Axis-0 mesh through the K=2 pair kernel (2-row halo bands) must
-    equal the single-device run exactly."""
+    """Axis-0 / axis-1 meshes through the K=2 pair kernel (2-deep halo
+    bands, seam recomputes) must equal the single-device run exactly."""
     import jax.numpy as jnp
     import cytvdn_tpu.solver.engine as E
     from cytvdn_tpu.config import SolverOptions
@@ -127,9 +131,12 @@ def test_sharded_pairs_match_single_device(shard, shape, iters):
                          iterations_unacc=iters[1],
                          backend=Backend.PALLAS)
     # the sharded run must actually take the paired path
+    split_ax = next((ax for ax, w in enumerate(shard) if w > 1), None)
+    local = tuple(s // w for s, w in zip(shape, shard))
     assert E._resolve_temporal(
-        opts, (shape[0] // shard[0],) + shape[1:], jnp.float32,
-        type("C", (), {"split_axes": (0,)})() if shard[0] > 1 else None)
+        opts, local, jnp.float32,
+        type("C", (), {"split_axes": (split_ax,)})()
+        if split_ax is not None else None)
 
     single = run_solver(orig, li, lm, opts)
     got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
@@ -260,13 +267,17 @@ def test_pair_fuzz_sharded_axis0(monkeypatch, seed):
 
     rng = np.random.default_rng(2000 + seed)
     n_shards = int(rng.choice([2, 4, 8]))
-    rows = n_shards * int(rng.integers(4, 8))
+    split_ax = int(rng.choice([0, 1]))
+    rows = n_shards * int(rng.integers(4, 8)) if split_ax == 0 \
+        else int(rng.integers(4, 12))
+    cols = int(rng.integers(2, 10)) if split_ax == 0 \
+        else n_shards * int(rng.integers(2, 5))
     ndim = int(rng.choice([3, 4]))
     if ndim == 4:
-        shape = (rows, int(rng.integers(2, 10)),
+        shape = (rows, cols,
                  int(rng.integers(2, 8)), int(rng.integers(8, 18)))
     else:
-        shape = (rows, int(rng.integers(2, 10)), int(rng.integers(16, 128)))
+        shape = (rows, cols, int(rng.integers(16, 128)))
     cap = int(rng.choice([0, 16384]))
     if cap:
         monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", cap)
@@ -275,10 +286,11 @@ def test_pair_fuzz_sharded_axis0(monkeypatch, seed):
     orig, _, _, li, lm = _state(shape, True, seed=seed)
     opts = SolverOptions(ndim=ndim, iterations_fista=n_f,
                          iterations_unacc=n_u, backend=Backend.PALLAS)
+    shard = tuple(n_shards if ax == split_ax else 1 for ax in range(ndim))
     single = run_solver(orig, li, lm, opts)
     got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
-                      opts, shard=(n_shards,) + (1,) * (ndim - 1))
+                      opts, shard=shard)
     np.testing.assert_allclose(
         np.asarray(got["recon"]), np.asarray(single["recon"]),
         rtol=5e-7, atol=1e-7,
-        err_msg=f"{shape} shards={n_shards} cap={cap} iters=({n_f},{n_u})")
+        err_msg=f"{shape} shard={shard} cap={cap} iters=({n_f},{n_u})")
