@@ -294,3 +294,41 @@ def test_pair_fuzz_sharded_axis0(monkeypatch, seed):
         np.asarray(got["recon"]), np.asarray(single["recon"]),
         rtol=5e-7, atol=1e-7,
         err_msg=f"{shape} shard={shard} cap={cap} iters=({n_f},{n_u})")
+
+
+def test_sharded_pairs_axis1_flat_fold(monkeypatch):
+    """Axis-1 mesh on a 3D cube whose energy axis takes the flat fold —
+    the left/right seam recomputes must cross the fold correctly."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 1500)  # force flat
+    shape = (6, 8, 256)
+    orig, _, _, li, lm = _state(shape, True, seed=21)
+    opts = SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(1, 4, 1))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+
+
+def test_sharded_pairs_axis1_single_column_strips(monkeypatch):
+    """Axis-1 mesh with B1==1 in-shard strips (the band's c1 crosses both
+    strip AND shard boundaries)."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", 4096)
+    shape = (5, 24, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=22)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=2,
+                         backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(1, 2, 1, 1))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
