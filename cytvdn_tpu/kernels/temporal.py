@@ -144,20 +144,27 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
 
 
 def pair_hbm_viable(shape, itemsize: int = 4,
-                    usable_hbm: float = 15.3e9) -> bool:
+                    usable_hbm: float = 15.3e9,
+                    halo1: bool = False) -> bool:
     """Whether the pair program's HBM footprint fits one device for this
     (local) shape: 2n+2 state arrays + orig + the pre-gathered seam/band
     columns (~15 column sets of cube/B1 bytes each — significant when
-    VMEM forces small strips, e.g. pod-scale 256-square tails)."""
+    VMEM forces small strips, e.g. pod-scale 256-square tails).
+    ``halo1`` (axis-1-sharded shards): the band machinery is forced on
+    even for single-strip shards, plus the packed left-column operand."""
     ndim = len(shape)
     plan = pair_plan(tuple(shape), itemsize, halo0=True)
     if plan is None:
         return False
     work_shape, _, _, b1 = plan
     cube = int(np.prod(work_shape)) * itemsize
-    n_band = (2 * ndim + 6) if work_shape[1] // b1 > 1 else 0
+    seams = work_shape[1] // b1 > 1 or halo1
+    n_band = (2 * ndim + 6) if seams else 0
     state = (2 * ndim + 3) * cube          # orig + recon + accs + ds
-    bands = (n_band + 1) * cube // b1      # packed band + lastcols
+    bands = (n_band + 1) * cube // b1 if seams else 0
+    if halo1:
+        # left pack: (3+2n) column slabs of cube/n1 each
+        bands += (3 + 2 * ndim) * cube // work_shape[1]
     return state + bands <= usable_hbm
 
 
@@ -201,7 +208,7 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
 
     def kernel(*refs):
         it = iter(refs)
-        scal = next(it)                        # SMEM (1, 2n+2)
+        scal = next(it)                        # SMEM (1, 2n+6)
         orig = next(it)                        # block @ (ip-1, j)
         r0 = next(it)                          # block @ (ip,   j)
         r0_last = next(it) if has_seam else None   # col @ (ip, j-1)

@@ -166,6 +166,46 @@ class MeshComm:
         return jnp.where(lax.axis_index(name) == n - 1,
                          jnp.zeros_like(band), received)
 
+    def pack_exchange_prev(self, pieces, ax: int):
+        """ppermute a LIST of own-slab pieces to the +1 neighbor (i.e.
+        receive the -1 neighbor's pieces) in ONE collective — the pair
+        kernel's halo set would otherwise cost ~20 ppermutes per step.
+        Zeros at the global leading edge (flag-masked by the consumer)."""
+        sizes = [p.shape[ax] for p in pieces]
+        pk = lax.concatenate(pieces, dimension=ax)
+        name, n = self._mesh_info(ax)
+        if name is None or n == 1:
+            out = jnp.zeros_like(pk)
+        else:
+            received = lax.ppermute(
+                pk, name, [(i, i + 1) for i in range(n - 1)])
+            out = jnp.where(lax.axis_index(name) == 0,
+                            jnp.zeros_like(pk), received)
+        outs, off = [], 0
+        for s in sizes:
+            outs.append(lax.slice_in_dim(out, off, off + s, axis=ax))
+            off += s
+        return outs
+
+    def pack_exchange_next(self, pieces, ax: int):
+        """Receive the +1 neighbor's pieces in one collective; zeros at
+        the global trailing edge."""
+        sizes = [p.shape[ax] for p in pieces]
+        pk = lax.concatenate(pieces, dimension=ax)
+        name, n = self._mesh_info(ax)
+        if name is None or n == 1:
+            out = jnp.zeros_like(pk)
+        else:
+            received = lax.ppermute(
+                pk, name, [(i, i - 1) for i in range(1, n)])
+            out = jnp.where(lax.axis_index(name) == n - 1,
+                            jnp.zeros_like(pk), received)
+        outs, off = [], 0
+        for s in sizes:
+            outs.append(lax.slice_in_dim(out, off, off + s, axis=ax))
+            off += s
+        return outs
+
     def slab_from_prev(self, arr: Array, ax: int, idx: int) -> Array:
         """-1 neighbor's slab at (its own) index ``idx`` along ``ax``;
         zeros at the global leading edge (flag-masked by the consumer)."""

@@ -43,10 +43,10 @@ def resolve_shard(
     ``'auto'`` chooses a grid over the two scan axes with the
     edge-minimizing partitioner (the reference's policy, mpi.py:130-153).
     ``prefer_axis0``: when the run is eligible for the temporally-blocked
-    pair kernel (which covers axis-0 meshes only), an axis-0-only split
+    pair kernel (which covers single-axis meshes), a single-axis split
     is worth far more than the marginal halo-traffic difference of a 2D
     grid — take ``(N, 1, ...)`` whenever axis 0 tiles evenly with >= 4
-    rows per shard.
+    rows per shard, else ``(1, N, ...)`` when axis 1 tiles.
     """
     ndim = len(shape)
     if shard is None:
@@ -65,7 +65,7 @@ def resolve_shard(
                     and shape[1] // n_devices >= 2:
                 local = (shape[0], shape[1] // n_devices) \
                     + tuple(shape[2:])
-                if pair_hbm_viable(local):
+                if pair_hbm_viable(local, halo1=True):
                     return (1, n_devices) + (1,) * (ndim - 2)
             # pod-scale shards where the pair program's band state would
             # not fit HBM: fall through to the 2D grid + K=1 kernel
@@ -94,10 +94,10 @@ def resolve_shard(
 
 
 def temporal_mesh_preference(opts: SolverOptions, dtype) -> bool:
-    """Whether an ``'auto'`` mesh should favor an axis-0-only split: true
+    """Whether an ``'auto'`` mesh should favor a single-axis split: true
     when the run is eligible for the temporally-blocked pair kernel
-    (which covers axis-0 meshes; ~1.8x per-chip throughput dwarfs the
-    marginal halo-traffic difference of a 2D scan grid)."""
+    (which covers axis-0/axis-1 meshes; ~1.8x per-chip throughput dwarfs
+    the marginal halo-traffic difference of a 2D scan grid)."""
     from cytvdn_tpu.config import BCMode
 
     return (

@@ -485,8 +485,10 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
 
     if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo):
         return False
+    halo1 = halo and comm is not None \
+        and 1 in getattr(comm, "split_axes", ())
     if halo and jax.default_backend() == "tpu" \
-            and not pair_hbm_viable(shape):
+            and not pair_hbm_viable(shape, halo1=halo1):
         # pod-scale shards: VMEM forces small strips, and the band
         # gathers (cube/B1 each) then exceed HBM — run the K=1 kernel.
         # (Single-device configs are sized by the bench/caller against
@@ -537,61 +539,76 @@ def _run_phase_paired(
             ds = None
         halos0 = f0 = l0 = None
         halos1 = f1 = l1 = None
+        # both halo sets ride ONE packed ppermute per direction — the
+        # per-slab formulation would issue ~20 collectives per pair step
         if sharded and 1 in comm.split_axes:
             from cytvdn_tpu.ops.stencil import _slab as slab
 
-            halos1 = {
-                "n_r0_c0": comm.slab_from_next(c.recon, 1, 0),
-                "n_r0_c1": comm.slab_from_next(c.recon, 1, 1),
-                "n_orig_c0": comm.slab_from_next(orig, 1, 0),
-                "p_r0_m2": comm.slab_from_prev(c.recon, 1, -2),
-                "p_r0_m1": comm.slab_from_prev(c.recon, 1, -1),
-                "p_orig_m1": comm.slab_from_prev(orig, 1, -1),
-            }
-            for k in range(opts.ndim):
-                halos1[f"n_acc{k}_c0"] = comm.slab_from_next(
-                    c.accs[k], 1, 0)
-                halos1[f"p_acc{k}_m1"] = comm.slab_from_prev(
-                    c.accs[k], 1, -1)
-                if fista:
-                    halos1[f"n_d{k}_c0"] = comm.slab_from_next(ds[k], 1, 0)
-                    halos1[f"p_d{k}_m1"] = comm.slab_from_prev(
-                        ds[k], 1, -1)
-            halos1["n_acc1_c1"] = comm.slab_from_next(c.accs[1], 1, 1)
+            nd = opts.ndim
+            next_pieces = [slab(c.recon, 1, 0), slab(c.recon, 1, 1),
+                           slab(orig, 1, 0)]
+            next_pieces += [slab(c.accs[k], 1, 0) for k in range(nd)]
+            next_pieces += [slab(c.accs[1], 1, 1)]
+            keys_n = ["n_r0_c0", "n_r0_c1", "n_orig_c0"]
+            keys_n += [f"n_acc{k}_c0" for k in range(nd)]
+            keys_n += ["n_acc1_c1"]
             if fista:
-                halos1["n_d1_c1"] = comm.slab_from_next(ds[1], 1, 1)
+                next_pieces += [slab(ds[k], 1, 0) for k in range(nd)]
+                next_pieces += [slab(ds[1], 1, 1)]
+                keys_n += [f"n_d{k}_c0" for k in range(nd)] + ["n_d1_c1"]
+            prev_pieces = [slab(c.recon, 1, -2), slab(c.recon, 1, -1),
+                           slab(orig, 1, -1)]
+            prev_pieces += [slab(c.accs[k], 1, -1) for k in range(nd)]
+            keys_p = ["p_r0_m2", "p_r0_m1", "p_orig_m1"]
+            keys_p += [f"p_acc{k}_m1" for k in range(nd)]
+            if fista:
+                prev_pieces += [slab(ds[k], 1, -1) for k in range(nd)]
+                keys_p += [f"p_d{k}_m1" for k in range(nd)]
+            halos1 = dict(zip(keys_n,
+                              comm.pack_exchange_next(next_pieces, 1)))
+            halos1.update(zip(keys_p,
+                              comm.pack_exchange_prev(prev_pieces, 1)))
             f1, l1 = comm.is_first(1), comm.is_last(1)
         elif sharded:
             from cytvdn_tpu.ops.stencil import _slab as slab
 
-            def z1(x):
-                return jnp.zeros_like(slab(x, 0, 0))
-
-            halos0 = {
-                "p_r0": comm.band_from_prev(c.recon, 0),
-                "p_orig": comm.shift_from_prev(orig, 0, z1(orig)),
-                "n_r0": comm.band_from_next(c.recon, 0),
-                "n_orig": comm.shift_from_next(orig, 0, z1(orig)),
-            }
-            for k in range(opts.ndim):
-                halos0[f"p_acc{k}"] = comm.shift_from_prev(
-                    c.accs[k], 0, z1(c.accs[k]))
-                if fista:
-                    halos0[f"p_d{k}"] = comm.shift_from_prev(
-                        ds[k], 0, z1(ds[k]))
-            nb_acc0 = comm.band_from_next(c.accs[0], 0)
-            halos0["n_acc0"] = slab(nb_acc0, 0, 0)
-            halos0["n_acc0_r1"] = slab(nb_acc0, 0, 1)
-            for k in range(1, opts.ndim):
-                halos0[f"n_acc{k}"] = comm.shift_from_next(
-                    c.accs[k], 0, z1(c.accs[k]))
+            nd = opts.ndim
+            prev_pieces = [slab(c.recon, 0, -2), slab(c.recon, 0, -1),
+                           slab(orig, 0, -1)]
+            prev_pieces += [slab(c.accs[k], 0, -1) for k in range(nd)]
             if fista:
-                nb_d0 = comm.band_from_next(ds[0], 0)
-                halos0["n_d0"] = slab(nb_d0, 0, 0)
-                halos0["n_d0_r1"] = slab(nb_d0, 0, 1)
-                for k in range(1, opts.ndim):
-                    halos0[f"n_d{k}"] = comm.shift_from_next(
-                        ds[k], 0, z1(ds[k]))
+                prev_pieces += [slab(ds[k], 0, -1) for k in range(nd)]
+            got_p = comm.pack_exchange_prev(prev_pieces, 0)
+            halos0 = {
+                "p_r0": jnp.concatenate(got_p[0:2], axis=0),
+                "p_orig": got_p[2],
+            }
+            for k in range(nd):
+                halos0[f"p_acc{k}"] = got_p[3 + k]
+                if fista:
+                    halos0[f"p_d{k}"] = got_p[3 + nd + k]
+            next_pieces = [slab(c.recon, 0, 0), slab(c.recon, 0, 1),
+                           slab(orig, 0, 0),
+                           slab(c.accs[0], 0, 0), slab(c.accs[0], 0, 1)]
+            next_pieces += [slab(c.accs[k], 0, 0) for k in range(1, nd)]
+            if fista:
+                next_pieces += [slab(ds[0], 0, 0), slab(ds[0], 0, 1)]
+                next_pieces += [slab(ds[k], 0, 0) for k in range(1, nd)]
+            got_n = comm.pack_exchange_next(next_pieces, 0)
+            halos0.update({
+                "n_r0": jnp.concatenate(got_n[0:2], axis=0),
+                "n_orig": got_n[2],
+                "n_acc0": got_n[3],
+                "n_acc0_r1": got_n[4],
+            })
+            for k in range(1, nd):
+                halos0[f"n_acc{k}"] = got_n[4 + k]
+            if fista:
+                base = 4 + nd
+                halos0["n_d0"] = got_n[base]
+                halos0["n_d0_r1"] = got_n[base + 1]
+                for k in range(1, nd):
+                    halos0[f"n_d{k}"] = got_n[base + 1 + k]
             f0, l0 = comm.is_first(0), comm.is_last(0)
         recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = \
             fused_pair_iteration(

@@ -258,10 +258,10 @@ def test_pair_fuzz_random_shapes(monkeypatch, seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
-def test_pair_fuzz_sharded_axis0(monkeypatch, seed):
-    """Randomized axis-0 meshes through the paired sharded path vs the
-    single-device run (ulp tolerance — FMA contraction differs between
-    seam recomputes and in-carry computation)."""
+def test_pair_fuzz_sharded_single_axis(monkeypatch, seed):
+    """Randomized single-axis (0 or 1) meshes through the paired sharded
+    path vs the single-device run (ulp tolerance — FMA contraction
+    differs between seam recomputes and in-carry computation)."""
     from cytvdn_tpu.parallel.sharded import run_sharded
     from cytvdn_tpu.solver.engine import run_solver
 
