@@ -57,7 +57,7 @@ def _fits(shape) -> bool:
     return cube * _IN_CORE_BUFFERS <= _USABLE_HBM
 
 
-def _measure(shape, iters, fista=True):
+def _measure(shape, iters, fista=True, stopping=None):
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +71,7 @@ def _measure(shape, iters, fista=True):
         ndim=ndim,
         iterations_fista=iters if fista else 0,
         iterations_unacc=0 if fista else iters,
+        stopping_relative_change=stopping,
     )
     li = jnp.asarray((1.0 / lam).astype(np.float32))
     lm = jnp.asarray((lam / mu).astype(np.float32))
@@ -101,21 +102,101 @@ def _measure(shape, iters, fista=True):
 # for the north-star cube, plus the largest in-core cube as the chip's
 # in-HBM proxy.
 FULL_CONFIGS = [
-    ("cfg1_3d_unacc_64x64x512", (64, 64, 512), False),
-    ("cfg2_3d_fista_256x256x2048", (256, 256, 2048), True),
-    ("cfg3_4d_unacc_128x128x64x64", (128, 128, 64, 64), False),
-    ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True),
-    ("cfg4_proxy_4d_fista_256x256x72x72", (256, 256, 72, 72), True),
+    ("cfg1_3d_unacc_64x64x512", (64, 64, 512), False, None),
+    ("cfg1_full_3d_unacc_64x64x512_7500it", (64, 64, 512), False, None),
+    ("cfg2_3d_fista_256x256x2048", (256, 256, 2048), True, None),
+    # the reference's canonical converged workflow sets
+    # stopping_relative_change (reference cyTVDN.py:44,253); the bench
+    # cube's synthetic noise crosses 0.05 within ~2 iterations, so a
+    # non-triggering threshold keeps the stop-checking machinery (K=1
+    # history prologue + paired guard + exact K=1 finish) active for all
+    # 25 iterations — this row must land within ~10% of the unstopped
+    # cfg2 row (VERDICT r2 item 1)
+    ("cfg2_stop_3d_fista_256x256x2048", (256, 256, 2048), True, 1e-9),
+    ("cfg3_4d_unacc_128x128x64x64", (128, 128, 64, 64), False, None),
+    ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True, None),
+    ("cfg4_proxy_4d_fista_256x256x72x72", (256, 256, 72, 72), True, None),
 ]
+
+# Per-config iteration budgets. The default 25 amortizes dispatch the way
+# the reference's 40-iteration Cori job does — but on this dev host every
+# jit call pays ~30 ms of tunnel round-trip latency, which caps ANY
+# 25-iteration run of a small cube at ~1.8 G regardless of kernel speed
+# (measured: a trivial x+1 round trip is 30.2 ms). The cfg1_full row runs
+# the reference's own 3D default budget (7500 iterations,
+# reference cyTVDN.py:253) through the VMEM-resident whole-run kernel —
+# one launch, so the latency amortizes away and the number reflects the
+# chip, not the tunnel.
+ITERS_OVERRIDE = {
+    "cfg1_full_3d_unacc_64x64x512_7500it": 7500,
+}
+
+# Regression floors: minimum fraction of the pair-kernel traffic model at
+# the chip's measured sustained bandwidth (utils/perf.py). Round-2 measured
+# fractions were 0.93-1.0 for the large in-core configs; 0.6 leaves
+# headroom for run-to-run variance while catching any real regression.
+# cfg1@25it is tunnel-latency bound (see ITERS_OVERRIDE); cfg1_full rides
+# the VMEM-resident kernel whose traffic is O(1/T) — its floor is ABOVE
+# the streaming model (1.5x), proving the resident path engaged.
+FLOOR_FRACTIONS = {
+    "cfg1_3d_unacc_64x64x512": 0.04,
+    "cfg1_full_3d_unacc_64x64x512_7500it": 1.5,
+    "cfg2_3d_fista_256x256x2048": 0.6,
+    "cfg2_stop_3d_fista_256x256x2048": 0.55,
+    "cfg3_4d_unacc_128x128x64x64": 0.6,
+    "cfg4_proxy_4d_fista_256x256x72x72": 0.6,
+}
+
+
+def _measure_device_chunk(shape, core, temporal_k, reps=6):
+    """Device-side compute time of one temporal chunk (K iterations on an
+    extended slab already resident in HBM): repeated chained calls with
+    donated state, completion observed by a 4-byte fetch. This isolates
+    the compute leg of the out-of-core pipeline from the host↔device
+    transfers so the bench artifact records a measured split, not an
+    assertion."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cytvdn_tpu.solver.engine import fista_tk_ratios
+    from cytvdn_tpu.solver.outofcore import _make_temporal_chunk
+
+    ndim = len(shape)
+    ext_rows = min(core + 2 * temporal_k, shape[0])
+    eshape = (ext_rows,) + tuple(shape[1:])
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / 32.0
+    li = jnp.asarray((1.0 / lam).astype(np.float32))
+    lm = jnp.asarray((lam / mu).astype(np.float32))
+    tks = jnp.asarray(fista_tk_ratios(temporal_k).astype(np.float32))
+    orig = jax.jit(
+        lambda k: jax.random.normal(k, eshape, jnp.float32) * 0.3 + 1.0
+    )(jax.random.key(1))
+    chunk = _make_temporal_chunk()
+    state = (orig + 0.0,
+             tuple(jnp.zeros(eshape, jnp.float32) for _ in range(ndim)),
+             tuple(jnp.zeros(eshape, jnp.float32) for _ in range(ndim)))
+    out = chunk(orig, *state, tks, li, lm,
+                fista=True, interpret=False, with_d=True)
+    np.asarray(out[0][(0,) * ndim])  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = chunk(orig, out[0], out[1], out[2], tks, li, lm,
+                    fista=True, interpret=False, with_d=True)
+    np.asarray(out[0][(0,) * ndim])
+    return (time.perf_counter() - t0) / reps, ext_rows
 
 
 def _measure_outofcore(shape, temporal_k=5):
     """North-star config through the temporally-blocked slab solver:
     state in host RAM, slabs (+K-row margins) through the device, K
     iterations per residency. One full sweep (K iterations) is timed,
-    compiles included — conservative. Throughput on this host is bound by
-    the dev tunnel's ~70 MB/s host↔device path; on a real PCIe host the
-    same code is compute-bound (transfers/iteration are cut K×)."""
+    compiles included — conservative. The device compute leg is measured
+    separately (``_measure_device_chunk``) so the artifact records the
+    compute/transfer split and a projected throughput for a PCIe-attached
+    host (this dev host's tunnel moves ~70 MB/s)."""
     import time
 
     from cytvdn_tpu.config import SolverOptions
@@ -143,27 +224,68 @@ def _measure_outofcore(shape, temporal_k=5):
     dt = time.perf_counter() - t0
     if not np.isfinite(out["delta"][temporal_k - 1]):
         raise RuntimeError("non-finite delta")
-    return int(np.prod(shape)) * temporal_k / dt, n_slabs
+
+    # measured compute/transfer split + PCIe projection
+    chunk_s, ext_rows = _measure_device_chunk(shape, core, temporal_k)
+    compute_sweep = n_slabs * chunk_s
+    cube_b = cube.nbytes
+    ext_total = n0 + 2 * temporal_k * max(n_slabs - 1, 0)
+    h2d = 10 * cube_b * ext_total / n0     # orig+recon+4acc+4d, ext slabs
+    d2h = 9 * cube_b                       # recon+4acc+4d cores
+    pcie_bw = 25e9                         # PCIe gen4 x16, per direction
+    transfer_sweep = max(h2d, d2h) / pcie_bw
+    proj = int(np.prod(shape)) * temporal_k / max(compute_sweep,
+                                                  transfer_sweep)
+    split = {
+        "device_compute_s_per_iter": round(compute_sweep / temporal_k, 4),
+        "wall_s_per_iter_this_host": round(dt / temporal_k, 4),
+        "transfer_stall_fraction_this_host": round(
+            max(1 - compute_sweep / dt, 0.0), 4),
+        "projected_vox_per_sec_pcie4_host": round(proj, 1),
+        "split_note": "compute leg measured by chained device-resident "
+                      f"chunks ({ext_rows}-row extended slab); this "
+                      "host's dev tunnel (~70 MB/s) dominates the wall "
+                      "time; projection assumes 25 GB/s/dir PCIe with "
+                      "transfer/compute overlap",
+    }
+    return int(np.prod(shape)) * temporal_k / dt, n_slabs, split
 
 
 def run_full():
+    from cytvdn_tpu.utils.perf import practical_speed_of_light
+
     detail = {}
-    for name, shape, fista in FULL_CONFIGS:
+    for name, shape, fista, stopping in FULL_CONFIGS:
         try:
             if len(shape) == 4 and fista and not _fits(shape):
-                v, n_slabs = _measure_outofcore(shape)
+                v, n_slabs, split = _measure_outofcore(shape)
                 detail[name] = {
                     "voxel_updates_per_sec": round(v, 1),
                     "shape": list(shape), "fista": fista,
                     "mode": f"out-of-core, temporal-blocked K=5 "
-                            f"({n_slabs} slabs, host-resident state; "
-                            "bound by this host's ~70 MB/s dev tunnel — "
-                            "PCIe hosts run this compute-bound)",
+                            f"({n_slabs} slabs, host-resident state)",
+                    **split,
                 }
             else:
-                v = _measure(shape, ITERS, fista)
-                detail[name] = {"voxel_updates_per_sec": round(v, 1),
-                                "shape": list(shape), "fista": fista}
+                iters = ITERS_OVERRIDE.get(name, ITERS)
+                v = _measure(shape, iters, fista, stopping)
+                rec = {"voxel_updates_per_sec": round(v, 1),
+                       "shape": list(shape), "fista": fista,
+                       "iterations": iters}
+                if stopping is not None:
+                    rec["stopping_relative_change"] = stopping
+                frac = FLOOR_FRACTIONS.get(name)
+                if frac is not None:
+                    model = practical_speed_of_light(shape, fista, "pair")
+                    rec["model_pair_vox_per_sec"] = round(model, 1)
+                    rec["fraction_of_model"] = round(v / model, 3)
+                    rec["floor_fraction"] = frac
+                    rec["floor_ok"] = bool(v >= frac * model)
+                    if not rec["floor_ok"]:
+                        print(f"# {name}: PERF REGRESSION — "
+                              f"{v/model:.2f} of model < floor {frac}",
+                              file=sys.stderr)
+                detail[name] = rec
             print(f"# {name}: {v/1e9:.2f} Gvox-upd/s", file=sys.stderr)
         except Exception as e:
             detail[name] = {"error": type(e).__name__}

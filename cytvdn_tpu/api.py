@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cytvdn_tpu.config import Backend, BCMode, SolverOptions, normalize_iterations
-from cytvdn_tpu.solver.engine import run_solver
+from cytvdn_tpu.solver.engine import run_solver, vmem_fallback
 
 __all__ = ["denoise3D", "denoise4D", "denoise"]
 
@@ -35,6 +35,8 @@ __all__ = ["denoise3D", "denoise4D", "denoise"]
 @functools.partial(jax.jit, static_argnames=("opts",))
 def _run_jit(orig, lambda_inv, lam_mu, opts: SolverOptions, reference_data):
     return run_solver(orig, lambda_inv, lam_mu, opts, reference_data)
+
+
 
 
 def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
@@ -64,17 +66,18 @@ def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
         n_total = opts.total_iterations
         cb = make_progress("TV denoising")
         try:
-            return run_chunked(
-                datacube, lambda_inv, lam_mu, opts,
+            return vmem_fallback(opts, lambda o: run_chunked(
+                datacube, lambda_inv, lam_mu, o,
                 checkpoint_path=None,
                 checkpoint_every=progress_chunk_size(n_total),
                 reference_data=reference_data, progress=cb,
-            )
+            ))
         finally:
             cb.close()
     ref = jnp.asarray(reference_data) if opts.calculate_mse else None
-    return _run_jit(jnp.asarray(datacube), jnp.asarray(lambda_inv),
-                    jnp.asarray(lam_mu), opts, ref)
+    return vmem_fallback(opts, lambda o: _run_jit(
+        jnp.asarray(datacube), jnp.asarray(lambda_inv),
+        jnp.asarray(lam_mu), o, ref))
 
 
 def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):

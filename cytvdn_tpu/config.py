@@ -81,6 +81,14 @@ class SolverOptions:
     # Results are bit-identical to the K=1 kernel; set False to force
     # one-iteration-per-pass execution.
     temporal_pairs: bool = True
+    # VMEM-resident whole-run execution: when the entire solver state fits
+    # the chip's VMEM (small cubes, e.g. 64x64x512 3D), run ALL iterations
+    # inside one Pallas launch with state held on-chip — HBM traffic for
+    # the whole run is one read + one write. Bit-identical to the
+    # streaming kernels; applies to fresh single-device Jia-Zhao
+    # anisotropic runs without early stop/MSE. Set False to force the
+    # streaming paths.
+    vmem_resident: bool = True
     # Data axes split across the device mesh, e.g. (0, 1). Empty = single
     # device. The reference's MPI runtime always splits axes (0, 1)
     # (reference cyTVDN/mpi.py:130-214); we additionally allow splitting the

@@ -54,6 +54,13 @@ neighbor recompute). The XLA ops backend (``cytvdn_tpu/ops``) remains
 the executable spec and covers float64 plus the two sharded interplays
 the kernel gates off (split iso-pair axes, folded-3D energy splits) —
 see ``solver.engine._resolve_fused``.
+
+float64 is gated off by measurement, not by omission: Mosaic cannot
+lower f64 on this hardware at all — a trivial f64 pallas kernel fails
+TPU compilation (verified round 3 on the v5e; the VPU has no f64 lanes).
+The reference's ``ctypedef fused _float`` f64 variants
+(anisotropic.pyx:7-9) therefore map to the XLA ops path, where XLA:TPU
+applies its own f64 handling, and to the native C++ backend on CPU.
 """
 
 from __future__ import annotations

@@ -1,0 +1,271 @@
+"""VMEM-resident Pallas solver: the ENTIRE run in one kernel launch.
+
+Small cubes (the 64×64×512 EELS config, BASELINE configs[0]) are grid-floor
+bound on the K=1/K=2 streaming kernels: at ~10 µs/step and hundreds of grid
+steps per iteration they reach ~7% of the chip. But their whole solver
+state fits VMEM (128 MB on v5e) with room to spare — so instead of
+streaming HBM, this kernel runs ``grid=(T,)`` with every state array held
+in a persistent VMEM window:
+
+- step ``t`` performs one full TV iteration (all per-axis dual updates +
+  the reconstruction update + the bnorm/delta reductions) on the resident
+  arrays — the same arithmetic as one grid-sweep of ``kernels/fused.py``,
+  so results are bit-identical to the streaming kernels;
+- HBM traffic for the whole run is ONE read of the input and ONE write of
+  the final state (output windows have constant index maps, so Mosaic
+  flushes them once, at the end) — per-iteration HBM traffic is O(1/T);
+- per-iteration traces land in ``(T, 1)`` outputs indexed by ``t``.
+
+Scope: float32, Jia-Zhao, anisotropic, fresh runs (state initialized
+in-kernel at ``t == 0``: recon ← orig, accumulators ← 0 — the reference's
+init, cyTVDN/cyTVDN.py:131-145). Hybrid schedules run in FISTA mode with
+``rho = 0`` for the unaccelerated phase — ``b = c + 0·(c − d) = c`` is the
+unaccelerated update exactly. Early stop / MSE / resume stay on the
+streaming paths (``solver.engine`` gates).
+
+Reference baseline: the 3D driver loop, cyTVDN/cyTVDN.py:368-430.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cytvdn_tpu.kernels.fused import (
+    _plan,
+    _shift_down_flat,
+    _shift_down_inblock,
+    _shift_up_flat,
+    _shift_up_inblock,
+)
+
+Array = jax.Array
+
+# Whole-state VMEM budget. Live windows: orig + recon + n accs [+ n ds]
+# (outputs persist across grid steps; constant index maps mean one fetch /
+# one flush), plus headroom for the compiler's elementwise temporaries
+# (the shifted operands and dual deltas are materialized array-size).
+_RESIDENT_VMEM_CAP = 110 * 1024 * 1024
+_TEMP_BUFFERS = 5
+
+
+def _padded_cube_bytes(shape: Tuple[int, ...], itemsize: int) -> int:
+    """Array bytes after Mosaic (8, 128) minor-tile padding."""
+    dims = list(shape)
+    dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    return int(np.prod(dims)) * itemsize
+
+
+def resident_plan(shape: Tuple[int, ...], fista: bool, itemsize: int = 4,
+                  n_iters: int = 0):
+    """Work layout for the resident kernel, or None when the state does
+    not fit the VMEM budget. Reuses the fused planner's layout logic
+    (4D direct / 3D single / 3D flat-fold) for lane-dense tiling, but
+    with the whole array as one block."""
+    plan = _plan(tuple(shape), itemsize)
+    if plan is None:
+        # the fused planner's block budget is irrelevant here; retry the
+        # flat fold directly for 3D shapes it rejected
+        if len(shape) == 3 and shape[2] % 128 == 0:
+            work = (shape[0], shape[1], shape[2] // 128, 128)
+            flat = True
+        else:
+            return None
+    else:
+        work, _, flat = plan[0], plan[1], plan[2]
+    n_live = 2 + (2 if fista else 1) * len(shape)
+    padded = _padded_cube_bytes(work, itemsize)
+    # (T,1) trace windows pad their lane dim to 128
+    trace_bytes = 3 * (-(-max(n_iters, 1) // 8) * 8) * 128 * 4
+    if padded * (n_live + _TEMP_BUFFERS) + trace_bytes \
+            > _RESIDENT_VMEM_CAP:
+        return None
+    return work, flat
+
+
+def resident_supported(shape, dtype, bc, fista: bool, n_iters: int = 0,
+                       isotropic_R=False, isotropic_Q=False) -> bool:
+    """Whether the resident whole-run kernel covers this config."""
+    from cytvdn_tpu.config import BCMode
+
+    if dtype != jnp.float32:
+        return False
+    if len(shape) not in (3, 4) or shape[0] < 2:
+        return False
+    if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
+        return False
+    return resident_plan(tuple(shape), fista, n_iters=n_iters) is not None
+
+
+def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
+                          fista: bool):
+    """Kernel body for ``grid=(T,)``.
+
+    Per-axis difference semantics are exactly the fused kernel's in-block
+    path (Jia-Zhao: backward edge difference zero; forward edge wraps to
+    the identically-zero leading slab — the invariant of SURVEY.md §8.1).
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        scal = next(it)                         # SMEM (1, 2n)
+        rho_ref = next(it)                      # SMEM (1, T), whole
+        orig = next(it)                         # whole array, constant
+        recon = next(it)                        # OUTPUT window (resident)
+        b_outs = [next(it) for _ in range(n_ax)]
+        d_outs = [next(it) for _ in range(n_ax)] if fista else None
+        bnorm_out = next(it)                    # VMEM (T, 1), whole
+        dnum_out = next(it)
+        dden_out = next(it)
+
+        t = pl.program_id(0)
+        lam_inv = [scal[0, k] for k in range(n_ax)]
+        lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
+        rho = rho_ref[0, t] if fista else None
+
+        # fresh-run init (reference cyTVDN.py:131-145): recon = copy of
+        # the input, accumulators and shadow duals = 0
+        @pl.when(t == 0)
+        def _():
+            recon[...] = orig[...]
+            for k in range(n_ax):
+                b_outs[k][...] = jnp.zeros_like(b_outs[k])
+                if fista:
+                    d_outs[k][...] = jnp.zeros_like(d_outs[k])
+
+        a = recon[...]
+
+        # ---- dual updates (JZ backward differences, per axis) ----
+        diffs = []
+        for ax in range(work_ndim if not flat else 2):
+            diffs.append(a - _shift_down_inblock(a, ax))
+        if flat:
+            diffs.append(a - _shift_down_flat(a))
+
+        b_new = []
+        bnorm = jnp.zeros((), jnp.float32)
+        for k in range(n_ax):
+            clipped = jnp.clip(diffs[k] + b_outs[k][...],
+                               -lam_inv[k], lam_inv[k])
+            if fista:
+                bk = clipped + rho * (clipped - d_outs[k][...])
+                d_outs[k][...] = clipped
+            else:
+                bk = clipped
+            b_outs[k][...] = bk
+            b_new.append(bk)
+            bnorm = bnorm + jnp.sum(jnp.abs(bk))
+
+        # ---- reconstruction update (JZ forward differences) ----
+        fwds = []
+        for ax in range(work_ndim if not flat else 2):
+            fwds.append(_shift_up_inblock(b_new[ax], ax))
+        if flat:
+            fwds.append(_shift_up_flat(b_new[n_ax - 1]))
+        div = jnp.zeros_like(a)
+        for k in range(n_ax):
+            div = div + lam_mu[k] * (b_new[k] - fwds[k])
+        newr = orig[...] - div
+        recon[...] = newr
+
+        # per-iteration trace rows: dynamic-row vector stores into VMEM
+        # windows ((T,1) SMEM windows pad to 512 B/element and blow the
+        # 1 MB SMEM cap at production iteration counts — measured)
+        bnorm_out[pl.ds(t, 1), :] = jnp.reshape(bnorm, (1, 1))
+        dnum_out[pl.ds(t, 1), :] = jnp.reshape(
+            jnp.sum(jnp.abs(newr - a)), (1, 1))
+        dden_out[pl.ds(t, 1), :] = jnp.reshape(
+            jnp.sum(jnp.abs(a)), (1, 1))
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_iters", "fista", "interpret"))
+def resident_solve(
+    orig: Array,
+    rhos: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    n_iters: int,
+    fista: bool,
+    interpret: bool = False,
+):
+    """Run ``n_iters`` fresh-start TV iterations entirely in VMEM.
+
+    ``rhos`` is the per-iteration FISTA momentum schedule (length
+    ``n_iters``; pass zeros for unaccelerated phases — with ``rho = 0``
+    the FISTA update reduces to the plain one exactly).
+
+    Returns ``(recon, accs, ds, b_norm, dnum, dden)`` — the traces are
+    length-``n_iters`` float32 vectors (deterministic whole-array
+    reductions; may differ from the streaming kernels' block-grouped
+    sums in the last ulp, as chunking choices are allowed to,
+    CLAUDE.md invariants).
+    """
+    in_shape = orig.shape
+    ndim = len(in_shape)
+    plan = resident_plan(in_shape, fista, orig.dtype.itemsize, n_iters)
+    if plan is None:
+        raise ValueError(
+            f"resident kernel does not support shape {in_shape}")
+    work, flat = plan
+    work_ndim = len(work)
+
+    orig_w = orig.reshape(work)
+    n_scal = 2 * ndim
+    scal = jnp.concatenate([
+        lambda_inv.astype(jnp.float32), lam_mu.astype(jnp.float32)
+    ]).reshape(1, n_scal)
+    rho_row = jnp.asarray(rhos, jnp.float32).reshape(1, n_iters)
+
+    whole = pl.BlockSpec(work, lambda t: (0,) * work_ndim,
+                         memory_space=pltpu.VMEM)
+    trace_spec = pl.BlockSpec((n_iters, 1), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, n_scal), lambda t: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, n_iters), lambda t: (0, 0),
+                     memory_space=pltpu.SMEM),
+        whole,
+    ]
+    inputs = [scal, rho_row, orig_w]
+
+    dt = orig.dtype
+    n_state = 1 + (2 if fista else 1) * ndim
+    out_specs = [whole] * n_state + [trace_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct(work, dt)] * n_state
+    out_shape += [jax.ShapeDtypeStruct((n_iters, 1), jnp.float32)] * 3
+
+    outs = pl.pallas_call(
+        _make_resident_kernel(ndim, work_ndim, flat, fista),
+        grid=(n_iters,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_RESIDENT_VMEM_CAP
+        ),
+    )(*inputs)
+
+    def unemb(x):
+        return x.reshape(in_shape)
+
+    recon = unemb(outs[0])
+    accs = tuple(unemb(o) for o in outs[1:1 + ndim])
+    ds = tuple(unemb(o) for o in outs[1 + ndim:1 + 2 * ndim]) if fista \
+        else None
+    b_norm, dnum, dden = (o[:, 0] for o in outs[n_state:])
+    return recon, accs, ds, b_norm, dnum, dden

@@ -217,42 +217,49 @@ def run_sharded(
         prefer_axis0=temporal_mesh_preference(opts, orig.dtype))
     with_ref = reference_data is not None
     with_state = state is not None
-    fn, mesh, data_spec = _build_sharded_fn(
-        opts, shard_t, orig.ndim, with_ref, with_state, keep_state, devices
-    )
     if i_stop is None:
         i_stop = opts.total_iterations
 
-    # Inputs are committed directly with their target sharding: host arrays
-    # transfer per-shard to their owning devices, never materializing the
-    # full cube on one device (a ``jnp.asarray`` onto the default device
-    # would OOM the first chip of a pod on a pod-scale cube, and — in the
-    # driver's dryrun — would touch the real TPU instead of the CPU mesh).
-    data_sh = NamedSharding(mesh, data_spec)
-    rep_sh = NamedSharding(mesh, P())
+    def attempt(o: SolverOptions):
+        fn, mesh, data_spec = _build_sharded_fn(
+            o, shard_t, orig.ndim, with_ref, with_state, keep_state,
+            devices
+        )
+        # Inputs are committed directly with their target sharding: host
+        # arrays transfer per-shard to their owning devices, never
+        # materializing the full cube on one device (a ``jnp.asarray``
+        # onto the default device would OOM the first chip of a pod on a
+        # pod-scale cube, and — in the driver's dryrun — would touch the
+        # real TPU instead of the CPU mesh).
+        data_sh = NamedSharding(mesh, data_spec)
+        rep_sh = NamedSharding(mesh, P())
 
-    def put(x, sh):
-        from cytvdn_tpu.utils.checkpoint import ShardedBlocks
+        def put(x, sh):
+            from cytvdn_tpu.utils.checkpoint import ShardedBlocks
 
-        if isinstance(x, ShardedBlocks):
-            # multi-process checkpoint resume: each process supplies only
-            # the blocks its devices own
-            return jax.make_array_from_callback(x.shape, sh, x.lookup)
-        return jax.device_put(x, sh)
+            if isinstance(x, ShardedBlocks):
+                # multi-process checkpoint resume: each process supplies
+                # only the blocks its devices own
+                return jax.make_array_from_callback(x.shape, sh, x.lookup)
+            return jax.device_put(x, sh)
 
-    args = [put(orig, data_sh), put(jnp.asarray(lambda_inv), rep_sh),
-            put(jnp.asarray(lam_mu), rep_sh),
-            put(jnp.asarray(i_stop, jnp.int32), rep_sh)]
-    if with_ref:
-        args.append(put(reference_data, data_sh))
-    if with_state:
-        data_keys = ("recon", "accs", "ds")
-        jstate = {}
-        for k, v in state.items():
-            sh = data_sh if k in data_keys else rep_sh
-            if isinstance(v, tuple):
-                jstate[k] = tuple(put(x, sh) for x in v)
-            else:
-                jstate[k] = put(v, sh)
-        args.append(jstate)
-    return fn(*args)
+        args = [put(orig, data_sh), put(jnp.asarray(lambda_inv), rep_sh),
+                put(jnp.asarray(lam_mu), rep_sh),
+                put(jnp.asarray(i_stop, jnp.int32), rep_sh)]
+        if with_ref:
+            args.append(put(reference_data, data_sh))
+        if with_state:
+            data_keys = ("recon", "accs", "ds")
+            jstate = {}
+            for k, v in state.items():
+                sh = data_sh if k in data_keys else rep_sh
+                if isinstance(v, tuple):
+                    jstate[k] = tuple(put(x, sh) for x in v)
+                else:
+                    jstate[k] = put(v, sh)
+            args.append(jstate)
+        return fn(*args)
+
+    from cytvdn_tpu.solver.engine import vmem_fallback
+
+    return vmem_fallback(opts, attempt)

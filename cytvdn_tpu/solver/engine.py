@@ -455,11 +455,18 @@ def _run_phase(
 def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     """Whether iterations may run in PAIRS through the temporally-blocked
     K=2 kernel (``kernels/temporal.py``): Jia-Zhao anisotropic float32,
-    fixed momentum schedule, no per-iteration early stop or MSE (those
-    need iteration-1 state the pair kernel keeps in VMEM only), on a
-    single device or an axis-0 mesh (2-row operand-halo bands). Results
-    are bit-identical to the K=1 kernel, so this is purely a throughput
-    decision."""
+    fixed momentum schedule, no per-iteration MSE (that needs iteration-1
+    state the pair kernel keeps in VMEM only), on a single device or an
+    axis-0/axis-1 mesh (2-row operand-halo bands). Results are
+    bit-identical to the K=1 kernel, so this is purely a throughput
+    decision.
+
+    ``stopping_relative_change`` does NOT disable pairs (the reference's
+    canonical converged workflows all set it, reference
+    cyTVDN/cyTVDN.py:44,253): the paired loop runs while a conservative
+    extrapolation of the delta trace stays above the threshold and hands
+    the final approach to the exact-stopping K=1 loop — see
+    :func:`_run_phase_paired`."""
     from cytvdn_tpu.config import BCMode
 
     if not opts.temporal_pairs:
@@ -472,7 +479,7 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
         if split == {1} and shape[1] < 2:
             return False  # the left/right seam recomputes need 2 columns
         halo = bool(split)
-    if opts.stopping_relative_change is not None or opts.calculate_mse:
+    if opts.calculate_mse:
         return False
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
         return False
@@ -497,6 +504,42 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     return True
 
 
+def _resolve_resident(opts: SolverOptions, shape, dtype,
+                      comm) -> Tuple[bool, bool]:
+    """Decide (use_vmem_resident_kernel, interpret) for this config.
+
+    The resident kernel (``kernels/resident.py``) runs the WHOLE schedule
+    inside one pallas launch with all state in VMEM — per-iteration HBM
+    traffic is O(1/T) instead of ~10 traversals, lifting small cubes off
+    the ~10 µs/step grid floor. Fresh single-device Jia-Zhao anisotropic
+    float32 runs without early stop / MSE / adaptive restart only; the
+    caller additionally requires a fresh state and an uncapped i_stop."""
+    from cytvdn_tpu.config import BCMode
+
+    if not opts.vmem_resident:
+        return False, False
+    if opts.backend in (Backend.JAX, Backend.CPP):
+        return False, False
+    if comm is not None and not isinstance(comm, NullComm):
+        return False, False
+    if opts.stopping_relative_change is not None or opts.calculate_mse:
+        return False, False
+    if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
+        return False, False
+    if opts.bc_mode != BCMode.JIA_ZHAO:
+        return False, False
+    from cytvdn_tpu.kernels.resident import resident_supported
+
+    if not resident_supported(shape, dtype, opts.bc_mode,
+                              fista=opts.iterations_fista > 0,
+                              n_iters=opts.total_iterations):
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if opts.backend == Backend.PALLAS:
+        return True, not on_tpu
+    return on_tpu, False  # AUTO
+
+
 def _run_phase_paired(
     fista: bool,
     i_bound,
@@ -517,7 +560,24 @@ def _run_phase_paired(
     trace entries are recorded exactly as the one-at-a-time loop would.
     On an axis-0 mesh the body exchanges 2-row pre-update bands with the
     neighbor shards per pair (the pair kernel's ``halos0``) and ``psum``s
-    the reductions."""
+    the reductions.
+
+    **Stop-aware pairing.** When ``opts.stopping_relative_change`` is set
+    the loop additionally requires a conservative on-device prediction
+    that the threshold cannot be crossed inside the next pair: with the
+    two most recent recorded deltas ``d1`` (latest) and ``d2``, per-step
+    decay ``r = clip(d1/d2, 0, 1)``, pairs continue only while
+    ``d1 · r⁴ ≥ stopping`` — the worst case modeled is the decay rate
+    doubling (in log terms) for both iterations of the pair. The exact
+    per-iteration stop check then happens in the K=1 finisher, which is
+    bit-identical state-wise, so stop-aware runs normally reproduce the
+    unpaired run exactly (tests assert this). If delta nevertheless
+    collapses faster than the prediction, the pair's own deltas latch
+    ``done``: when the pair's *second* delta crosses, the result is still
+    exact (the reference stops after the converging iteration too,
+    reference cyTVDN/cyTVDN.py:189-194); only a crossing at the pair's
+    *first* delta yields one extra (more-converged) iteration, honestly
+    visible in the delta trace and ``iterations_run``."""
     from cytvdn_tpu.kernels.temporal import fused_pair_iteration
 
     comm = comm or NullComm()
@@ -525,9 +585,21 @@ def _run_phase_paired(
     bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
                         jnp.asarray(i_stop, jnp.int32))
     dtype = orig.dtype
+    stopping = opts.stopping_relative_change
 
     def cond(c: _PhaseCarry):
-        return c.i + 2 <= bound
+        ok = jnp.logical_and(c.i + 2 <= bound, jnp.logical_not(c.done))
+        if stopping is not None:
+            d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
+            d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
+            have = jnp.logical_and(c.i >= 2,
+                                   jnp.logical_and(d1 > 0, d2 > 0))
+            r = jnp.clip(d1 / jnp.where(d2 > 0, d2, jnp.float32(1.0)),
+                         0.0, 1.0)
+            pred = d1 * r * r * r * r
+            ok = jnp.logical_and(
+                ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
+        return ok
 
     def body(c: _PhaseCarry):
         if fista:
@@ -622,15 +694,24 @@ def _run_phase_paired(
             dn1 = comm.allsum(dn1) / comm.allsum(dd1)
             dn2 = comm.allsum(dn2) / comm.allsum(dd2)
             dd1 = dd2 = jnp.ones((), jnp.float32)
+        dv1 = (dn1 / dd1).astype(c.delta.dtype)
+        dv2 = (dn2 / dd2).astype(c.delta.dtype)
         b_norm = (c.b_norm
                   .at[c.i].set(bn1.astype(c.b_norm.dtype))
                   .at[c.i + 1].set(bn2.astype(c.b_norm.dtype)))
         delta_tr = (c.delta
-                    .at[c.i].set((dn1 / dd1).astype(c.delta.dtype))
-                    .at[c.i + 1].set((dn2 / dd2).astype(c.delta.dtype)))
+                    .at[c.i].set(dv1)
+                    .at[c.i + 1].set(dv2))
+        if stopping is not None:
+            # exact when dv2 crosses (the pair ends at the converging
+            # iteration); a dv1 crossing means the predictive guard was
+            # beaten — latch done and carry the one-extra iteration
+            done = jnp.logical_or(dv1 < stopping, dv2 < stopping)
+        else:
+            done = c.done
         return _PhaseCarry(
             i=c.i + 2,
-            done=c.done,
+            done=done,
             recon=recon2,
             accs=accs2,
             ds=ds2 if fista else c.ds,
@@ -641,6 +722,64 @@ def _run_phase_paired(
         )
 
     return lax.while_loop(cond, body, carry)
+
+
+def _device_oom(err: Exception) -> bool:
+    """Compile-time device-memory exhaustion (Mosaic/XLA)."""
+    s = str(err)
+    return ("Ran out of memory in memory space" in s
+            or "RESOURCE_EXHAUSTED" in s)
+
+
+def vmem_fallback(opts: SolverOptions, call):
+    """Run ``call(opts)``, degrading kernel choices on device-memory
+    compile failures instead of crashing.
+
+    The resident/pair kernels gate themselves on calibrated VMEM/HBM
+    budget models (kernels/resident.py::resident_plan,
+    kernels/temporal.py::pair_plan / pair_hbm_viable). A model
+    miscalibrated for an untested shape/compiler combination surfaces as
+    a compile-time RESOURCE_EXHAUSTED — this ladder turns each
+    multi-iteration kernel off in turn (resident first, then temporal
+    pairs; both are pure throughput choices with bit-identical results)
+    and retries, so the worst case is the K=1 streaming path, not a
+    crash. A genuine can't-fit failure (e.g. HBM on an oversized cube)
+    exhausts the ladder and re-raises."""
+    import dataclasses
+    import warnings
+
+    attempt = opts
+    while True:
+        try:
+            return call(attempt)
+        except Exception as e:
+            if not _device_oom(e):
+                raise
+            knob = next(
+                (k for k in ("vmem_resident", "temporal_pairs")
+                 if getattr(attempt, k)), None)
+            if knob is None:
+                raise
+            warnings.warn(
+                f"device memory exhausted while compiling the solver "
+                f"({type(e).__name__}); retrying with {knob}=False "
+                f"(kernel VMEM-gate miscalibration fallback — results "
+                f"are identical, throughput lower)", stacklevel=2)
+            attempt = dataclasses.replace(attempt, **{knob: False})
+
+
+def _paired_history_stop(carry: _PhaseCarry, i_stop) -> Array:
+    """Dynamic iteration cap for the K=1 prologue stop-aware pairing
+    needs: the paired loop's predictive guard engages once two positive
+    deltas are recorded ahead of ``carry.i``; absent that history (fresh
+    run, or a phase entered through an early-stop index jump), run two
+    K=1 iterations first so the guard never has to decide blind."""
+    d1 = carry.delta[jnp.maximum(carry.i - 1, 0)]
+    d2 = carry.delta[jnp.maximum(carry.i - 2, 0)]
+    hist = jnp.logical_and(carry.i >= 2,
+                           jnp.logical_and(d1 > 0, d2 > 0))
+    pro = jnp.where(hist, carry.i, carry.i + 2).astype(jnp.int32)
+    return jnp.minimum(jnp.asarray(i_stop, jnp.int32), pro)
 
 
 def run_solver(
@@ -710,6 +849,60 @@ def run_solver(
     # ``_float``-typed kernel argument (reference cyTVDN.py:153-156).
     tk_ratios = jnp.asarray(fista_tk_ratios(n_f), dtype=dtype)
 
+    def _unperm(out: Dict[str, Array]) -> Dict[str, Array]:
+        if perm is None:
+            return out
+        out["recon"] = jnp.transpose(out["recon"], inv_perm)
+        if "accs" in out:
+            # user-axis j's accumulator lives at work axis inv_perm[j]
+            out["accs"] = tuple(
+                jnp.transpose(out["accs"][inv_perm[j]], inv_perm)
+                for j in range(opts.ndim)
+            )
+            if len(out["ds"]):
+                out["ds"] = tuple(
+                    jnp.transpose(out["ds"][inv_perm[j]], inv_perm)
+                    for j in range(opts.ndim)
+                )
+        return out
+
+    # VMEM-resident fast path: fresh uncapped runs whose whole state fits
+    # on-chip execute every iteration in one pallas launch (bit-identical
+    # to the streaming paths; see kernels/resident.py). Hybrid schedules
+    # with keep_state stay on the streaming path (their returned ds must
+    # be frozen through the unaccelerated phase).
+    if (
+        state is None
+        and isinstance(i_stop, int)
+        and i_stop >= n_total
+        and n_total > 0
+        and not (keep_state and n_f and n_u)
+    ):
+        r_ok, r_interp = _resolve_resident(opts, orig.shape, dtype, comm)
+        if r_ok:
+            from cytvdn_tpu.kernels.resident import resident_solve
+
+            rhos = np.zeros((n_total,), np.float64)
+            if n_f:
+                rhos[:n_f] = fista_tk_ratios(n_f)[:n_f]
+            recon_r, accs_r, ds_r, bn_r, dnum_r, dden_r = resident_solve(
+                orig, jnp.asarray(rhos, dtype), lambda_inv, lam_mu,
+                n_iters=n_total, fista=bool(n_f), interpret=r_interp,
+            )
+            out = {
+                "recon": recon_r,
+                "b_norm": bn_r.astype(dtype),
+                "delta": (dnum_r / dden_r).astype(dtype),
+                "iterations_run": jnp.asarray(n_total, jnp.int32),
+                "early_stopped": jnp.zeros((), bool),
+            }
+            if keep_state:
+                out["accs"] = accs_r
+                out["ds"] = ds_r if (n_f and not n_u) else ()
+                out["i"] = jnp.asarray(n_total, jnp.int32)
+                out["tk"] = jnp.ones((), jnp.float32)
+            return _unperm(out)
+
     if state is not None:
         recon = state["recon"]
         accs = tuple(state["accs"])
@@ -752,8 +945,15 @@ def run_solver(
         _, t_interpret = _resolve_fused(opts, orig.shape, dtype, comm)
 
     i_stop2 = jnp.asarray(i_stop, jnp.int32)
+    stop_aware = temporal_ok and opts.stopping_relative_change is not None
     if n_f:
         if temporal_ok:
+            if stop_aware:
+                carry = _run_phase(
+                    True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
+                    opts, comm, reference_data,
+                    _paired_history_stop(carry, i_stop),
+                )
             carry = _run_phase_paired(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop, comm,
@@ -785,6 +985,12 @@ def run_solver(
             carry = carry._replace(ds=())
     if n_u:
         if temporal_ok:
+            if stop_aware:
+                carry = _run_phase(
+                    False, n_total, carry, orig, tk_ratios, lambda_inv,
+                    lam_mu, opts, comm, reference_data,
+                    _paired_history_stop(carry, i_stop2),
+                )
             carry = _run_phase_paired(
                 False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop2, comm,
@@ -808,17 +1014,4 @@ def run_solver(
         out["ds"] = carry.ds
         out["i"] = carry.i
         out["tk"] = carry.tk
-    if perm is not None:
-        out["recon"] = jnp.transpose(out["recon"], inv_perm)
-        if keep_state:
-            # user-axis j's accumulator lives at work axis inv_perm[j]
-            out["accs"] = tuple(
-                jnp.transpose(out["accs"][inv_perm[j]], inv_perm)
-                for j in range(opts.ndim)
-            )
-            if len(out["ds"]):
-                out["ds"] = tuple(
-                    jnp.transpose(out["ds"][inv_perm[j]], inv_perm)
-                    for j in range(opts.ndim)
-                )
-    return out
+    return _unperm(out)

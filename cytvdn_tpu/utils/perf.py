@@ -35,10 +35,15 @@ def traversals_per_iteration(ndim: int, fista: bool, backend: str) -> float:
       writes recon, n accs [, n ds]  →  4n+3 (FISTA) / 2n+3 (plain).
     - ``xla`` (two fused XLA passes): the accumulator pass re-reads the
       accumulators in the reconstruction pass → ~(5n+4)/(3n+4).
+    - ``pair`` (K=2 temporally-blocked Pallas kernel): two iterations
+      per pass of the fused kernel's traffic, plus ~1 traversal/iter of
+      seam-band gathers → (4n+3)/2+1 / (2n+3)/2+1.
     - ``reference``: per-kernel traversals of the Cython loops
       (SURVEY.md §3.1): 22 for 4D FISTA.
     """
     n = ndim
+    if backend == "pair":
+        return ((4 * n + 3) / 2 + 1) if fista else ((2 * n + 3) / 2 + 1)
     if backend == "fused":
         return (4 * n + 3) if fista else (2 * n + 3)
     if backend == "xla":
@@ -65,3 +70,19 @@ def efficiency(measured_vox_per_sec: float, shape, fista=True,
     """Fraction of the traffic-model speed-of-light achieved."""
     return measured_vox_per_sec / speed_of_light(
         tuple(shape), fista, backend, chip=chip)
+
+
+def practical_speed_of_light(
+    shape: Tuple[int, ...],
+    fista: bool = True,
+    backend: str = "pair",
+    itemsize: int = 4,
+    chip: str = "v5e",
+) -> float:
+    """Voxel-updates/sec the backend's traffic model reaches at the
+    chip's *measured sustained* bandwidth (PRACTICAL_BW) — the realistic
+    target a healthy kernel should sit near, used for the bench harness's
+    per-config regression floors."""
+    trav = traversals_per_iteration(len(shape), fista, backend)
+    bw = PRACTICAL_BW.get(chip, HBM_BW[chip] * 0.72)
+    return bw / (trav * itemsize)

@@ -89,7 +89,14 @@ def check(shape, fista):
     print(f"{status} {shape} fista={fista}: recon {err_r:.2e} "
           f"accs {err_b:.2e} bnorm {err_n:.2e} delta {err_dl:.2e} "
           f"[{dt:.1f}s]", flush=True)
-    return status == "OK "
+    return status == "OK ", {
+        "shape": list(shape), "fista": fista,
+        "recon_max_abs_vs_golden": float(err_r),
+        "accs_max_abs_vs_golden": float(err_b),
+        "bnorm_rel_vs_golden": float(err_n),
+        "delta_rel_vs_golden": float(err_dl),
+        "ok": status == "OK ",
+    }
 
 
 def check_vs_ops(shape, bc, iso_r=False, iso_q=False):
@@ -119,9 +126,11 @@ def check_vs_ops(shape, bc, iso_r=False, iso_q=False):
     return ok, err
 
 
-def check_pair(shape, iters_f, iters_u):
+def check_pair(shape, iters_f, iters_u, stopping=None):
     """Temporally-blocked K=2 kernel vs the K=1 kernel, compiled on the
-    same device: full solver runs must agree bit-for-bit on the recon."""
+    same device: full solver runs must agree bit-for-bit on the recon.
+    With ``stopping`` set this exercises the stop-aware paired path,
+    which must also stop at the identical iteration."""
     import jax
 
     from cytvdn_tpu.config import SolverOptions
@@ -137,6 +146,7 @@ def check_pair(shape, iters_f, iters_u):
     for pairs in (False, True):
         opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
                              iterations_unacc=iters_u,
+                             stopping_relative_change=stopping,
                              temporal_pairs=pairs)
         fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
         outs[pairs] = {k: np.asarray(v) for k, v in
@@ -144,8 +154,47 @@ def check_pair(shape, iters_f, iters_u):
     err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
     bn_a, bn_b = outs[True]["b_norm"], outs[False]["b_norm"]
     err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
-    ok = err_r == 0.0 and err_t < 1e-5
+    same_stop = (int(outs[True]["iterations_run"])
+                 == int(outs[False]["iterations_run"]))
+    ok = err_r == 0.0 and err_t < 1e-5 and same_stop
     print(f"{'OK ' if ok else 'FAIL'} pair-vs-k1 {shape} "
+          f"iters=({iters_f},{iters_u}) stop={stopping}: "
+          f"recon max {err_r:.2e} bnorm rel {err_t:.2e} "
+          f"iters_run {int(outs[True]['iterations_run'])}"
+          f"{'==' if same_stop else '!='}"
+          f"{int(outs[False]['iterations_run'])}", flush=True)
+    return ok, err_r, err_t, int(outs[True]["iterations_run"])
+
+
+def check_resident(shape, iters_f, iters_u):
+    """VMEM-resident whole-run kernel vs the streaming engine path,
+    compiled on the same device: recon must agree bit-for-bit."""
+    import jax
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.engine import _resolve_resident, run_solver
+
+    ndim = len(shape)
+    cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    li = jnp.asarray(1.0 / lam)
+    lm = jnp.asarray(lam / mu)
+    outs = {}
+    for res in (False, True):
+        opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
+                             iterations_unacc=iters_u, vmem_resident=res)
+        if res:
+            assert _resolve_resident(opts, shape, jnp.float32, None)[0], \
+                "resident gate must accept this config"
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        outs[res] = {k: np.asarray(v) for k, v in
+                     fn(jnp.asarray(cube), li, lm).items()}
+    err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
+    bn_a, bn_b = outs[True]["b_norm"], outs[False]["b_norm"]
+    err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
+    ok = err_r == 0.0 and err_t < 1e-5
+    print(f"{'OK ' if ok else 'FAIL'} resident-vs-streaming {shape} "
           f"iters=({iters_f},{iters_u}): recon max {err_r:.2e} "
           f"bnorm rel {err_t:.2e}", flush=True)
     return ok, err_r, err_t
@@ -156,16 +205,26 @@ if __name__ == "__main__":
 
     np.asarray(jnp.ones((8,)))  # tunnel warmup on TPU
     ok = True
-    results = {"mode": ON, "golden": [], "vs_ops": [], "pair_vs_k1": []}
-    ok &= check((6, 8, 16), True)       # 3D "single" layout
-    ok &= check((6, 8, 16), False)
-    ok &= check((6, 256, 512), True)    # 3D "flat" layout (E folded to 128)
-    ok &= check((5, 6, 8, 16), True)
-    ok &= check((5, 6, 8, 16), False)
+    results = {"mode": ON, "golden": [], "vs_ops": [], "pair_vs_k1": [],
+               "resident_vs_streaming": []}
+    golden_cases = [
+        ((6, 8, 16), True),       # 3D "single" layout
+        ((6, 8, 16), False),
+        ((6, 256, 512), True),    # 3D "flat" layout (E folded to 128)
+        ((5, 6, 8, 16), True),
+        ((5, 6, 8, 16), False),
+    ]
     if ON == "tpu":
-        ok &= check((64, 64, 512), True)
-        ok &= check((32, 32, 64, 64), True)
-        ok &= check((32, 32, 64, 64), False)
+        golden_cases += [
+            ((64, 64, 512), True),
+            ((32, 32, 64, 64), True),
+            ((32, 32, 64, 64), False),
+        ]
+    for shape, fista in golden_cases:
+        good, rec = check(shape, fista)
+        ok &= good
+        results["golden"].append(rec)
+    if ON == "tpu":
         # compiled-on-TPU sweep of the BC/iso/permutation paths
         sweep = [
             ((24, 24, 16, 24), 0, False, False),
@@ -184,16 +243,33 @@ if __name__ == "__main__":
                 "shape": list(shape), "bc": bc, "iso_r": ir, "iso_q": iq,
                 "recon_rel_max_vs_ops": err, "ok": good,
             })
-        # compiled K=2 temporal pairs vs K=1, incl. odd/hybrid schedules
-        # and the lane-hostile permuted path
-        for shape, itf, itu in [
-            ((32, 32, 64, 64), 5, 0),
-            ((24, 24, 16, 24), 4, 3),
-            ((64, 64, 512), 0, 6),
+        # compiled K=2 temporal pairs vs K=1, incl. odd/hybrid schedules,
+        # the lane-hostile permuted path, and the stop-aware paired path
+        # (stopping set: guard + K=1 finisher must stop at the identical
+        # iteration with a bit-identical recon)
+        for shape, itf, itu, stop in [
+            ((32, 32, 64, 64), 5, 0, None),
+            ((24, 24, 16, 24), 4, 3, None),
+            ((64, 64, 512), 0, 6, None),
+            ((32, 32, 64, 64), 40, 0, 0.0005),
         ]:
-            good, er, et = check_pair(shape, itf, itu)
+            good, er, et, itr = check_pair(shape, itf, itu, stop)
             ok &= good
             results["pair_vs_k1"].append({
+                "shape": list(shape), "iters": [itf, itu],
+                "stopping": stop, "iterations_run": itr,
+                "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
+            })
+        # compiled VMEM-resident whole-run kernel vs the streaming path
+        # (incl. the BASELINE cfg1 shape — its raison d'être)
+        for shape, itf, itu in [
+            ((64, 64, 512), 0, 8),
+            ((64, 64, 512), 8, 0),
+            ((16, 16, 24, 24), 4, 3),
+        ]:
+            good, er, et = check_resident(shape, itf, itu)
+            ok &= good
+            results["resident_vs_streaming"].append({
                 "shape": list(shape), "iters": [itf, itu],
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
             })

@@ -1,0 +1,100 @@
+"""VMEM-gate miscalibration fallback (solver/engine.py::vmem_fallback):
+a compile-time RESOURCE_EXHAUSTED from a multi-iteration kernel must
+degrade to the K=1 streaming path (bit-identical results) instead of
+crashing. The device OOM is simulated; the real-TPU behaviour is the
+same exception type surfacing through the same call path."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import cytvdn_tpu.kernels.resident as RR
+import cytvdn_tpu.kernels.temporal as TT
+from cytvdn_tpu.config import Backend, SolverOptions
+
+_OOM = ("XLA:TPU compile permanent error. Ran out of memory in memory "
+        "space vmem. Used 200.00M of 128.00M vmem.")
+
+
+def _cube(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+
+
+def test_resident_oom_falls_back(monkeypatch):
+    from cytvdn_tpu import denoise3D
+
+    calls = []
+    real = RR.resident_solve
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError(_OOM)
+
+    monkeypatch.setattr(RR, "resident_solve", boom)
+    cube = _cube((8, 6, 64))
+    mu = np.full(3, 1.0, np.float32)
+    with pytest.warns(UserWarning, match="vmem_resident=False"):
+        got = denoise3D(cube, mu, iterations=5, FISTA=True, quiet=True,
+                        backend="pallas")
+    assert calls  # the resident path was attempted first
+    monkeypatch.setattr(RR, "resident_solve", real)
+    want = denoise3D(cube, mu, iterations=5, FISTA=True, quiet=True,
+                     backend="pallas")
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_pair_oom_falls_back_to_k1(monkeypatch):
+    from cytvdn_tpu import denoise4D
+
+    def boom(*a, **k):
+        raise RuntimeError(_OOM)
+
+    monkeypatch.setattr(RR, "resident_solve", boom)
+    monkeypatch.setattr(TT, "fused_pair_iteration", boom)
+    cube = _cube((7, 6, 6, 16))
+    mu = np.full(4, 1.0, np.float32)
+    with pytest.warns(UserWarning, match="temporal_pairs=False"):
+        got = denoise4D(cube, mu, iterations=4, quiet=True,
+                        backend="pallas")
+    want = denoise4D(cube, mu, iterations=4, quiet=True, backend="pallas",
+                     )
+    np.testing.assert_array_equal(got[0], want[0])
+
+
+def test_non_oom_errors_propagate(monkeypatch):
+    from cytvdn_tpu import denoise3D
+
+    def boom(*a, **k):
+        raise RuntimeError("some unrelated lowering failure")
+
+    monkeypatch.setattr(RR, "resident_solve", boom)
+    cube = _cube((8, 6, 64))
+    mu = np.full(3, 1.0, np.float32)
+    with pytest.raises(RuntimeError, match="unrelated"):
+        denoise3D(cube, mu, iterations=5, FISTA=True, quiet=True,
+                  backend="pallas")
+
+
+def test_sharded_oom_falls_back(monkeypatch):
+    from cytvdn_tpu.parallel.sharded import run_sharded
+
+    def boom(*a, **k):
+        raise RuntimeError(_OOM)
+
+    monkeypatch.setattr(TT, "fused_pair_iteration", boom)
+    cube = _cube((16, 8, 6, 16))
+    li = np.full(4, 32.0, np.float32)
+    lm = np.full(4, 1 / 32.0, np.float32)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS)
+    with pytest.warns(UserWarning, match="fallback"):
+        got = run_sharded(cube, li, lm, opts, shard=(4, 1, 1, 1))
+    want = run_sharded(cube, li, lm,
+                       SolverOptions(ndim=4, iterations_fista=4,
+                                     iterations_unacc=0,
+                                     backend=Backend.PALLAS,
+                                     temporal_pairs=False),
+                       shard=(4, 1, 1, 1))
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))

@@ -1,0 +1,156 @@
+"""VMEM-resident whole-run kernel (kernels/resident.py): every iteration
+inside one pallas launch must reproduce the streaming (K=1 fused) path
+bit-for-bit on recon/accs, with traces equal to reduction-grouping ulps.
+
+All runs use interpret mode (CPU CI); the compiled-on-TPU check lives in
+tests/manual_fused_check.py / TPU_FUSED_PARITY.json.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions
+from cytvdn_tpu.kernels import resident as R
+from cytvdn_tpu.solver.engine import _resolve_resident, run_solver
+
+
+def _state(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    ndim = len(shape)
+    orig = jnp.asarray(rng.standard_normal(shape) * 0.4 + 1.0,
+                       dtype=jnp.float32)
+    li = jnp.asarray(np.full(ndim, 32.0, np.float32))
+    lm = jnp.asarray(np.full(ndim, 1 / 32.0, np.float32))
+    return orig, li, lm
+
+
+CASES = [
+    ((8, 6, 64), (5, 0)),        # 3D single layout, FISTA
+    ((8, 6, 64), (0, 6)),        # 3D unaccelerated
+    ((8, 6, 64), (3, 4)),        # hybrid (rho=0 tail in fista mode)
+    ((6, 5, 256), (4, 0)),       # 3D flat-fold layout
+    ((6, 4, 6, 16), (4, 0)),     # 4D FISTA
+    ((6, 4, 6, 16), (0, 3)),     # 4D unaccelerated
+]
+
+
+@pytest.mark.parametrize("shape,iters", CASES)
+def test_resident_matches_streaming(shape, iters):
+    """Full schedules through the engine: the resident path must equal
+    the streaming fused path bit-for-bit on the recon."""
+    orig, li, lm = _state(shape, seed=7)
+    base = dict(ndim=len(shape), iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False))
+    opts_r = SolverOptions(**base, vmem_resident=True)
+    assert _resolve_resident(opts_r, shape, jnp.float32, None)[0]
+    got = run_solver(orig, li, lm, opts_r)
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(want["b_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-4)
+
+
+def test_resident_keep_state_matches():
+    """keep_state outputs (accs/ds) must match the streaming path."""
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=11)
+    base = dict(ndim=3, iterations_fista=5, iterations_unacc=0,
+                backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False),
+                      keep_state=True)
+    got = run_solver(orig, li, lm, SolverOptions(**base),
+                     keep_state=True)
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(got["accs"][k]),
+                                      np.asarray(want["accs"][k]))
+        np.testing.assert_array_equal(np.asarray(got["ds"][k]),
+                                      np.asarray(want["ds"][k]))
+
+
+def test_resident_gates():
+    """Configs the resident kernel cannot serve must resolve off."""
+    ok = dict(ndim=3, iterations_fista=4, iterations_unacc=0,
+              backend=Backend.PALLAS)
+    shape, dt = (8, 6, 64), jnp.float32
+    assert _resolve_resident(SolverOptions(**ok), shape, dt, None)[0]
+    for bad in (
+        dict(stopping_relative_change=0.01),
+        dict(calculate_mse=True),
+        dict(fista_restart=True),
+        dict(bc_mode=BCMode.PERIODIC),
+        dict(vmem_resident=False),
+        dict(backend=Backend.JAX),
+    ):
+        assert not _resolve_resident(
+            SolverOptions(**{**ok, **bad}), shape, dt, None)[0], bad
+    # a mesh comm gates off
+    comm = type("C", (), {"split_axes": (0,)})()
+    assert not _resolve_resident(SolverOptions(**ok), shape, dt, comm)[0]
+    # states that exceed the VMEM budget gate off
+    assert not R.resident_supported((256, 256, 2048), jnp.float32,
+                                    BCMode.JIA_ZHAO, fista=True)
+    # the BASELINE cfg1 shape must be IN budget (the whole point)
+    assert R.resident_supported((64, 64, 512), jnp.float32,
+                                BCMode.JIA_ZHAO, fista=False)
+
+
+def test_resident_vs_golden():
+    """Direct kernel check against the float64 golden model."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import golden
+
+    shape = (6, 4, 32)
+    orig, li, lm = _state(shape, seed=3)
+    n = 3
+    rhos = np.array([0.0, 0.28, 0.43], np.float64)
+    recon, accs, ds, bn, dnum, dden = R.resident_solve(
+        orig, jnp.asarray(rhos, jnp.float32), li, lm,
+        n_iters=n, fista=True, interpret=True)
+    g_r = np.asarray(orig, np.float64)
+    g_accs = [np.zeros_like(g_r) for _ in range(3)]
+    g_ds = [np.zeros_like(g_r) for _ in range(3)]
+    for i in range(n):
+        for k in range(3):
+            g_accs[k], g_ds[k], _ = golden.accumulator_update_fista(
+                g_r, g_accs[k], g_ds[k], float(rhos[i]), k, 32.0, 2)
+        g_r, _ = golden.datacube_update(
+            np.asarray(orig, np.float64), g_r, g_accs,
+            np.full(3, 1 / 32.0), 2)
+    assert np.max(np.abs(np.asarray(recon) - g_r)) < 1e-5
+    for k in range(3):
+        assert np.max(np.abs(np.asarray(accs[k]) - g_accs[k])) < 1e-5
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_resident_fuzz(seed):
+    """Randomized shapes/schedules: resident must match streaming."""
+    rng = np.random.default_rng(3000 + seed)
+    ndim = int(rng.choice([3, 4]))
+    if ndim == 4:
+        shape = (int(rng.integers(4, 10)), int(rng.integers(2, 8)),
+                 int(rng.integers(2, 8)), int(rng.integers(8, 20)))
+    else:
+        shape = (int(rng.integers(4, 10)), int(rng.integers(2, 8)),
+                 int(rng.integers(16, 200)))
+    n_f = int(rng.integers(0, 5))
+    n_u = int(rng.integers(0, 4))
+    if n_f + n_u == 0:
+        n_f = 2
+    orig, li, lm = _state(shape, seed=seed)
+    base = dict(ndim=ndim, iterations_fista=n_f, iterations_unacc=n_u,
+                backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False))
+    got = run_solver(orig, li, lm, SolverOptions(**base))
+    np.testing.assert_array_equal(
+        np.asarray(got["recon"]), np.asarray(want["recon"]),
+        err_msg=f"{shape} iters=({n_f},{n_u})")

@@ -182,8 +182,12 @@ def test_temporal_gates():
               backend=Backend.PALLAS)
     shape, dt = (8, 8, 6, 16), jnp.float32
     assert _resolve_temporal(SolverOptions(**ok), shape, dt, None)
+    # stopping_relative_change no longer gates pairs off (stop-aware
+    # pairing runs the bulk through the pair kernel, K=1 finishes)
+    assert _resolve_temporal(
+        SolverOptions(**{**ok, "stopping_relative_change": 0.01}),
+        shape, dt, None)
     for bad in (
-        dict(stopping_relative_change=0.01),
         dict(calculate_mse=True),
         dict(fista_restart=True),
         dict(isotropic_R=True),
@@ -193,6 +197,110 @@ def test_temporal_gates():
     ):
         assert not _resolve_temporal(
             SolverOptions(**{**ok, **bad}), shape, dt, None), bad
+
+
+def _stop_case(shape, iters, seed, stop_at, **opt_kw):
+    """Build (orig, li, lm, opts±stopping): picks a stopping threshold
+    that triggers between recorded deltas ``stop_at-1`` and ``stop_at``
+    of the reference (unpaired) run, so the early stop lands mid-run."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    orig, _, _, li, lm = _state(shape, True, seed=seed)
+    base = dict(ndim=len(shape), iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS,
+                **opt_kw)
+    probe = run_solver(orig, li, lm,
+                       SolverOptions(**base, temporal_pairs=False))
+    d = np.asarray(probe["delta"])
+    assert d[stop_at] > 0 and d[stop_at] < d[stop_at - 1], d
+    stopping = float(np.sqrt(d[stop_at] * min(d[stop_at - 1],
+                                              d[stop_at] * 4)))
+    return orig, li, lm, base, stopping
+
+
+@pytest.mark.parametrize("iters,stop_at", [((16, 0), 9), ((0, 16), 10),
+                                           ((6, 12), 13)])
+def test_stop_aware_pairs_match_unpaired(iters, stop_at):
+    """With stopping_relative_change set, the paired engine must stop at
+    the SAME iteration as the unpaired run with bit-identical state: the
+    predictive guard hands the final approach to the exact K=1 loop."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (7, 12, 6, 16)
+    orig, li, lm, base, stopping = _stop_case(shape, iters, 3, stop_at)
+    want = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping, temporal_pairs=False))
+    got = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping, temporal_pairs=True))
+    assert int(want["iterations_run"]) == int(got["iterations_run"])
+    assert bool(want["early_stopped"]) == bool(got["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    # trace reductions agree to grouping ulps (as in the unstoppped
+    # paired-vs-unpaired test); recon and the stop iteration are exact
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-5)
+
+
+def test_stop_aware_pairs_actually_pair(monkeypatch):
+    """The stop-aware path must route iterations through the pair kernel
+    (not silently fall back to K=1 end to end)."""
+    import cytvdn_tpu.kernels.temporal as TT
+    from cytvdn_tpu.solver.engine import run_solver
+
+    calls = []
+    real = TT.fused_pair_iteration
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(TT, "fused_pair_iteration", spy)
+    shape = (7, 12, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=3)
+    opts = SolverOptions(ndim=4, iterations_fista=12, iterations_unacc=0,
+                         backend=Backend.PALLAS,
+                         stopping_relative_change=1e-9)
+    run_solver(orig, li, lm, opts)
+    assert calls  # the pair kernel was traced into the program
+
+
+def test_stop_aware_immediate_stop():
+    """A threshold the very first deltas satisfy stops inside the K=1
+    prologue — pairs never run, results identical to the unpaired run."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (6, 4, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=4)
+    base = dict(ndim=4, iterations_fista=10, iterations_unacc=0,
+                backend=Backend.PALLAS, stopping_relative_change=1e6)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True))
+    assert int(got["iterations_run"]) == int(want["iterations_run"]) == 1
+    assert bool(got["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+
+
+def test_stop_aware_sharded_pairs():
+    """Stop-aware pairing on an axis-0 mesh: same stop iteration and
+    ulp-level recon agreement with the unsharded unpaired run."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (16, 8, 6, 16)
+    orig, li, lm, base, stopping = _stop_case(shape, (14, 0), 5, 9)
+    opts = SolverOptions(**base, stopping_relative_change=stopping)
+    want = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping, temporal_pairs=False))
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(4, 1, 1, 1))
+    assert int(want["iterations_run"]) == int(got["iterations_run"])
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(want["recon"]),
+                               rtol=5e-7, atol=1e-7)
 
 
 def test_pair_plan_row_floor():

@@ -86,13 +86,20 @@ b1 = z["b4"].copy(); b2 = z["d4"].copy()
 n = halfisotropic.iso_accumulator_update_4D(z["a4"].copy(), b1, b2, 2, 3, 0.2)
 out["iso_b1"] = b1; out["iso_b2"] = b2; out["iso_n"] = np.float64(n)
 
-# recon updates (periodic + JZ)
-for bc in (0, 2):
+# recon updates (periodic + JZ + the known-buggy mirror branch, recorded
+# to confirm the SURVEY §8.2 defect registry against the real binary)
+for bc in (0, 1, 2):
     rec = z["rec3"].copy()
     d = utils.datacube_update_3D(z["a3"].copy(), rec, z["b3"].copy(),
                                  z["c3"].copy(), z["e3"].copy(),
                                  z["w3"].copy(), BC_mode=bc)
     out[f"rec3_bc{bc}"] = rec; out[f"rec3d_bc{bc}"] = np.float64(d)
+
+rec4 = z["rec4"].copy()
+d4m = utils.datacube_update_4D(z["a4"].copy(), rec4, z["b4"].copy(),
+                               z["d4"].copy(), z["rb3"].copy(),
+                               z["rb4"].copy(), z["w4"].copy(), BC_mode=1)
+out["rec4_bc1"] = rec4; out["rec4d_bc1"] = np.float64(d4m)
 
 out["sse"] = np.float64(utils.sum_square_error_3D(z["a3"].copy(),
                                                   z["rec3"].copy()))
@@ -249,6 +256,10 @@ def main():
         "a4": rng.standard_normal((4, 5, 6, 7)).astype(np.float32),
         "b4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
         "d4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
+        "rb3": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
+        "rb4": (rng.standard_normal((4, 5, 6, 7)) * 0.1).astype(np.float32),
+        "rec4": rng.standard_normal((4, 5, 6, 7)).astype(np.float32),
+        "w4": np.full(4, 1 / 32, np.float32),
         "cube": (rng.standard_normal((8, 8, 12, 12)) * 0.4 + 1.5
                  ).astype(np.float32),
         "cube3": (rng.standard_normal((16, 16, 64)) * 0.4 + 1.5
@@ -310,6 +321,105 @@ def main():
         report["kernel_parity"][f"recon_bc{bc}_rel_l2"] = rel(
             ours, ref[f"rec3_bc{bc}"])
 
+    # ---- SURVEY §8.2 defect confirmations against the real binary ----
+    # The reference's mirror (BC 1) reconstruction updates are buggy; this
+    # package implements mirror correctly and documents the deviation
+    # (config.py::BCMode). Confirm each defect by (a) bit-matching a numpy
+    # emulation of the bug to the binary on the in-bounds region, and
+    # (b) measuring the binary's deviation from the *correct* mirror.
+    def _mirror4_defect_emulation(orig, bs, w):
+        # reference utils.pyx:117-120: neighbor index = max(i+1, N-1) —
+        # the clamp goes the wrong way, so every in-bounds read hits the
+        # LAST element along the axis; i = N-1 reads out of bounds
+        # (boundscheck off), so the last hyperslab per axis is excluded
+        # from the comparison region.
+        acc = np.zeros_like(orig)
+        for k, b in enumerate(bs):
+            last = np.take(b, [b.shape[k] - 1], axis=k)
+            acc = acc + np.float32(w[k]) * (b - last)
+        return orig - acc
+
+    em4 = _mirror4_defect_emulation(
+        inputs["a4"],
+        [inputs["b4"], inputs["d4"], inputs["rb3"], inputs["rb4"]],
+        inputs["w4"])
+    interior4 = tuple(slice(0, n - 1) for n in inputs["a4"].shape)
+    got4 = ref["rec4_bc1"]
+    correct4, _ = golden.datacube_update(
+        inputs["a4"], inputs["rec4"],
+        [inputs["b4"], inputs["d4"], inputs["rb3"], inputs["rb4"]],
+        inputs["w4"], 1)
+    report["defect_confirmations"]["mirror_4d_recon_max_clamp"] = {
+        "reference_loc": "utils.pyx:117-120",
+        "binary_matches_defect_emulation_interior_max_abs": float(
+            np.max(np.abs(got4[interior4] - em4[interior4]))),
+        # interior-only: trailing hyperslabs hold OOB reads (boundscheck
+        # off) and are not deterministic run-to-run
+        "binary_vs_correct_mirror_interior_rel_l2": rel(
+            got4[interior4], correct4[interior4]),
+        "confirmed": bool(
+            np.max(np.abs(got4[interior4] - em4[interior4])) == 0.0
+            and rel(got4[interior4], correct4[interior4]) > 1e-3),
+    }
+
+    def _mirror3_defect_emulation(orig, bs, w):
+        # Two stacked defects. (1) utils.pyx:192-194: ALL three axes
+        # index with max(i+1, MBCend[ax]) where i is the AXIS-0 index
+        # (copy-paste). (2) In the SHIPPED generated C (utils.c:7754,
+        # verified by bit-matching the built binary), `MBCend = shape`
+        # compiles to `memcpy(MBCend, shape, sizeof(int)*3)` with shape
+        # declared Py_ssize_t[3] — the 12-byte copy of a 24-byte array
+        # truncates to [N0, 0, N1], so after the -1 loop MBCend is
+        # [N0-1, -1, N1-1]: axis-1's neighbor is an unclamped i+1 and
+        # axis-2's clamp uses N1-1. i = N0-1 reads out of bounds on
+        # axis 0; rows i <= N0-2 are deterministic and emulated here.
+        N0, N1, _ = orig.shape
+        out = np.empty_like(orig)
+        for i in range(N0 - 1):
+            n0 = max(i + 1, N0 - 1)
+            n1 = max(i + 1, -1)
+            n2 = max(i + 1, N1 - 1)
+            out[i] = orig[i] - (
+                np.float32(w[0]) * (bs[0][i] - bs[0][n0])
+                + np.float32(w[1]) * (bs[1][i] - bs[1][i, n1:n1 + 1, :])
+                + np.float32(w[2]) * (bs[2][i] - bs[2][i, :, n2:n2 + 1])
+            )
+        out[N0 - 1] = orig[N0 - 1]  # OOB row, excluded from comparison
+        return out
+
+    em3 = _mirror3_defect_emulation(
+        inputs["a3"],
+        [inputs["b3"], inputs["c3"], inputs["e3"]], inputs["w3"])
+    got3 = ref["rec3_bc1"]
+    n0 = inputs["a3"].shape[0]
+    correct3, _ = golden.datacube_update(
+        inputs["a3"], inputs["rec3"],
+        [inputs["b3"], inputs["c3"], inputs["e3"]], inputs["w3"], 1)
+    report["defect_confirmations"]["mirror_3d_recon_axis_copy_paste"] = {
+        "reference_loc": "utils.pyx:192-194 + utils.c:7754 (int vs "
+                         "Py_ssize_t memcpy truncation: MBCend = "
+                         "[N0-1, -1, N1-1] in the shipped binary)",
+        "binary_matches_defect_emulation_interior_max_abs": float(
+            np.max(np.abs(got3[: n0 - 1] - em3[: n0 - 1]))),
+        # interior-only: the binary's last row holds OOB heap reads and
+        # is not deterministic run-to-run
+        "binary_vs_correct_mirror_interior_rel_l2": rel(
+            got3[: n0 - 1], correct3[: n0 - 1]),
+        "confirmed": bool(
+            np.max(np.abs(got3[: n0 - 1] - em3[: n0 - 1])) == 0.0
+            and rel(got3[: n0 - 1], correct3[: n0 - 1]) > 1e-3),
+    }
+
+    # utils.pyx:197: the 3D mirror branch accumulates
+    # recon_norm += fabs(recon_norm) — a self-referencing sum that stays
+    # identically zero, so the returned delta is delta/0 = inf.
+    d3m = float(ref["rec3d_bc1"])
+    report["defect_confirmations"]["mirror_3d_delta_norm_feedback"] = {
+        "reference_loc": "utils.pyx:197",
+        "binary_returned_delta": repr(d3m),
+        "confirmed": bool(not np.isfinite(d3m)),
+    }
+
     # full-loop parity: reference composed loops vs our drivers
     from cytvdn_tpu import denoise3D, denoise4D
     mu = np.full(4, 1.0, np.float32)
@@ -352,6 +462,8 @@ def main():
         # every kernel-level metric gates, not just the accumulators —
         # a regression in the iso or periodic-recon kernels must fail
         and all(v < tol for v in report["kernel_parity"].values())
+        and all(d["confirmed"]
+                for d in report["defect_confirmations"].values())
     )
     path = os.path.join(REPO, "REFERENCE_PARITY.json")
     with open(path, "w") as f:
