@@ -16,12 +16,15 @@ in a persistent VMEM window:
   flushes them once, at the end) — per-iteration HBM traffic is O(1/T);
 - per-iteration traces land in ``(T, 1)`` outputs indexed by ``t``.
 
-Scope: float32, Jia-Zhao, anisotropic, fresh runs (state initialized
+Scope: float32, Jia-Zhao, anisotropic; fresh runs (state initialized
 in-kernel at ``t == 0``: recon ← orig, accumulators ← 0 — the reference's
-init, cyTVDN/cyTVDN.py:131-145). Hybrid schedules run in FISTA mode with
-``rho = 0`` for the unaccelerated phase — ``b = c + 0·(c − d) = c`` is the
-unaccelerated update exactly. Early stop / MSE / resume stay on the
-streaming paths (``solver.engine`` gates).
+init, cyTVDN/cyTVDN.py:131-145) and resumed runs (state enters through
+HBM via ``pltpu.ANY`` + DMA, costing no VMEM windows — used by the
+engine's stop-aware resident chunks). Hybrid schedules run in FISTA mode
+with ``rho = 0`` for the unaccelerated phase — ``b = c + 0·(c − d) = c``
+is the unaccelerated update exactly. MSE stays on the streaming paths;
+early stopping rides chunks + the predictive guard
+(``solver.engine._run_phase_resident``).
 
 Reference baseline: the 3D driver loop, cyTVDN/cyTVDN.py:368-430.
 """
@@ -107,12 +110,21 @@ def resident_supported(shape, dtype, bc, fista: bool, n_iters: int = 0,
 
 
 def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
-                          fista: bool):
+                          fista: bool, with_state: bool = False,
+                          state_any: bool = False):
     """Kernel body for ``grid=(T,)``.
 
     Per-axis difference semantics are exactly the fused kernel's in-block
     path (Jia-Zhao: backward edge difference zero; forward edge wraps to
     the identically-zero leading slab — the invariant of SURVEY.md §8.1).
+
+    ``with_state``: resume from caller-provided ``(recon, accs[, ds])``
+    instead of the fresh init. ``state_any`` keeps those inputs in HBM
+    (``pltpu.ANY``) and DMAs them into the resident output windows at
+    ``t == 0`` — the state then costs NO extra VMEM windows (an in+out
+    VMEM pair per array would double the working set and halve the
+    kernel's capacity). Interpret mode has no VMEM and no DMA engine:
+    it passes the state as plain windows instead.
     """
 
     def kernel(*refs):
@@ -120,27 +132,42 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
         scal = next(it)                         # SMEM (1, 2n)
         rho_ref = next(it)                      # SMEM (1, T), whole
         orig = next(it)                         # whole array, constant
+        n_state_in = (1 + (2 if fista else 1) * n_ax) if with_state else 0
+        state_ins = [next(it) for _ in range(n_state_in)]
         recon = next(it)                        # OUTPUT window (resident)
         b_outs = [next(it) for _ in range(n_ax)]
         d_outs = [next(it) for _ in range(n_ax)] if fista else None
         bnorm_out = next(it)                    # VMEM (T, 1), whole
         dnum_out = next(it)
         dden_out = next(it)
+        sem = next(it) if (with_state and state_any) else None
 
         t = pl.program_id(0)
         lam_inv = [scal[0, k] for k in range(n_ax)]
         lam_mu = [scal[0, n_ax + k] for k in range(n_ax)]
         rho = rho_ref[0, t] if fista else None
 
-        # fresh-run init (reference cyTVDN.py:131-145): recon = copy of
-        # the input, accumulators and shadow duals = 0
+        state_outs = [recon] + b_outs + (d_outs if fista else [])
+
+        # t == 0: load the initial state into the resident windows —
+        # fresh init (reference cyTVDN.py:131-145: recon = copy of the
+        # input, accumulators/duals = 0) or the caller's state
         @pl.when(t == 0)
         def _():
-            recon[...] = orig[...]
-            for k in range(n_ax):
-                b_outs[k][...] = jnp.zeros_like(b_outs[k])
-                if fista:
-                    d_outs[k][...] = jnp.zeros_like(d_outs[k])
+            if not with_state:
+                recon[...] = orig[...]
+                for k in range(n_ax):
+                    b_outs[k][...] = jnp.zeros_like(b_outs[k])
+                    if fista:
+                        d_outs[k][...] = jnp.zeros_like(d_outs[k])
+            elif state_any:
+                for src, dst in zip(state_ins, state_outs):
+                    cp = pltpu.make_async_copy(src, dst, sem)
+                    cp.start()
+                    cp.wait()
+            else:
+                for src, dst in zip(state_ins, state_outs):
+                    dst[...] = src[...]
 
         a = recon[...]
 
@@ -199,12 +226,18 @@ def resident_solve(
     n_iters: int,
     fista: bool,
     interpret: bool = False,
+    state=None,
 ):
-    """Run ``n_iters`` fresh-start TV iterations entirely in VMEM.
+    """Run ``n_iters`` TV iterations entirely in VMEM.
 
     ``rhos`` is the per-iteration FISTA momentum schedule (length
     ``n_iters``; pass zeros for unaccelerated phases — with ``rho = 0``
     the FISTA update reduces to the plain one exactly).
+
+    ``state`` (optional) is ``(recon, accs, ds)`` to resume from; None
+    starts fresh (recon=orig, accs/ds=0). On the compiled path the state
+    enters through HBM (``pltpu.ANY``) and is DMA'd into the resident
+    windows at the first grid step, costing no extra VMEM.
 
     Returns ``(recon, accs, ds, b_norm, dnum, dden)`` — the traces are
     length-``n_iters`` float32 vectors (deterministic whole-array
@@ -220,6 +253,8 @@ def resident_solve(
             f"resident kernel does not support shape {in_shape}")
     work, flat = plan
     work_ndim = len(work)
+    with_state = state is not None
+    state_any = with_state and not interpret
 
     orig_w = orig.reshape(work)
     n_scal = 2 * ndim
@@ -244,16 +279,36 @@ def resident_solve(
 
     dt = orig.dtype
     n_state = 1 + (2 if fista else 1) * ndim
+    aliases = {}
+    if with_state:
+        recon0, accs0, ds0 = state
+        sins = [recon0.reshape(work)]
+        sins += [a.reshape(work) for a in accs0]
+        if fista:
+            sins += [d.reshape(work) for d in ds0]
+        assert len(sins) == n_state
+        base = len(inputs)
+        spec = (pl.BlockSpec(memory_space=pltpu.ANY) if state_any
+                else whole)
+        in_specs += [spec] * n_state
+        inputs += sins
+        for k in range(n_state):
+            aliases[base + k] = k
     out_specs = [whole] * n_state + [trace_spec] * 3
     out_shape = [jax.ShapeDtypeStruct(work, dt)] * n_state
     out_shape += [jax.ShapeDtypeStruct((n_iters, 1), jnp.float32)] * 3
 
+    scratch = [pltpu.SemaphoreType.DMA] if state_any else []
+
     outs = pl.pallas_call(
-        _make_resident_kernel(ndim, work_ndim, flat, fista),
+        _make_resident_kernel(ndim, work_ndim, flat, fista,
+                              with_state=with_state, state_any=state_any),
         grid=(n_iters,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_RESIDENT_VMEM_CAP

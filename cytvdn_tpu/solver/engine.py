@@ -474,10 +474,12 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     halo = False
     if comm is not None and not isinstance(comm, NullComm):
         split = set(getattr(comm, "split_axes", ()))
-        if split not in (set(), {0}, {1}):
-            return False  # Q splits / 2D grids run the K=1 sharded path
+        if split not in (set(), {0}, {1}, {0, 1}):
+            return False  # Q splits run the K=1 sharded path
         if split == {1} and shape[1] < 2:
             return False  # the left/right seam recomputes need 2 columns
+        if split == {0, 1} and shape[1] < 4:
+            return False  # the 2D-grid seam-repair strips need 4 columns
         halo = bool(split)
     if opts.calculate_mse:
         return False
@@ -493,7 +495,7 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo):
         return False
     halo1 = halo and comm is not None \
-        and 1 in getattr(comm, "split_axes", ())
+        and set(getattr(comm, "split_axes", ())) == {1}
     if halo and jax.default_backend() == "tpu" \
             and not pair_hbm_viable(shape, halo1=halo1):
         # pod-scale shards: VMEM forces small strips, and the band
@@ -538,6 +540,122 @@ def _resolve_resident(opts: SolverOptions, shape, dtype,
     if opts.backend == Backend.PALLAS:
         return True, not on_tpu
     return on_tpu, False  # AUTO
+
+
+#: iterations per resident chunk in stop-aware runs — large enough to
+#: amortize launch cost, small enough that the predictive guard's 2-chunk
+#: lookahead stays sharp
+_RESIDENT_CHUNK = 16
+
+
+def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
+                             comm) -> Tuple[bool, bool]:
+    """Resident-kernel chunking for runs WITH ``stopping_relative_change``:
+    advance ``_RESIDENT_CHUNK`` iterations per launch (state resumed
+    through HBM) while a predictive guard says the threshold cannot be
+    crossed, then hand off to pairs/K=1 for the exact stop. Same gates as
+    :func:`_resolve_resident` except stopping is the point."""
+    from cytvdn_tpu.config import BCMode
+
+    if not opts.vmem_resident \
+            or opts.stopping_relative_change is None:
+        return False, False
+    if opts.total_iterations < _RESIDENT_CHUNK:
+        # the loop body traces unconditionally: its chunk-wide trace
+        # writes need trace arrays at least one chunk long (and shorter
+        # runs have nothing to gain from chunking anyway)
+        return False, False
+    if opts.backend in (Backend.JAX, Backend.CPP):
+        return False, False
+    if comm is not None and not isinstance(comm, NullComm):
+        return False, False
+    if opts.calculate_mse or opts.fista_restart \
+            or opts.isotropic_R or opts.isotropic_Q:
+        return False, False
+    if opts.bc_mode != BCMode.JIA_ZHAO:
+        return False, False
+    from cytvdn_tpu.kernels.resident import resident_supported
+
+    if not resident_supported(shape, dtype, opts.bc_mode,
+                              fista=opts.iterations_fista > 0,
+                              n_iters=_RESIDENT_CHUNK):
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if opts.backend == Backend.PALLAS:
+        return True, not on_tpu
+    return on_tpu, False  # AUTO
+
+
+def _run_phase_resident(
+    fista: bool,
+    i_bound,
+    carry: _PhaseCarry,
+    orig: Array,
+    tk_ratios: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    interpret: bool,
+    i_stop,
+) -> _PhaseCarry:
+    """Advance a stop-aware phase ``_RESIDENT_CHUNK`` iterations at a
+    time through the VMEM-resident kernel.
+
+    The loop continues only while the predictive guard (the paired
+    loop's ``d1·r^k`` extrapolation, here with ``k = 2·chunk`` — the
+    worst case modeled is the decay rate doubling for two full chunks)
+    says the threshold cannot be crossed inside the next chunk; the
+    pairs/K=1 phases after it perform the exact approach and stop. If
+    delta nevertheless collapses mid-chunk, ``done`` latches with the
+    full chunk's iterations honestly recorded in the traces."""
+    from cytvdn_tpu.kernels.resident import resident_solve
+
+    T = _RESIDENT_CHUNK
+    stopping = opts.stopping_relative_change
+    bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
+                        jnp.asarray(i_stop, jnp.int32))
+    if fista:
+        rhos_full = jnp.concatenate(
+            [tk_ratios.astype(jnp.float32), jnp.zeros((T,), jnp.float32)])
+
+    def cond(c: _PhaseCarry):
+        ok = jnp.logical_and(c.i + T <= bound, jnp.logical_not(c.done))
+        d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
+        d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
+        have = jnp.logical_and(c.i >= 2,
+                               jnp.logical_and(d1 > 0, d2 > 0))
+        r = jnp.clip(d1 / jnp.where(d2 > 0, d2, jnp.float32(1.0)),
+                     0.0, 1.0)
+        pred = d1 * r ** (2 * T)
+        return jnp.logical_and(
+            ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
+
+    def body(c: _PhaseCarry):
+        rhos = (lax.dynamic_slice(rhos_full, (c.i,), (T,)) if fista
+                else jnp.zeros((T,), jnp.float32))
+        ds = tuple(c.ds) if fista else None
+        recon, accs, ds_n, bn, dnum, dden = resident_solve(
+            orig, rhos, lambda_inv, lam_mu, n_iters=T, fista=fista,
+            interpret=interpret, state=(c.recon, tuple(c.accs), ds),
+        )
+        deltas = (dnum / dden).astype(c.delta.dtype)
+        b_norm = lax.dynamic_update_slice(
+            c.b_norm, bn.astype(c.b_norm.dtype), (c.i,))
+        delta_tr = lax.dynamic_update_slice(c.delta, deltas, (c.i,))
+        done = jnp.any(deltas < stopping)
+        return _PhaseCarry(
+            i=c.i + T,
+            done=done,
+            recon=recon,
+            accs=accs,
+            ds=ds_n if fista else c.ds,
+            b_norm=b_norm,
+            delta=delta_tr,
+            mse=c.mse,
+            tk=c.tk,
+        )
+
+    return lax.while_loop(cond, body, carry)
 
 
 def _run_phase_paired(
@@ -611,9 +729,12 @@ def _run_phase_paired(
             ds = None
         halos0 = f0 = l0 = None
         halos1 = f1 = l1 = None
+        grid2d = sharded and {0, 1} <= set(comm.split_axes)
         # both halo sets ride ONE packed ppermute per direction — the
-        # per-slab formulation would issue ~20 collectives per pair step
-        if sharded and 1 in comm.split_axes:
+        # per-slab formulation would issue ~20 collectives per pair step.
+        # 2D grids take the axis-0 halo path; the kernel's JZ axis-1
+        # edges are then repaired post-hoc (parallel/pairfix.py).
+        if sharded and 1 in comm.split_axes and not grid2d:
             from cytvdn_tpu.ops.stencil import _slab as slab
 
             nd = opts.ndim
@@ -689,6 +810,14 @@ def _run_phase_paired(
                 halos0=halos0, first0=f0, last0=l0,
                 halos1=halos1, first1=f1, last1=l1,
             )
+        if grid2d:
+            from cytvdn_tpu.parallel.pairfix import repair_axis1_seams
+
+            recon2, accs2, ds2, \
+                (bn1, dn1, dd1, bn2, dn2, dd2) = repair_axis1_seams(
+                    comm, orig, c.recon, c.accs, ds, recon2, accs2, ds2,
+                    rho1, rho2, lambda_inv, lam_mu,
+                    (bn1, dn1, dd1, bn2, dn2, dd2))
         if sharded:
             bn1, bn2 = comm.allsum(bn1), comm.allsum(bn2)
             dn1 = comm.allsum(dn1) / comm.allsum(dd1)
@@ -945,15 +1074,23 @@ def run_solver(
         _, t_interpret = _resolve_fused(opts, orig.shape, dtype, comm)
 
     i_stop2 = jnp.asarray(i_stop, jnp.int32)
-    stop_aware = temporal_ok and opts.stopping_relative_change is not None
+    rc_ok, rc_interpret = _resolve_resident_chunks(
+        opts, orig.shape, dtype, comm)
+    stop_aware = (temporal_ok or rc_ok) \
+        and opts.stopping_relative_change is not None
     if n_f:
+        if stop_aware:
+            carry = _run_phase(
+                True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
+                opts, comm, reference_data,
+                _paired_history_stop(carry, i_stop),
+            )
+        if rc_ok:
+            carry = _run_phase_resident(
+                True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
+                opts, rc_interpret, i_stop,
+            )
         if temporal_ok:
-            if stop_aware:
-                carry = _run_phase(
-                    True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                    opts, comm, reference_data,
-                    _paired_history_stop(carry, i_stop),
-                )
             carry = _run_phase_paired(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop, comm,
@@ -984,13 +1121,18 @@ def run_solver(
         if not keep_state:
             carry = carry._replace(ds=())
     if n_u:
+        if stop_aware:
+            carry = _run_phase(
+                False, n_total, carry, orig, tk_ratios, lambda_inv,
+                lam_mu, opts, comm, reference_data,
+                _paired_history_stop(carry, i_stop2),
+            )
+        if rc_ok:
+            carry = _run_phase_resident(
+                False, n_total, carry, orig, tk_ratios, lambda_inv,
+                lam_mu, opts, rc_interpret, i_stop2,
+            )
         if temporal_ok:
-            if stop_aware:
-                carry = _run_phase(
-                    False, n_total, carry, orig, tk_ratios, lambda_inv,
-                    lam_mu, opts, comm, reference_data,
-                    _paired_history_stop(carry, i_stop2),
-                )
             carry = _run_phase_paired(
                 False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop2, comm,

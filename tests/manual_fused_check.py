@@ -166,13 +166,17 @@ def check_pair(shape, iters_f, iters_u, stopping=None):
     return ok, err_r, err_t, int(outs[True]["iterations_run"])
 
 
-def check_resident(shape, iters_f, iters_u):
-    """VMEM-resident whole-run kernel vs the streaming engine path,
-    compiled on the same device: recon must agree bit-for-bit."""
+def check_resident(shape, iters_f, iters_u, stopping=None):
+    """VMEM-resident paths vs the plain streaming engine path, compiled
+    on the same device: recon must agree bit-for-bit. With ``stopping``
+    this exercises the full stop-aware ladder (resident chunks with the
+    HBM-DMA state path → pairs → exact K=1 stop), which must stop at the
+    identical iteration."""
     import jax
 
     from cytvdn_tpu.config import SolverOptions
-    from cytvdn_tpu.solver.engine import _resolve_resident, run_solver
+    from cytvdn_tpu.solver.engine import _resolve_resident, \
+        _resolve_resident_chunks, run_solver
 
     ndim = len(shape)
     cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
@@ -183,9 +187,13 @@ def check_resident(shape, iters_f, iters_u):
     outs = {}
     for res in (False, True):
         opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
-                             iterations_unacc=iters_u, vmem_resident=res)
+                             iterations_unacc=iters_u, vmem_resident=res,
+                             stopping_relative_change=stopping,
+                             temporal_pairs=res)
         if res:
-            assert _resolve_resident(opts, shape, jnp.float32, None)[0], \
+            resolve = (_resolve_resident_chunks if stopping is not None
+                       else _resolve_resident)
+            assert resolve(opts, shape, jnp.float32, None)[0], \
                 "resident gate must accept this config"
         fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
         outs[res] = {k: np.asarray(v) for k, v in
@@ -193,10 +201,15 @@ def check_resident(shape, iters_f, iters_u):
     err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
     bn_a, bn_b = outs[True]["b_norm"], outs[False]["b_norm"]
     err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
-    ok = err_r == 0.0 and err_t < 1e-5
+    same_stop = (int(outs[True]["iterations_run"])
+                 == int(outs[False]["iterations_run"]))
+    ok = err_r == 0.0 and err_t < 1e-5 and same_stop
     print(f"{'OK ' if ok else 'FAIL'} resident-vs-streaming {shape} "
-          f"iters=({iters_f},{iters_u}): recon max {err_r:.2e} "
-          f"bnorm rel {err_t:.2e}", flush=True)
+          f"iters=({iters_f},{iters_u}) stop={stopping}: recon max "
+          f"{err_r:.2e} bnorm rel {err_t:.2e} iters_run "
+          f"{int(outs[True]['iterations_run'])}"
+          f"{'==' if same_stop else '!='}"
+          f"{int(outs[False]['iterations_run'])}", flush=True)
     return ok, err_r, err_t
 
 
@@ -261,16 +274,19 @@ if __name__ == "__main__":
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
             })
         # compiled VMEM-resident whole-run kernel vs the streaming path
-        # (incl. the BASELINE cfg1 shape — its raison d'être)
-        for shape, itf, itu in [
-            ((64, 64, 512), 0, 8),
-            ((64, 64, 512), 8, 0),
-            ((16, 16, 24, 24), 4, 3),
+        # (incl. the BASELINE cfg1 shape — its raison d'être), plus the
+        # stop-aware resident-chunk ladder (HBM-DMA state path)
+        for shape, itf, itu, stop in [
+            ((64, 64, 512), 0, 8, None),
+            ((64, 64, 512), 8, 0, None),
+            ((16, 16, 24, 24), 4, 3, None),
+            ((64, 64, 512), 0, 120, 1e-3),
         ]:
-            good, er, et = check_resident(shape, itf, itu)
+            good, er, et = check_resident(shape, itf, itu, stop)
             ok &= good
             results["resident_vs_streaming"].append({
                 "shape": list(shape), "iters": [itf, itu],
+                "stopping": stop,
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
             })
         results["all_ok"] = bool(ok)

@@ -74,6 +74,62 @@ def test_resident_keep_state_matches():
                                       np.asarray(want["ds"][k]))
 
 
+def test_resident_state_resume_matches():
+    """resident_solve with a state input must continue exactly where a
+    fresh run left off (split 8 = 5 + 3)."""
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=19)
+    rhos = np.linspace(0.0, 0.6, 8).astype(np.float32)
+    full = R.resident_solve(orig, jnp.asarray(rhos), li, lm,
+                            n_iters=8, fista=True, interpret=True)
+    a = R.resident_solve(orig, jnp.asarray(rhos[:5]), li, lm,
+                         n_iters=5, fista=True, interpret=True)
+    b = R.resident_solve(orig, jnp.asarray(rhos[5:]), li, lm,
+                         n_iters=3, fista=True, interpret=True,
+                         state=(a[0], a[1], a[2]))
+    np.testing.assert_array_equal(np.asarray(b[0]), np.asarray(full[0]))
+    for k in range(3):
+        np.testing.assert_array_equal(np.asarray(b[1][k]),
+                                      np.asarray(full[1][k]))
+    np.testing.assert_allclose(np.asarray(b[3]), np.asarray(full[3][5:]),
+                               rtol=1e-6)
+
+
+def _stop_case(shape, iters, seed, stop_at):
+    orig, li, lm = _state(shape, seed=seed)
+    base = dict(ndim=len(shape), iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS)
+    probe = run_solver(orig, li, lm,
+                       SolverOptions(**base, vmem_resident=False,
+                                     temporal_pairs=False))
+    d = np.asarray(probe["delta"])
+    assert d[stop_at] > 0 and d[stop_at] < d[stop_at - 1]
+    stopping = float(np.sqrt(d[stop_at] * min(d[stop_at - 1],
+                                              d[stop_at] * 4)))
+    return orig, li, lm, base, stopping
+
+
+@pytest.mark.parametrize("iters,stop_at", [((60, 0), 45), ((0, 60), 50)])
+def test_stop_aware_resident_chunks_match(iters, stop_at):
+    """Stop-aware runs ride resident chunks (guard) then pairs then K=1:
+    the stop iteration and recon must match the plain streaming run."""
+    shape = (8, 6, 64)
+    orig, li, lm, base, stopping = _stop_case(shape, iters, 23, stop_at)
+    want = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping,
+        vmem_resident=False, temporal_pairs=False))
+    opts = SolverOptions(**base, stopping_relative_change=stopping)
+    from cytvdn_tpu.solver.engine import _resolve_resident_chunks
+    assert _resolve_resident_chunks(opts, shape, jnp.float32, None)[0]
+    got = run_solver(orig, li, lm, opts)
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    assert bool(got["early_stopped"]) == bool(want["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-4)
+
+
 def test_resident_gates():
     """Configs the resident kernel cannot serve must resolve off."""
     ok = dict(ndim=3, iterations_fista=4, iterations_unacc=0,

@@ -153,6 +153,83 @@ def test_sharded_pairs_match_single_device(shard, shape, iters):
                                np.asarray(single["delta"]), rtol=2e-4)
 
 
+@pytest.mark.parametrize("shard,shape,iters", [
+    ((2, 2, 1, 1), (8, 8, 6, 16), (4, 0)),      # smallest 2D grid
+    ((2, 4, 1, 1), (8, 16, 6, 16), (5, 0)),     # odd count: pair + K=1
+    ((4, 2, 1, 1), (16, 8, 6, 16), (3, 2)),     # hybrid
+    ((2, 2, 1), (8, 8, 64), (0, 4)),            # 3D unaccelerated
+    ((2, 2, 1, 1), (8, 8, 6, 16), (0, 6)),      # 4D unaccelerated
+])
+def test_sharded_pairs_2d_grid(shard, shape, iters):
+    """2D device grids (axes 0 AND 1 split) through the pair kernel +
+    the axis-1 seam repair (parallel/pairfix.py) must equal the
+    single-device run to ulp tolerance."""
+    import jax.numpy as jnp
+    import cytvdn_tpu.solver.engine as E
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(shape)
+    orig, _, _, li, lm = _state(shape, True, seed=13)
+    opts = SolverOptions(ndim=ndim, iterations_fista=iters[0],
+                         iterations_unacc=iters[1],
+                         backend=Backend.PALLAS)
+    local = tuple(s // w for s, w in zip(shape, shard))
+    assert E._resolve_temporal(
+        opts, local, jnp.float32,
+        type("C", (), {"split_axes": (0, 1)})())
+
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=shard)
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(single["b_norm"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(single["delta"]), rtol=2e-4)
+
+
+def test_sharded_pairs_2d_grid_flat_fold(monkeypatch):
+    """2D grid on a 3D cube whose energy axis takes the flat fold — the
+    seam-repair strips must cross the fold (ops semantics) exactly."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 1500)  # force flat
+    shape = (8, 8, 256)
+    orig, _, _, li, lm = _state(shape, True, seed=15)
+    opts = SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(2, 2, 1))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+
+
+def test_sharded_pairs_2d_grid_with_strips(monkeypatch):
+    """2D grid AND in-shard axis-1 strips (the kernel's band machinery
+    interacting with the seam repair)."""
+    import cytvdn_tpu.kernels.temporal as TT
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(TT, "_PAIR_BLOCK_CAP", 16384)
+    shape = (8, 24, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=14)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=(2, 2, 1, 1))
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(single["recon"]),
+                               rtol=5e-7, atol=1e-7)
+
+
 def test_sharded_pairs_with_strip_seams(monkeypatch):
     """Axis-0 mesh AND in-shard axis-1 strips together (bands + colbufs +
     shard halos interacting)."""

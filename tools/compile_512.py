@@ -41,7 +41,7 @@ ITERS = 40  # the reference's Cori production iteration count
 
 
 def _compile_for(topology_name: str, n_dev: int, axis0_pairs: bool = False,
-                 shape=None):
+                 shape=None, grid2d_pairs: bool = False):
     import jax
     from jax.experimental import topologies
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -61,6 +61,17 @@ def _compile_for(topology_name: str, n_dev: int, axis0_pairs: bool = False,
         # pair-eligible runs: the K=2 temporal kernel runs on every chip
         # (2-row halo bands over ICI)
         grid = (n_dev, 1)
+        opts = SolverOptions(ndim=4, iterations_fista=ITERS,
+                             iterations_unacc=0)
+    elif grid2d_pairs:
+        # square 2D scan grid riding the pair kernel + the axis-1 seam
+        # repair (parallel/pairfix.py, round 3): the per-chip halo
+        # volume shrinks vs a degenerate n-way axis-0 split
+        import math
+
+        g = int(math.isqrt(n_dev))
+        assert g * g == n_dev
+        grid = (g, g)
         opts = SolverOptions(ndim=4, iterations_fista=ITERS,
                              iterations_unacc=0)
     else:
@@ -92,7 +103,9 @@ def _compile_for(topology_name: str, n_dev: int, axis0_pairs: bool = False,
         "shape": list(shape),
         "per_shard_shape": [s // w for s, w in zip(shape, shard)],
         "kernel": ("K=2 temporal pairs (axis-0 mesh)" if axis0_pairs
-                   else "K=1 fused (2D scan grid)"),
+                   else ("K=2 temporal pairs + axis-1 seam repair "
+                         "(2D scan grid)" if grid2d_pairs
+                         else "K=1 fused (2D scan grid)")),
         "lowered": True,
     }
     try:
@@ -125,6 +138,27 @@ def _compile_for(topology_name: str, n_dev: int, axis0_pairs: bool = False,
     return entry
 
 
+def _pair_2d_viability():
+    """Measured justification for which 2D-grid shard geometries ride
+    pairs: `pair_hbm_viable` math per candidate shard."""
+    from cytvdn_tpu.kernels.temporal import pair_hbm_viable, pair_plan
+
+    out = {}
+    for label, local in [
+        ("512^2x256^2 on v5e-64 (8x8)", (64, 64, 256, 256)),
+        ("512^2x256^2 on v5e-256 (16x16)", (32, 32, 256, 256)),
+        ("256^2x128^2 on v5e-64 (8x8)", (32, 32, 128, 128)),
+        ("256^2x128^2 on v5e-16 (4x4)", (64, 64, 128, 128)),
+    ]:
+        plan = pair_plan(local, 4, halo0=True)
+        out[label] = {
+            "per_shard": list(local),
+            "pair_b1_strip_cols": None if plan is None else plan[3],
+            "pair_hbm_viable": bool(pair_hbm_viable(local)),
+        }
+    return out
+
+
 def main() -> int:
     cube_bytes = int(np.prod(SHAPE)) * 4
     report = {
@@ -150,7 +184,19 @@ def main() -> int:
             # program above; pair_hbm_viable gates this automatically.)
             _compile_for("v5e:4x4", 16, axis0_pairs=True,
                          shape=(256, 256, 128, 128)),
+            # round 3: the same north-star on a v5e-64's 8x8 2D grid —
+            # the pair kernel with axis-0 halo bands plus the axis-1
+            # seam-repair strips (parallel/pairfix.py). A 64-way axis-0
+            # split would leave 4-row shards (50% band overhead); the
+            # 2D grid keeps (32,32,128,128) shards pair-viable. The
+            # 512^2 config itself stays K=1 at ANY grid: its 256-square
+            # tails force pair strips whose band gathers exceed HBM
+            # (pair_hbm_viable((64,64,256,256)) is False — measured
+            # VMEM/HBM physics, not a missing feature).
+            _compile_for("v5e:8x8", 64, grid2d_pairs=True,
+                         shape=(256, 256, 128, 128)),
         ],
+        "pair_2d_hbm_note": _pair_2d_viability(),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "COMPILE_512.json")
