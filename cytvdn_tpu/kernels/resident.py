@@ -44,9 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cytvdn_tpu.kernels.fused import (
     _plan,
     _shift_down_flat,
-    _shift_down_inblock,
     _shift_up_flat,
-    _shift_up_inblock,
 )
 
 Array = jax.Array
@@ -97,26 +95,40 @@ def resident_plan(shape: Tuple[int, ...], fista: bool, itemsize: int = 4,
 
 def resident_supported(shape, dtype, bc, fista: bool, n_iters: int = 0,
                        isotropic_R=False, isotropic_Q=False) -> bool:
-    """Whether the resident whole-run kernel covers this config."""
+    """Whether the resident whole-run kernel covers this config (all
+    three BC modes; a folded 3D energy axis is JZ-only, and mirror needs
+    2 elements per axis — the same envelope as the fused kernel)."""
     from cytvdn_tpu.config import BCMode
 
     if dtype != jnp.float32:
         return False
     if len(shape) not in (3, 4) or shape[0] < 2:
         return False
-    if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
+    if isotropic_R or isotropic_Q:
         return False
-    return resident_plan(tuple(shape), fista, n_iters=n_iters) is not None
+    plan = resident_plan(tuple(shape), fista, n_iters=n_iters)
+    if plan is None:
+        return False
+    if bc != BCMode.JIA_ZHAO:
+        if plan[1]:  # flat fold: periodic/mirror edges would need
+            return False  # cross-fold patches (same gate as the fused kernel)
+        if bc == BCMode.MIRROR and min(shape) < 2:
+            return False
+    return True
 
 
 def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
                           fista: bool, with_state: bool = False,
-                          state_any: bool = False):
+                          state_any: bool = False, bc: int = 2):
     """Kernel body for ``grid=(T,)``.
 
     Per-axis difference semantics are exactly the fused kernel's in-block
-    path (Jia-Zhao: backward edge difference zero; forward edge wraps to
-    the identically-zero leading slab — the invariant of SURVEY.md §8.1).
+    path per BC mode: Jia-Zhao — backward edge difference zero, forward
+    edge wraps to the identically-zero leading slab (the invariant of
+    SURVEY.md §8.1); periodic — index wraparound both ways; mirror —
+    backward edge reads the adjacent interior slab, forward edge reads
+    the own trailing slab (zero difference — the *corrected* mirror, cf.
+    reference defect utils.pyx:117-120).
 
     ``with_state``: resume from caller-provided ``(recon, accs[, ds])``
     instead of the fresh init. ``state_any`` keeps those inputs in HBM
@@ -171,10 +183,34 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
 
         a = recon[...]
 
-        # ---- dual updates (JZ backward differences, per axis) ----
+        def down(x, ax):
+            # backward-shift operand per BC (cf. kernels/fused.py down_in)
+            n = x.shape[ax]
+            if bc == 0:                       # periodic: global wrap
+                first = lax.slice_in_dim(x, n - 1, n, axis=ax)
+            elif bc == 1:                     # mirror: adjacent interior
+                first = lax.slice_in_dim(x, 1, 2, axis=ax)
+            else:                             # JZ: zero difference
+                first = lax.slice_in_dim(x, 0, 1, axis=ax)
+            body = lax.slice_in_dim(x, 0, n - 1, axis=ax)
+            return lax.concatenate([first, body], dimension=ax)
+
+        def up(x, ax):
+            # forward-shift operand: JZ/periodic wrap to the leading slab
+            # (exact under JZ by the zero-slab invariant); mirror reads
+            # the own trailing slab (zero difference, corrected mirror)
+            n = x.shape[ax]
+            if bc == 1:
+                last = lax.slice_in_dim(x, n - 1, n, axis=ax)
+            else:
+                last = lax.slice_in_dim(x, 0, 1, axis=ax)
+            body = lax.slice_in_dim(x, 1, n, axis=ax)
+            return lax.concatenate([body, last], dimension=ax)
+
+        # ---- dual updates (per-axis backward differences) ----
         diffs = []
         for ax in range(work_ndim if not flat else 2):
-            diffs.append(a - _shift_down_inblock(a, ax))
+            diffs.append(a - down(a, ax))
         if flat:
             diffs.append(a - _shift_down_flat(a))
 
@@ -192,10 +228,10 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
             b_new.append(bk)
             bnorm = bnorm + jnp.sum(jnp.abs(bk))
 
-        # ---- reconstruction update (JZ forward differences) ----
+        # ---- reconstruction update (per-axis forward differences) ----
         fwds = []
         for ax in range(work_ndim if not flat else 2):
-            fwds.append(_shift_up_inblock(b_new[ax], ax))
+            fwds.append(up(b_new[ax], ax))
         if flat:
             fwds.append(_shift_up_flat(b_new[n_ax - 1]))
         div = jnp.zeros_like(a)
@@ -217,7 +253,8 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_iters", "fista", "interpret"))
+                   static_argnames=("n_iters", "fista", "interpret",
+                                    "bc"))
 def resident_solve(
     orig: Array,
     rhos: Array,
@@ -227,6 +264,7 @@ def resident_solve(
     fista: bool,
     interpret: bool = False,
     state=None,
+    bc: int = 2,
 ):
     """Run ``n_iters`` TV iterations entirely in VMEM.
 
@@ -302,7 +340,8 @@ def resident_solve(
 
     outs = pl.pallas_call(
         _make_resident_kernel(ndim, work_ndim, flat, fista,
-                              with_state=with_state, state_any=state_any),
+                              with_state=with_state, state_any=state_any,
+                              bc=int(bc)),
         grid=(n_iters,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -516,8 +516,6 @@ def _resolve_resident(opts: SolverOptions, shape, dtype,
     the ~10 µs/step grid floor. Fresh single-device Jia-Zhao anisotropic
     float32 runs without early stop / MSE / adaptive restart only; the
     caller additionally requires a fresh state and an uncapped i_stop."""
-    from cytvdn_tpu.config import BCMode
-
     if not opts.vmem_resident:
         return False, False
     if opts.backend in (Backend.JAX, Backend.CPP):
@@ -527,8 +525,6 @@ def _resolve_resident(opts: SolverOptions, shape, dtype,
     if opts.stopping_relative_change is not None or opts.calculate_mse:
         return False, False
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
-        return False, False
-    if opts.bc_mode != BCMode.JIA_ZHAO:
         return False, False
     from cytvdn_tpu.kernels.resident import resident_supported
 
@@ -555,8 +551,6 @@ def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
     through HBM) while a predictive guard says the threshold cannot be
     crossed, then hand off to pairs/K=1 for the exact stop. Same gates as
     :func:`_resolve_resident` except stopping is the point."""
-    from cytvdn_tpu.config import BCMode
-
     if not opts.vmem_resident \
             or opts.stopping_relative_change is None:
         return False, False
@@ -571,8 +565,6 @@ def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
         return False, False
     if opts.calculate_mse or opts.fista_restart \
             or opts.isotropic_R or opts.isotropic_Q:
-        return False, False
-    if opts.bc_mode != BCMode.JIA_ZHAO:
         return False, False
     from cytvdn_tpu.kernels.resident import resident_supported
 
@@ -637,6 +629,7 @@ def _run_phase_resident(
         recon, accs, ds_n, bn, dnum, dden = resident_solve(
             orig, rhos, lambda_inv, lam_mu, n_iters=T, fista=fista,
             interpret=interpret, state=(c.recon, tuple(c.accs), ds),
+            bc=int(opts.bc_mode),
         )
         deltas = (dnum / dden).astype(c.delta.dtype)
         b_norm = lax.dynamic_update_slice(
@@ -1017,6 +1010,7 @@ def run_solver(
             recon_r, accs_r, ds_r, bn_r, dnum_r, dden_r = resident_solve(
                 orig, jnp.asarray(rhos, dtype), lambda_inv, lam_mu,
                 n_iters=n_total, fista=bool(n_f), interpret=r_interp,
+                bc=int(opts.bc_mode),
             )
             out = {
                 "recon": recon_r,

@@ -136,11 +136,21 @@ def test_resident_gates():
               backend=Backend.PALLAS)
     shape, dt = (8, 6, 64), jnp.float32
     assert _resolve_resident(SolverOptions(**ok), shape, dt, None)[0]
+    # periodic and (corrected) mirror are covered since round 3
+    for bc in (BCMode.PERIODIC, BCMode.MIRROR):
+        assert _resolve_resident(
+            SolverOptions(**{**ok, "bc_mode": bc}), shape, dt, None)[0]
+    # ... but not on the flat-folded 3D layout (cross-fold edges):
+    # (8, 8, 32768) exceeds the single-slab budget and folds E -> (256, 128)
+    assert R.resident_plan((8, 8, 32768), True)[1]  # folds
+    assert R.resident_supported((8, 8, 32768), jnp.float32,
+                                BCMode.JIA_ZHAO, fista=True)
+    assert not R.resident_supported((8, 8, 32768), jnp.float32,
+                                    BCMode.PERIODIC, fista=True)
     for bad in (
         dict(stopping_relative_change=0.01),
         dict(calculate_mse=True),
         dict(fista_restart=True),
-        dict(bc_mode=BCMode.PERIODIC),
         dict(vmem_resident=False),
         dict(backend=Backend.JAX),
     ):
@@ -155,6 +165,23 @@ def test_resident_gates():
     # the BASELINE cfg1 shape must be IN budget (the whole point)
     assert R.resident_supported((64, 64, 512), jnp.float32,
                                 BCMode.JIA_ZHAO, fista=False)
+
+
+@pytest.mark.parametrize("bc", [BCMode.PERIODIC, BCMode.MIRROR])
+@pytest.mark.parametrize("shape", [(8, 6, 64), (6, 4, 6, 16)])
+def test_resident_bc_modes(shape, bc):
+    """Periodic / corrected-mirror through the resident kernel must
+    match the streaming path bit-for-bit."""
+    orig, li, lm = _state(shape, seed=31)
+    base = dict(ndim=len(shape), iterations_fista=4, iterations_unacc=2,
+                backend=Backend.PALLAS, bc_mode=bc)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False))
+    got = run_solver(orig, li, lm, SolverOptions(**base))
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(want["b_norm"]), rtol=1e-5)
 
 
 def test_resident_vs_golden():
