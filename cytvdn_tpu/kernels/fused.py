@@ -286,7 +286,8 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                  fista: bool, b0: int, b1: int, has_seam: bool,
                  with_halo: bool, bc: int = 2,
                  iso_pairs: Tuple[Tuple[int, int], ...] = (),
-                 halo_inblock: Tuple[int, ...] = ()):
+                 halo_inblock: Tuple[int, ...] = (),
+                 halo_flat: bool = False):
     """Build the kernel body; operand order matches :func:`fused_iteration`.
 
     Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
@@ -357,6 +358,13 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 ha = next(it)
                 hd = next(it) if fista else None
                 h_in[ax] = (hp, hr, ha, hd)
+            if halo_flat:
+                # folded-energy-axis shard halos: single flat elements
+                # per (row, col) — (b0, b1, 1, 1) blocks
+                hf_prev = next(it)            # @ (ip, j)
+                hf_recon = next(it)           # @ (ip-1, j)
+                hf_acc = next(it)
+                hf_d = next(it) if fista else None
 
         recon_new = next(it)                  # block @ (ip-1, j)
         b_outs = [next(it) for _ in range(n_ax)]
@@ -460,7 +468,16 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             hp = h_in[ax][0] if (with_halo and ax in h_in) else None
             diffs.append(a - down_in(a, ax, hp))
         if flat:
-            diffs.append(a - _shift_down_flat(a))
+            sd = _shift_down_flat(a)
+            if with_halo and halo_flat:
+                # folded-axis shard seam: the global first element's
+                # backward operand is the -1 shard's last element (edge
+                # shards receive their own first element — zero diff, JZ)
+                e1i = lax.broadcasted_iota(jnp.int32, sd.shape, 2)
+                e2i = lax.broadcasted_iota(jnp.int32, sd.shape, 3)
+                sd = jnp.where(jnp.logical_and(e1i == 0, e2i == 0),
+                               hf_prev[...], sd)
+            diffs.append(a - sd)
 
         # dual projection: per-axis clip, or joint L2 for iso pairs
         deltas = [diffs[k] + accs[k][...] for k in range(n_ax)]
@@ -661,7 +678,25 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                     )
                 fwds.append(base)
             if flat:
-                fwds.append(_shift_up_flat(bp[n_ax - 1]))
+                su = _shift_up_flat(bp[n_ax - 1])
+                if with_halo and halo_flat:
+                    # global last element's forward operand: the +1
+                    # shard's first updated accumulator, recomputed from
+                    # its pre-update state (identical arithmetic — exact;
+                    # edge shards' halo values realize the JZ zero wrap)
+                    e1n, e2n = recon_old.shape[2], recon_old.shape[3]
+                    r_last = lax.slice_in_dim(
+                        lax.slice_in_dim(recon_old, e1n - 1, e1n, axis=2),
+                        e2n - 1, e2n, axis=3)
+                    nb = recompute_b(
+                        hf_recon[...] - r_last, hf_acc[...],
+                        hf_d[...] if fista else None, n_ax - 1)
+                    e1i = lax.broadcasted_iota(jnp.int32, su.shape, 2)
+                    e2i = lax.broadcasted_iota(jnp.int32, su.shape, 3)
+                    su = jnp.where(
+                        jnp.logical_and(e1i == e1n - 1, e2i == e2n - 1),
+                        nb, su)
+                fwds.append(su)
 
             div = jnp.zeros_like(recon_old)
             for k in range(n_ax):
@@ -744,10 +779,15 @@ def fused_iteration(
     if fista:
         ds = tuple(emb(x) for x in ds)
     halo_inblock = ()
+    halo_flat = False
     if with_halo:
         # halo slabs share the data layout except one axis is 1; embed by
-        # reshaping exactly like the data with that axis collapsed
+        # reshaping exactly like the data with that axis collapsed. A
+        # folded energy axis's slab (user axis 2, extent 1) collapses
+        # BOTH fold axes: (n0, n1, 1) → (n0, n1, 1, 1).
         def emb_slab(x, ax):
+            if flat and ax == 2:
+                return x.reshape(shape[:2] + (1, 1))
             s = list(shape)
             s[ax] = 1
             return x.reshape(tuple(s))
@@ -763,6 +803,7 @@ def fused_iteration(
         halo_inblock = tuple(sorted(
             ax for ax in inblock_axes if f"prev{ax}" in halos
         ))
+        halo_flat = flat and "prev2" in halos
 
     n0, n1 = shape[0], shape[1]
     g0, g1 = n0 // b0, n1 // b1
@@ -926,6 +967,22 @@ def fused_iteration(
             if fista:
                 in_specs += [sp_im1]
                 inputs += [halos[f"next{ax}_d"]]
+        if halo_flat:
+            # folded-energy-axis shard halos: (b0, b1, 1, 1) element slabs
+            fe_i = pl.BlockSpec(
+                (b0, b1, 1, 1),
+                lambda j, ip: (jnp.minimum(ip, g0 - 1), j, 0, 0),
+                memory_space=pltpu.VMEM)
+            fe_im1 = pl.BlockSpec(
+                (b0, b1, 1, 1),
+                lambda j, ip: (jnp.maximum(ip - 1, 0), j, 0, 0),
+                memory_space=pltpu.VMEM)
+            in_specs += [fe_i, fe_im1, fe_im1]
+            inputs += [halos["prev2"], halos["next2_recon"],
+                       halos["next2_acc"]]
+            if fista:
+                in_specs += [fe_im1]
+                inputs += [halos["next2_d"]]
 
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
@@ -950,7 +1007,7 @@ def fused_iteration(
     outs = pl.pallas_call(
         _make_kernel(ndim, inblock_axes, flat, fista, b0, b1, has_seam,
                      with_halo, bc=int(bc), iso_pairs=iso_pairs,
-                     halo_inblock=halo_inblock),
+                     halo_inblock=halo_inblock, halo_flat=halo_flat),
         grid=(g1, g0 + 1),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -165,19 +165,14 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
         split = set(getattr(comm, "split_axes", ()))
         if split:
             # sharded gates: an iso pair's axes must be unsplit (the
-            # pair's seam recompute would need corner operands); a folded
-            # 3D energy axis cannot take halos. Periodic shards via ring
-            # halos; mirror via edge-flagged halos (kernel scal row).
+            # pair's seam recompute would need corner operands). Folded
+            # 3D energy-axis splits ride flat-element halos since
+            # round 3. Periodic shards via ring halos; mirror via
+            # edge-flagged halos (kernel scal row).
             if opts.isotropic_R and split & {0, 1}:
                 return False, False
             if opts.isotropic_Q and split & {2, 3}:
                 return False, False
-            if len(shape) == 3 and 2 in split:
-                from cytvdn_tpu.kernels.fused import _plan
-
-                plan = _plan(tuple(shape), 4)
-                if plan is None or plan[2]:  # flat fold
-                    return False, False
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,

@@ -166,7 +166,7 @@ def check_pair(shape, iters_f, iters_u, stopping=None):
     return ok, err_r, err_t, int(outs[True]["iterations_run"])
 
 
-def check_resident(shape, iters_f, iters_u, stopping=None):
+def check_resident(shape, iters_f, iters_u, stopping=None, bc=2):
     """VMEM-resident paths vs the plain streaming engine path, compiled
     on the same device: recon must agree bit-for-bit. With ``stopping``
     this exercises the full stop-aware ladder (resident chunks with the
@@ -185,11 +185,12 @@ def check_resident(shape, iters_f, iters_u, stopping=None):
     li = jnp.asarray(1.0 / lam)
     lm = jnp.asarray(lam / mu)
     outs = {}
+    from cytvdn_tpu.config import BCMode
     for res in (False, True):
         opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
                              iterations_unacc=iters_u, vmem_resident=res,
                              stopping_relative_change=stopping,
-                             temporal_pairs=res)
+                             temporal_pairs=res, bc_mode=BCMode(bc))
         if res:
             resolve = (_resolve_resident_chunks if stopping is not None
                        else _resolve_resident)
@@ -276,17 +277,19 @@ if __name__ == "__main__":
         # compiled VMEM-resident whole-run kernel vs the streaming path
         # (incl. the BASELINE cfg1 shape — its raison d'être), plus the
         # stop-aware resident-chunk ladder (HBM-DMA state path)
-        for shape, itf, itu, stop in [
-            ((64, 64, 512), 0, 8, None),
-            ((64, 64, 512), 8, 0, None),
-            ((16, 16, 24, 24), 4, 3, None),
-            ((64, 64, 512), 0, 120, 1e-3),
+        for shape, itf, itu, stop, bc in [
+            ((64, 64, 512), 0, 8, None, 2),
+            ((64, 64, 512), 8, 0, None, 2),
+            ((16, 16, 24, 24), 4, 3, None, 2),
+            ((64, 64, 512), 0, 120, 1e-3, 2),
+            ((64, 64, 512), 6, 0, None, 0),     # periodic, resident
+            ((64, 64, 512), 6, 0, None, 1),     # corrected mirror
         ]:
-            good, er, et = check_resident(shape, itf, itu, stop)
+            good, er, et = check_resident(shape, itf, itu, stop, bc)
             ok &= good
             results["resident_vs_streaming"].append({
                 "shape": list(shape), "iters": [itf, itu],
-                "stopping": stop,
+                "stopping": stop, "bc": bc,
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
             })
         results["all_ok"] = bool(ok)

@@ -211,6 +211,43 @@ def test_sharded_pallas_q_axis_split():
                                rtol=2e-6, atol=2e-7)
 
 
+def test_sharded_pallas_flat_energy_split(monkeypatch):
+    """Folded-3D energy-axis sharding through the fused kernel (round 3:
+    flat-element halos patch the fold's global first/last elements) must
+    equal the single-device ops run."""
+    import jax.numpy as jnp
+    import cytvdn_tpu.kernels.fused as F
+    from cytvdn_tpu.config import Backend, SolverOptions
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import _resolve_fused, run_solver
+
+    monkeypatch.setattr(F, "_BLOCK_BYTES_TARGET", 1500)  # force the fold
+    cube3 = _cube((6, 8, 1024))
+    mu3 = np.full(3, 1.0, np.float32)
+    lam3 = mu3 / 16.0
+    li3 = (1.0 / lam3).astype(np.float32)
+    lm3 = (lam3 / mu3).astype(np.float32)
+    # the LOCAL shard shapes must themselves take the fold
+    assert F._plan((6, 8, 256), 4)[2] and F._plan((6, 8, 128), 4)[2]
+    b3 = SolverOptions(ndim=3, iterations_fista=3, iterations_unacc=2,
+                       backend=Backend.PALLAS)
+    comm = type("C", (), {"split_axes": (2,)})()
+    assert _resolve_fused(b3, (6, 8, 256), jnp.float32, comm)[0]
+    o3_jax = SolverOptions(ndim=3, iterations_fista=3, iterations_unacc=2,
+                           backend=Backend.JAX)
+    single3 = run_solver(jnp.asarray(cube3), jnp.asarray(li3),
+                         jnp.asarray(lm3), o3_jax)
+    for shard in [(1, 1, 4), (1, 1, 8), (2, 1, 2)]:
+        got3 = run_sharded(cube3, li3, lm3, b3, shard=shard)
+        np.testing.assert_allclose(np.asarray(got3["recon"]),
+                                   np.asarray(single3["recon"]),
+                                   rtol=2e-6, atol=2e-7,
+                                   err_msg=str(shard))
+        np.testing.assert_allclose(np.asarray(got3["b_norm"]),
+                                   np.asarray(single3["b_norm"]),
+                                   rtol=2e-4)
+
+
 def test_sharded_pallas_mirror_bc():
     """Sharded mirror BC on the fused kernel: interior shards read halo
     recomputes, the global trailing shard its own updated slab (selected

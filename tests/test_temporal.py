@@ -481,6 +481,44 @@ def test_pair_fuzz_sharded_single_axis(monkeypatch, seed):
         err_msg=f"{shape} shard={shard} cap={cap} iters=({n_f},{n_u})")
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_pair_fuzz_sharded_2d_grid(monkeypatch, seed):
+    """Randomized 2D device grids through the paired sharded path + seam
+    repair vs the single-device run (ulp tolerance)."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    rng = np.random.default_rng(4000 + seed)
+    w0 = int(rng.choice([2, 4]))
+    w1 = int(rng.choice([2, 4]))
+    while w0 * w1 > 8:
+        w1 = 2
+        w0 = int(rng.choice([2, 4]))
+    rows = w0 * int(rng.integers(4, 8))
+    cols = w1 * int(rng.integers(4, 7))
+    ndim = int(rng.choice([3, 4]))
+    if ndim == 4:
+        shape = (rows, cols, int(rng.integers(2, 8)),
+                 int(rng.integers(8, 18)))
+    else:
+        shape = (rows, cols, int(rng.integers(16, 128)))
+    if int(rng.choice([0, 1])):
+        monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", 16384)
+    n_f = int(rng.integers(1, 5))
+    n_u = int(rng.integers(0, 3))
+    orig, _, _, li, lm = _state(shape, True, seed=seed)
+    opts = SolverOptions(ndim=ndim, iterations_fista=n_f,
+                         iterations_unacc=n_u, backend=Backend.PALLAS)
+    shard = (w0, w1) + (1,) * (ndim - 2)
+    single = run_solver(orig, li, lm, opts)
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      opts, shard=shard)
+    np.testing.assert_allclose(
+        np.asarray(got["recon"]), np.asarray(single["recon"]),
+        rtol=5e-7, atol=1e-7,
+        err_msg=f"{shape} shard={shard} iters=({n_f},{n_u})")
+
+
 def test_sharded_pairs_axis1_flat_fold(monkeypatch):
     """Axis-1 mesh on a 3D cube whose energy axis takes the flat fold —
     the left/right seam recomputes must cross the fold correctly."""
