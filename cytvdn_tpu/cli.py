@@ -202,15 +202,22 @@ def main(argv=None) -> int:
             bad.append("--iso-r/--iso-q")
         if args.backend != "auto":
             bad.append("--backend")
+        shard_w = 1
         if args.shard:
-            bad.append("--shard")
+            # out-of-core sharding: each resident slab split over W local
+            # devices on axis 1 (the v5e-16 config-5 deployment shape)
+            try:
+                shard_w = int(args.shard) if args.shard != "auto" else 0
+            except ValueError:
+                bad.append("--shard (out-of-core takes a device COUNT or "
+                           "'auto', not a per-axis tiling)")
         if args.checkpoint or args.checkpoint_every:
             bad.append("--checkpoint*")
         if args.dtype != "float32":
             bad.append("--dtype")
         if bad:
             print(f"error: --out-of-core does not support {', '.join(bad)} "
-                  "(Jia-Zhao anisotropic float32, unsharded, no checkpoint)",
+                  "(Jia-Zhao anisotropic float32, no checkpoint)",
                   file=sys.stderr)
             return 2
         from cytvdn_tpu.solver.outofcore import denoise_outofcore
@@ -218,7 +225,7 @@ def main(argv=None) -> int:
         recon, b_norm, delta = denoise_outofcore(
             data, mu, lam=lam, iterations=iterations, FISTA=bool(args.fista),
             stopping_relative_change=args.stop, n_slabs=args.out_of_core,
-            temporal_k=args.temporal, quiet=not verbose,
+            temporal_k=args.temporal, shard_w=shard_w, quiet=not verbose,
         )
     elif args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded

@@ -483,6 +483,207 @@ def solve_outofcore_temporal(
     }
 
 
+def solve_outofcore_sharded_temporal(
+    orig: np.ndarray,
+    lambda_inv: np.ndarray,
+    lam_mu: np.ndarray,
+    opts: SolverOptions,
+    n_slabs: int,
+    temporal_k: int,
+    shard_w: int = 0,
+    devices=None,
+) -> Dict[str, np.ndarray]:
+    """Out-of-core solve with each resident slab SHARDED over the local
+    devices: the BASELINE config-5 deployment shape (512²×256² on a
+    v5e-16: ~640 GiB of FISTA state admits no in-core decomposition, so
+    every host streams slabs from RAM while its chips split each slab on
+    axis 1 with ICI halo exchange).
+
+    Mechanics: the host state is swept in axis-0 slabs with
+    ``temporal_k``-row margins exactly like
+    :func:`solve_outofcore_temporal`; each extended slab is committed
+    under a ``(1, shard_w, …)`` NamedSharding and advanced K iterations
+    through the SAME ``run_sharded`` engine path (dynamic ``i_stop``
+    caps — one compilation for every slab and sweep), so cross-chip
+    axis-1 seams are the engine's exact operand halos and results are
+    bit-identical to the serial sweep up to the sharded paths' seam-
+    recompute ulps. The K-1st recon is taken from a split-cap call
+    (K-1 then 1) so the sweep-final delta is the true core-region
+    statistic.
+
+    Per-chip transient memory is ~2× the donated single-device mode
+    (``run_sharded`` does not donate its inputs); size ``n_slabs``
+    accordingly. ``shard_w = 0`` uses all local devices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cytvdn_tpu.parallel.sharded import run_sharded
+
+    if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
+        raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
+    orig = np.ascontiguousarray(orig)
+    if orig.dtype != np.float32:
+        raise ValueError("out-of-core mode requires float32 data")
+    devices = tuple(devices if devices is not None else jax.devices())
+    if shard_w <= 0:
+        shard_w = len(devices)
+    if orig.shape[1] % shard_w:
+        raise ValueError(
+            f"axis-1 extent {orig.shape[1]} not divisible by {shard_w} "
+            f"devices")
+    ndim = opts.ndim
+    n0 = orig.shape[0]
+    K = int(temporal_k)
+    bounds = _slab_bounds(n0, n_slabs)
+    min_core = min(b - a for a, b in bounds)
+    if K > min_core:
+        raise ValueError(
+            f"temporal_k={K} exceeds the smallest slab core ({min_core} "
+            f"rows); use fewer slabs or a smaller temporal_k")
+    ext = [(max(a - K, 0), min(b + K, n0), a, b) for a, b in bounds]
+
+    n_f, n_u = opts.iterations_fista, opts.iterations_unacc
+    n_total = n_f + n_u
+    stopping = opts.stopping_relative_change
+    # the engine runs the slab iterations; stopping is evaluated here at
+    # sweep granularity on the true core statistics
+    import dataclasses
+
+    opts_run = dataclasses.replace(opts, stopping_relative_change=None,
+                                   calculate_mse=False)
+    shard_t = (1, shard_w) + (1,) * (ndim - 2)
+
+    recon = orig.copy()
+    accs = [np.zeros_like(orig) for _ in range(ndim)]
+    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    b_norm = np.zeros(n_total, np.float32)
+    delta = np.zeros(n_total, np.float32)
+    zeros_tr = np.zeros(n_total, np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("off", "clen"))
+    def core_stats(r, a_list, r_prev, off, clen):
+        bn = jnp.zeros((), jnp.float32)
+        for a_k in a_list:
+            bn = bn + jnp.sum(jnp.abs(a_k[off:off + clen]))
+        rc, rp = r[off:off + clen], r_prev[off:off + clen]
+        return bn, jnp.sum(jnp.abs(rc - rp)), jnp.sum(jnp.abs(rp))
+
+    has_ds = n_f > 0  # ds are carried (frozen) through the unacc phase
+
+    def slab_state(si, t):
+        lo, hi, _, _ = ext[si]
+        sl = slice(lo, hi)
+
+        def dual_slab(a):
+            v = a[sl]
+            if lo > 0:
+                # restore the JZ zero-slab invariant on the slab: the
+                # engine's trailing-edge wrap reads local slab 0 of the
+                # updated accumulator (exact globally because global
+                # slab 0 is identically zero, SURVEY §8.1) — a mid-cube
+                # slab's local row 0 holds a nonzero interior value, so
+                # zero it. The perturbation lives in the margin row and,
+                # under the slab's own JZ edge, STAYS zero through every
+                # residency iteration — the wrap then reads the exact 0.
+                v = v.copy()
+                v[0] = 0.0
+            return v
+
+        return {
+            "recon": recon[sl],
+            "accs": tuple(dual_slab(a) for a in accs),
+            "ds": tuple(dual_slab(d) for d in ds) if has_ds else (),
+            "b_norm": zeros_tr,
+            "delta": zeros_tr,
+            "mse": np.zeros((0,), np.float32),
+            "i": np.int32(t),
+            "tk": np.float32(1.0),
+        }
+
+    def _writeback(si, out):
+        lo, hi, a0, a1 = ext[si]
+        off, clen = a0 - lo, a1 - a0
+        sl = slice(a0, a1)
+        recon[sl] = np.asarray(out["recon"][off:off + clen])
+        for kx in range(ndim):
+            accs[kx][sl] = np.asarray(out["accs"][kx][off:off + clen])
+            if has_ds:
+                ds[kx][sl] = np.asarray(out["ds"][kx][off:off + clen])
+
+    def sweep(t: int, k_t: int):
+        bn_t = dn_t = dd_t = 0.0
+        # write-back is deferred one slab: slab si+1's LEFT margin rows
+        # are slab si's core tail and must still hold PRE-sweep
+        # (iteration-T) values when si+1's state is committed — wrong
+        # margin values would contaminate the core within the K-row
+        # light cone (the same ordering the single-device pipeline keeps)
+        pending = None
+        for si in range(len(bounds)):
+            lo, hi, a0, a1 = ext[si]
+            off, clen = a0 - lo, a1 - a0
+            state = slab_state(si, t)
+            orig_slab = orig[lo:hi]
+            if k_t > 1:
+                mid = run_sharded(
+                    orig_slab, lambda_inv, lam_mu, opts_run,
+                    shard=shard_t, devices=devices, state=state,
+                    i_stop=t + k_t - 1, keep_state=True)
+                state2 = {
+                    "recon": mid["recon"], "accs": mid["accs"],
+                    "ds": mid["ds"], "b_norm": mid["b_norm"],
+                    "delta": mid["delta"],
+                    "mse": np.zeros((0,), np.float32),
+                    "i": mid["i"], "tk": mid["tk"],
+                }
+                r_prev = mid["recon"]
+            else:
+                state2 = state
+                r_prev = jnp.asarray(state["recon"])
+            out = run_sharded(
+                orig_slab, lambda_inv, lam_mu, opts_run,
+                shard=shard_t, devices=devices, state=state2,
+                i_stop=t + k_t, keep_state=True)
+            bn, dn, dd = core_stats(out["recon"], list(out["accs"]),
+                                    r_prev, off=off, clen=clen)
+            # the float() fetches force the slab's program to complete,
+            # so its inputs are committed before the host mutates them
+            bn_t += float(bn)
+            dn_t += float(dn)
+            dd_t += float(dd)
+            if pending is not None:
+                _writeback(*pending)
+            pending = (si, out)
+        _writeback(*pending)
+        return bn_t, (dn_t / dd_t if dd_t else float("nan"))
+
+    it_run = 0
+    stopped = False
+    for fista, count, base_t in ((True, n_f, 0), (False, n_u, n_f)):
+        if not count:
+            continue
+        if not fista:
+            stopped = False  # second phase runs regardless (reference)
+        t = base_t
+        while t < base_t + count and not stopped:
+            k_t = min(K, base_t + count - t)
+            bn, dl = sweep(t, k_t)
+            t += k_t
+            it_run = t
+            b_norm[it_run - 1] = bn
+            delta[it_run - 1] = dl
+            if stopping is not None and dl < stopping:
+                stopped = True
+
+    return {
+        "recon": recon,
+        "b_norm": b_norm,
+        "delta": delta,
+        "iterations_run": np.int32(it_run),
+        "early_stopped": np.bool_(stopped),
+    }
+
+
 def denoise_outofcore(
     datacube: np.ndarray,
     mu,
@@ -493,12 +694,20 @@ def denoise_outofcore(
     n_slabs: int = 4,
     quiet: bool = True,
     temporal_k: int = 1,
+    shard_w: int = 1,
+    devices=None,
 ):
     """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
 
     ``temporal_k > 1`` enables temporal blocking: K iterations per slab
     residency, cutting host↔device traffic per iteration K× (see
     :func:`solve_outofcore_temporal` for the trace/early-stop semantics).
+
+    ``shard_w > 1`` additionally shards each resident slab over that many
+    local devices on axis 1 with ICI halo exchange — the BASELINE
+    config-5 deployment shape (a v5e-16 host streams slabs from RAM
+    while its 4 chips split each slab); ``shard_w=0`` uses all local
+    devices. See :func:`solve_outofcore_sharded_temporal`.
 
     Returns ``(recon, b_norm, delta)`` like :func:`cytvdn_tpu.denoise`.
     """
@@ -521,7 +730,11 @@ def denoise_outofcore(
         iterations_unacc=n_u,
         stopping_relative_change=stopping_relative_change,
     )
-    if temporal_k > 1:
+    if shard_w != 1:
+        out = solve_outofcore_sharded_temporal(
+            datacube, lambda_inv, lam_mu, opts, n_slabs,
+            max(temporal_k, 1), shard_w=shard_w, devices=devices)
+    elif temporal_k > 1:
         out = solve_outofcore_temporal(datacube, lambda_inv, lam_mu, opts,
                                        n_slabs, temporal_k)
     else:

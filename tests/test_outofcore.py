@@ -87,6 +87,51 @@ def test_temporal_blocking_hybrid_schedule():
     np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.parametrize("n_slabs,k,w", [(2, 3, 4), (3, 2, 2)])
+@pytest.mark.parametrize("iters", [7, (5, 4)])
+def test_sharded_outofcore_matches_incore(n_slabs, k, w, iters):
+    """Out-of-core with each slab SHARDED over the local devices (the
+    BASELINE config-5 deployment shape): core results must equal the
+    in-core single-device run to sharded-seam ulps."""
+    from cytvdn_tpu.config import SolverOptions, normalize_iterations
+    from cytvdn_tpu.solver.outofcore import solve_outofcore_sharded_temporal
+
+    cube = _cube((10, 8, 8, 16))
+    mu = np.full(4, 1.0, np.float32)
+    lam = mu / 32.0
+    want = denoise4D(cube, mu, iterations=iters, quiet=True,
+                     backend="pallas")
+    n_f, n_u = normalize_iterations(iters, True)
+    opts = SolverOptions(ndim=4, iterations_fista=n_f,
+                         iterations_unacc=n_u)
+    out = solve_outofcore_sharded_temporal(
+        cube, (1.0 / lam), (lam / mu), opts, n_slabs, k, shard_w=w)
+    np.testing.assert_allclose(out["recon"], want[0], rtol=2e-6,
+                               atol=2e-6)
+    n_it = n_f + n_u
+    idx = sorted({min(i + k, min(n_f or n_it, n_it)) - 1
+                  for i in range(0, n_f, k)}
+                 | {min(i + k, n_it) - 1 for i in range(n_f, n_it, k)})
+    np.testing.assert_allclose(out["b_norm"][idx], want[1][idx],
+                               rtol=2e-4)
+
+
+def test_sharded_outofcore_early_stop():
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.outofcore import solve_outofcore_sharded_temporal
+
+    cube = _cube((8, 8, 64))
+    mu = np.full(3, 1.0, np.float32)
+    lam = mu / 16.0
+    opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=40,
+                         stopping_relative_change=0.02)
+    out = solve_outofcore_sharded_temporal(
+        cube, (1.0 / lam), (lam / mu), opts, 2, 4, shard_w=4)
+    assert bool(out["early_stopped"])
+    assert int(out["iterations_run"]) % 4 == 0  # sweep granularity
+    assert int(out["iterations_run"]) < 40
+
+
 def test_temporal_k_exceeding_core_rejected():
     cube = _cube((8, 6, 8, 16))
     with pytest.raises(ValueError, match="temporal_k"):
