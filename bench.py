@@ -104,6 +104,11 @@ def _measure(shape, iters, fista=True, stopping=None):
 FULL_CONFIGS = [
     ("cfg1_3d_unacc_64x64x512", (64, 64, 512), False, None),
     ("cfg1_full_3d_unacc_64x64x512_7500it", (64, 64, 512), False, None),
+    # the reference-default 3D budget again, but through run_chunked at a
+    # 500-iteration checkpoint/progress cadence — measures the resident-
+    # CHUNK serving mode (engine._run_phase_resident under a dynamic cap)
+    # that live-progress and checkpointed runs ride since round 3
+    ("cfg1_chunked_3d_unacc_64x64x512_7500it", (64, 64, 512), False, None),
     ("cfg2_3d_fista_256x256x2048", (256, 256, 2048), True, None),
     # the reference's canonical converged workflow sets
     # stopping_relative_change (reference cyTVDN.py:44,253); the bench
@@ -129,7 +134,46 @@ FULL_CONFIGS = [
 # chip, not the tunnel.
 ITERS_OVERRIDE = {
     "cfg1_full_3d_unacc_64x64x512_7500it": 7500,
+    "cfg1_chunked_3d_unacc_64x64x512_7500it": 7500,
 }
+
+#: checkpoint/progress cadence for the chunked row (15 host dispatches
+#: over the 7500-iteration schedule — each pays this dev host's ~30 ms
+#: tunnel RTT; production hosts pay ~1 ms)
+_CHUNK_EVERY = 500
+
+
+def _measure_chunked(shape, iters, every):
+    """run_chunked at a checkpoint/progress cadence: the dynamic per-chunk
+    caps ride resident CHUNKS (T=16/launch, state resumed through HBM)
+    with pairs/K=1 finishing each cap — the serving mode live-progress
+    and checkpointed runs take. checkpoint_path=None isolates the solver
+    path from disk I/O; the final recon fetch (numpy contract) is
+    included, as any real chunked run pays it."""
+    import jax
+    import jax.numpy as jnp
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.utils.checkpoint import run_chunked
+
+    ndim = len(shape)
+    mu = np.full(ndim, 1.0, dtype=np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    li = (1.0 / lam).astype(np.float32)
+    lm = (lam / mu).astype(np.float32)
+    opts = SolverOptions(ndim=ndim, iterations_fista=0,
+                         iterations_unacc=iters)
+    cube = jax.jit(
+        lambda key: jax.random.normal(key, shape, jnp.float32) * 0.3 + 1.0
+    )(jax.random.key(0))
+    kw = dict(checkpoint_path=None, checkpoint_every=every)
+    out = run_chunked(cube, li, lm, opts, **kw)  # compile + settle
+    if not np.all(np.isfinite(out["recon"])):
+        raise RuntimeError("non-finite recon")
+    t0 = time.perf_counter()
+    run_chunked(cube, li, lm, opts, **kw)
+    dt = time.perf_counter() - t0
+    return int(np.prod(shape)) * iters / dt
 
 # Regression floors: minimum fraction of the pair-kernel traffic model at
 # the chip's measured sustained bandwidth (utils/perf.py). Round-2 measured
@@ -265,6 +309,18 @@ def run_full():
                     "mode": f"out-of-core, temporal-blocked K=5 "
                             f"({n_slabs} slabs, host-resident state)",
                     **split,
+                }
+            elif name.startswith("cfg1_chunked"):
+                iters = ITERS_OVERRIDE.get(name, ITERS)
+                v = _measure_chunked(shape, iters, _CHUNK_EVERY)
+                detail[name] = {
+                    "voxel_updates_per_sec": round(v, 1),
+                    "shape": list(shape), "fista": fista,
+                    "iterations": iters,
+                    "mode": f"run_chunked every {_CHUNK_EVERY} "
+                            f"(resident chunks under dynamic caps; "
+                            f"{iters // _CHUNK_EVERY} host dispatches x "
+                            f"~30 ms dev-tunnel RTT included)",
                 }
             else:
                 iters = ITERS_OVERRIDE.get(name, ITERS)

@@ -116,11 +116,13 @@ def _resolve_progress(progress: Optional[bool], quiet: bool,
     short jitted runs).
 
     Runs the VMEM-resident kernel serves are excluded from the auto-on
-    default: chunked-progress execution would force them onto the
-    streaming path — paying 10-60× throughput for a bar on a run that
-    completes in O(100 ms) (e.g. the 7500-iteration 3D default on a
-    64×64×512 cube runs in ~150 ms resident). An explicit
-    ``progress=True`` still honors the request."""
+    default: they complete in O(100 ms) (e.g. the 7500-iteration 3D
+    default on a 64×64×512 cube runs in ~150 ms resident), so a live bar
+    is noise — and chunked execution pays one host dispatch per chunk.
+    An explicit ``progress=True`` still honors the request, and since
+    chunked runs ride resident CHUNKS (engine._resolve_resident_chunks)
+    the bar now costs per-chunk dispatch overhead, not the 10-60×
+    streaming-path throughput loss it once did."""
     if opts.backend == Backend.CPP:
         return False  # the cpp host loop reports through its own prints
     if progress is not None:

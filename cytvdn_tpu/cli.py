@@ -47,23 +47,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dimensions", type=int, choices=(3, 4),
                    help="number of dimensions (inferred from input if "
                         "omitted)")
-    p.add_argument("-f", "--fista", type=str2bool, default=False,
+    p.add_argument("-f", "--fista", type=str2bool, default=None,
                    help="use FISTA acceleration (0 or 1)")
-    p.add_argument("-n", "--niterations", type=int, nargs="+", required=True,
-                   help="iterations (two values = hybrid FISTA+unacc)")
+    p.add_argument("-n", "--niterations", type=int, nargs="+", default=None,
+                   help="iterations (two values = hybrid FISTA+unacc); "
+                        "required unless --preset supplies it")
     p.add_argument("-L", "--lambda", dest="lam", type=float, nargs="+",
                    help="per-axis lambda (default mu/32 in 4D, mu/16 in 3D)")
     p.add_argument("-m", "--mu", type=float, nargs="+", required=True,
                    help="per-axis mu")
     p.add_argument("-v", "--verbose", type=str2bool, default=True)
-    p.add_argument("--bc-mode", type=int, default=2, choices=(0, 1, 2),
+    p.add_argument("--preset", default=None,
+                   help="named solver preset (cytvdn_tpu.presets, e.g. "
+                        "'eels3d', 'stem4d-converged'); explicit flags "
+                        "override preset values")
+    p.add_argument("--bc-mode", type=int, default=None, choices=(0, 1, 2),
                    help="boundary conditions: 0 periodic, 1 mirror, "
                         "2 Jia-Zhao (default)")
     p.add_argument("--stop", type=float, default=None,
                    help="stopping_relative_change (e.g. 0.05)")
-    p.add_argument("--iso-r", type=str2bool, default=False,
+    p.add_argument("--iso-r", type=str2bool, default=None,
                    help="half-isotropic on axes 0,1 (4D only)")
-    p.add_argument("--iso-q", type=str2bool, default=False,
+    p.add_argument("--iso-q", type=str2bool, default=None,
                    help="half-isotropic on axes 2,3 (4D only)")
     p.add_argument("--backend", default="auto",
                    choices=("auto", "jax", "pallas", "cpp"))
@@ -92,8 +97,44 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _apply_preset(args) -> bool:
+    """Fill unset flags from ``--preset``; explicit flags always win
+    (unset flags parse as None sentinels). Returns False on a missing
+    ``-n`` with no preset to supply it."""
+    if args.preset:
+        from cytvdn_tpu.presets import get_preset
+
+        pr = get_preset(args.preset)  # raises KeyError listing presets
+        if args.niterations is None and "iterations" in pr:
+            v = pr["iterations"]
+            args.niterations = (list(v) if isinstance(v, (list, tuple))
+                                else [v])
+        if args.fista is None:
+            args.fista = pr.get("FISTA")
+        if args.bc_mode is None:
+            args.bc_mode = pr.get("BC_mode")
+        if args.stop is None:
+            args.stop = pr.get("stopping_relative_change")
+        if args.iso_r is None:
+            args.iso_r = pr.get("isotropic_R")
+        if args.iso_q is None:
+            args.iso_q = pr.get("isotropic_Q")
+    if args.niterations is None:
+        return False
+    # resolve remaining sentinels to the documented defaults
+    args.fista = bool(args.fista)
+    args.bc_mode = 2 if args.bc_mode is None else args.bc_mode
+    args.iso_r = bool(args.iso_r)
+    args.iso_q = bool(args.iso_q)
+    return True
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if not _apply_preset(args):
+        print("error: -n/--niterations is required (or use a --preset "
+              "that supplies it)", file=sys.stderr)
+        return 2
 
     # join the multi-host runtime first (no-op on a single host; on a pod
     # every host runs this same command — the analog of the reference's

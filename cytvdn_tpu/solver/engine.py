@@ -541,13 +541,19 @@ _RESIDENT_CHUNK = 16
 
 def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
                              comm) -> Tuple[bool, bool]:
-    """Resident-kernel chunking for runs WITH ``stopping_relative_change``:
-    advance ``_RESIDENT_CHUNK`` iterations per launch (state resumed
-    through HBM) while a predictive guard says the threshold cannot be
-    crossed, then hand off to pairs/K=1 for the exact stop. Same gates as
-    :func:`_resolve_resident` except stopping is the point."""
-    if not opts.vmem_resident \
-            or opts.stopping_relative_change is None:
+    """Resident-kernel chunking: advance ``_RESIDENT_CHUNK`` iterations
+    per launch with state resumed through HBM.
+
+    Serves the runs the whole-schedule resident path can't: (a) runs
+    WITH ``stopping_relative_change`` — chunks continue while a
+    predictive guard says the threshold cannot be crossed, then pairs /
+    K=1 perform the exact stop; (b) dynamically capped runs (chunked
+    checkpoint/progress execution, ``run_chunked``) — chunks advance to
+    within a chunk of the cap, pairs/K=1 finish the remainder, so
+    checkpoint cadence costs O(2·state/chunk) HBM traffic per iteration
+    instead of the streaming kernels' ~10 traversals. Same gates as
+    :func:`_resolve_resident` otherwise."""
+    if not opts.vmem_resident:
         return False, False
     if opts.total_iterations < _RESIDENT_CHUNK:
         # the loop body traces unconditionally: its chunk-wide trace
@@ -588,13 +594,16 @@ def _run_phase_resident(
     """Advance a stop-aware phase ``_RESIDENT_CHUNK`` iterations at a
     time through the VMEM-resident kernel.
 
-    The loop continues only while the predictive guard (the paired
-    loop's ``d1·r^k`` extrapolation, here with ``k = 2·chunk`` — the
-    worst case modeled is the decay rate doubling for two full chunks)
-    says the threshold cannot be crossed inside the next chunk; the
-    pairs/K=1 phases after it perform the exact approach and stop. If
-    delta nevertheless collapses mid-chunk, ``done`` latches with the
-    full chunk's iterations honestly recorded in the traces."""
+    With ``stopping_relative_change`` set, the loop continues only while
+    the predictive guard (the paired loop's ``d1·r^k`` extrapolation,
+    here with ``k = 2·chunk`` — the worst case modeled is the decay rate
+    doubling for two full chunks) says the threshold cannot be crossed
+    inside the next chunk; the pairs/K=1 phases after it perform the
+    exact approach and stop. If delta nevertheless collapses mid-chunk,
+    ``done`` latches with the full chunk's iterations honestly recorded
+    in the traces. Without stopping (dynamically capped chunked runs),
+    chunks simply advance to within one chunk of the bound — state is
+    bit-identical to the streaming loops either way."""
     from cytvdn_tpu.kernels.resident import resident_solve
 
     T = _RESIDENT_CHUNK
@@ -607,6 +616,8 @@ def _run_phase_resident(
 
     def cond(c: _PhaseCarry):
         ok = jnp.logical_and(c.i + T <= bound, jnp.logical_not(c.done))
+        if stopping is None:
+            return ok
         d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
         d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
         have = jnp.logical_and(c.i >= 2,
@@ -630,7 +641,7 @@ def _run_phase_resident(
         b_norm = lax.dynamic_update_slice(
             c.b_norm, bn.astype(c.b_norm.dtype), (c.i,))
         delta_tr = lax.dynamic_update_slice(c.delta, deltas, (c.i,))
-        done = jnp.any(deltas < stopping)
+        done = c.done if stopping is None else jnp.any(deltas < stopping)
         return _PhaseCarry(
             i=c.i + T,
             done=done,

@@ -99,6 +99,37 @@ def test_cli_sharded(tmp_path):
     assert read_emd(out).shape == data.shape
 
 
+def test_cli_preset(tmp_path):
+    """--preset fills iterations/FISTA/stop; explicit flags override."""
+    from cytvdn_tpu.cli import _apply_preset, build_parser, main
+
+    # flag resolution (no run): preset supplies, explicit wins
+    a = build_parser().parse_args(
+        ["-i", "x", "-o", "y", "-m", "1.0", "--preset", "stem4d-converged"])
+    assert _apply_preset(a)
+    assert a.niterations == [200] and a.fista and a.stop == 0.05
+    a = build_parser().parse_args(
+        ["-i", "x", "-o", "y", "-m", "1.0", "--preset", "stem4d-converged",
+         "-n", "7", "-f", "0"])
+    assert _apply_preset(a)
+    assert a.niterations == [7] and a.fista is False and a.stop == 0.05
+    a = build_parser().parse_args(["-i", "x", "-o", "y", "-m", "1.0"])
+    assert not _apply_preset(a)  # no -n, no preset
+
+    # end to end with a hybrid preset
+    data = (RNG.standard_normal((6, 4, 4, 8)) * 0.3 + 1.0).astype(np.float32)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, data)
+    out = str(tmp_path / "out.emd")
+    rc = main(["-i", inp, "-o", out, "-m", "1.0", "-v", "0",
+               "--preset", "stem4d-hybrid"])
+    assert rc == 0
+    assert read_emd(out).shape == data.shape
+
+    with pytest.raises(KeyError, match="unknown preset"):
+        main(["-i", inp, "-o", out, "-m", "1.0", "--preset", "nope"])
+
+
 def test_cli_bad_dims(tmp_path, capsys):
     from cytvdn_tpu.cli import main
 

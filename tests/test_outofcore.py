@@ -132,6 +132,45 @@ def test_sharded_outofcore_early_stop():
     assert int(out["iterations_run"]) < 40
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_outofcore_fuzz(seed):
+    """Randomized geometry sweep of the sharded out-of-core path: slab
+    counts x K x mesh width x schedule, 3D and 4D, vs the in-core run."""
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.outofcore import solve_outofcore_sharded_temporal
+
+    rng = np.random.default_rng(7000 + seed)
+    ndim = int(rng.choice([3, 4]))
+    n_slabs = int(rng.integers(2, 4))
+    k = int(rng.integers(2, 5))
+    w = int(rng.choice([2, 4]))
+    # slabs must hold at least K core rows; axis 1 must tile the mesh
+    ax0 = n_slabs * (k + int(rng.integers(1, 3)))
+    ax1 = w * int(rng.integers(1, 3))
+    if ndim == 4:
+        shape = (ax0, ax1, int(rng.integers(2, 5)),
+                 int(rng.integers(8, 17)))
+    else:
+        shape = (ax0, ax1, int(rng.integers(16, 65)))
+    n_f = int(rng.integers(0, 6))
+    n_u = int(rng.integers(0, 5))
+    if n_f + n_u == 0:
+        n_u = 3
+    cube = _cube(shape)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    denoise = denoise4D if ndim == 4 else denoise3D
+    want = denoise(cube, mu, iterations=(n_f, n_u), FISTA=n_f > 0,
+                   quiet=True, backend="pallas")
+    opts = SolverOptions(ndim=ndim, iterations_fista=n_f,
+                         iterations_unacc=n_u)
+    out = solve_outofcore_sharded_temporal(
+        cube, (1.0 / lam), (lam / mu), opts, n_slabs, k, shard_w=w)
+    np.testing.assert_allclose(
+        out["recon"], want[0], rtol=2e-6, atol=2e-6,
+        err_msg=f"{shape} slabs={n_slabs} k={k} w={w} it=({n_f},{n_u})")
+
+
 def test_temporal_k_exceeding_core_rejected():
     cube = _cube((8, 6, 8, 16))
     with pytest.raises(ValueError, match="temporal_k"):

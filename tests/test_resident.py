@@ -130,6 +130,40 @@ def test_stop_aware_resident_chunks_match(iters, stop_at):
                                np.asarray(want["delta"]), rtol=1e-4)
 
 
+@pytest.mark.parametrize("iters", [(0, 40), (40, 0), (20, 20)])
+def test_chunked_runs_ride_resident_chunks(monkeypatch, iters):
+    """Dynamically capped chunked runs (checkpoint/progress execution,
+    run_chunked) must take the resident-chunk path — stopping is no
+    longer required — and stay bit-exact vs the unchunked streaming
+    run."""
+    from cytvdn_tpu.kernels import resident as RK
+    from cytvdn_tpu.utils.checkpoint import run_chunked
+
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=41)
+    base = dict(ndim=3, iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False))
+    calls = []
+    real = RK.resident_solve
+
+    def counting(*a, **k):
+        calls.append(k.get("n_iters"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(RK, "resident_solve", counting)
+    got = run_chunked(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      SolverOptions(**base), checkpoint_path=None,
+                      checkpoint_every=20)
+    assert calls, "resident chunks did not engage on the chunked run"
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-4)
+
+
 def test_resident_gates():
     """Configs the resident kernel cannot serve must resolve off."""
     ok = dict(ndim=3, iterations_fista=4, iterations_unacc=0,
