@@ -295,11 +295,21 @@ def _measure_outofcore(shape, temporal_k=5):
     return int(np.prod(shape)) * temporal_k / dt, n_slabs, split
 
 
-def run_full():
+def run_full(only=None):
+    """Measure FULL_CONFIGS into BENCH_DETAIL.json. With ``only`` (a name
+    prefix, from ``--only <prefix>``), measure just the matching configs
+    and merge into the existing artifact — refreshing one new/changed row
+    without re-paying the whole matrix through the dev tunnel."""
     from cytvdn_tpu.utils.perf import practical_speed_of_light
 
+    out = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     detail = {}
+    if only and os.path.exists(out):
+        with open(out) as f:
+            detail = json.load(f)
     for name, shape, fista, stopping in FULL_CONFIGS:
+        if only and not name.startswith(only):
+            continue
         try:
             if len(shape) == 4 and fista and not _fits(shape):
                 v, n_slabs, split = _measure_outofcore(shape)
@@ -346,19 +356,29 @@ def run_full():
         except Exception as e:
             detail[name] = {"error": type(e).__name__}
             print(f"# {name}: {type(e).__name__}", file=sys.stderr)
-    out = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     with open(out, "w") as f:
         json.dump(detail, f, indent=2)
     print(f"# detail written to {out}", file=sys.stderr)
 
 
 def main():
+    if "--only" in sys.argv:
+        idx = sys.argv.index("--only")
+        if "--full" not in sys.argv or idx + 1 >= len(sys.argv):
+            print("error: --only needs --full and a config-name prefix "
+                  "(e.g. bench.py --full --only cfg2)", file=sys.stderr)
+            sys.exit(2)
+
     import jax
 
     np.asarray(jax.numpy.ones((8,)))  # tunnel warmup fetch
 
     if "--full" in sys.argv:
-        run_full()
+        only = (sys.argv[sys.argv.index("--only") + 1]
+                if "--only" in sys.argv else None)
+        run_full(only)
+        # fall through: the headline JSON line below is the driver
+        # contract (CLAUDE.md) and prints regardless of --only
 
     value, used = None, None
     for shape in CONFIGS:

@@ -131,7 +131,14 @@ def _apply_preset(args) -> bool:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if not _apply_preset(args):
+    try:
+        ok = _apply_preset(args)
+    except KeyError as e:
+        # unknown preset: same print-error-and-exit-2 convention as every
+        # other argument failure (get_preset's message lists the presets)
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+    if not ok:
         print("error: -n/--niterations is required (or use a --preset "
               "that supplies it)", file=sys.stderr)
         return 2

@@ -100,12 +100,15 @@ _PAIR_BLOCK_CAP = None
 
 
 def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
-              halo0: bool = False):
+              halo0: bool = False, with_mse: bool = False):
     """Block plan for the pair kernel: the fused kernel's *layout* (4D /
     3D-single / 3D-flat) with B0 forced to 1 (the row pipeline is four
     stages deep) and B1 grown to the VMEM budget — per-step floors, not
     bandwidth, bound this kernel, so bigger strips win until VMEM runs
     out.
+
+    ``with_mse`` charges the pipelined reference-data block the
+    per-iteration SSE reductions read at S_D.
 
     Returns ``(work_shape, inblock_axes, flat, b1)`` or None.
     """
@@ -125,7 +128,7 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
                 best = c
         return best
 
-    extra = _PAIR_BUFFERS_HALO0 if halo0 else 0
+    extra = (_PAIR_BUFFERS_HALO0 if halo0 else 0) + (2 if with_mse else 0)
     cap_noseam = ((_VMEM_CAP - _SMALL_RESERVE)
                   // (_PAIR_BUFFERS_NOSEAM + extra))
     cap_seam = ((_VMEM_CAP - _SMALL_RESERVE - 2 * n0 * pad)
@@ -145,22 +148,26 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
 
 def pair_hbm_viable(shape, itemsize: int = 4,
                     usable_hbm: float = 15.3e9,
-                    halo1: bool = False) -> bool:
+                    halo1: bool = False,
+                    with_mse: bool = False) -> bool:
     """Whether the pair program's HBM footprint fits one device for this
     (local) shape: 2n+2 state arrays + orig + the pre-gathered seam/band
     columns (~15 column sets of cube/B1 bytes each — significant when
     VMEM forces small strips, e.g. pod-scale 256-square tails).
     ``halo1`` (axis-1-sharded shards): the band machinery is forced on
-    even for single-strip shards, plus the packed left-column operand."""
+    even for single-strip shards, plus the packed left-column operand.
+    ``with_mse`` adds the resident reference-data cube."""
     ndim = len(shape)
-    plan = pair_plan(tuple(shape), itemsize, halo0=True)
+    plan = pair_plan(tuple(shape), itemsize, halo0=True,
+                     with_mse=with_mse)
     if plan is None:
         return False
     work_shape, _, _, b1 = plan
     cube = int(np.prod(work_shape)) * itemsize
     seams = work_shape[1] // b1 > 1 or halo1
     n_band = (2 * ndim + 6) if seams else 0
-    state = (2 * ndim + 3) * cube          # orig + recon + accs + ds
+    # orig + recon + accs + ds (+ reference data)
+    state = (2 * ndim + 3 + (1 if with_mse else 0)) * cube
     bands = (n_band + 1) * cube // b1 if seams else 0
     if halo1:
         # left pack: (3+2n) column slabs of cube/n1 each
@@ -169,10 +176,12 @@ def pair_hbm_viable(shape, itemsize: int = 4,
 
 
 def pair_supported(shape, dtype, bc, isotropic_R=False,
-                   isotropic_Q=False, halo0: bool = False) -> bool:
+                   isotropic_Q=False, halo0: bool = False,
+                   with_mse: bool = False) -> bool:
     """Whether the temporally-blocked pair kernel covers this config
     (Jia-Zhao anisotropic float32; ``shape`` is the per-device local
-    shape, ``halo0`` for axis-0-sharded runs)."""
+    shape, ``halo0`` for axis-0-sharded runs, ``with_mse`` for runs
+    recording per-iteration SSE vs reference data)."""
     from cytvdn_tpu.config import BCMode
 
     if dtype != jnp.float32:
@@ -181,14 +190,16 @@ def pair_supported(shape, dtype, bc, isotropic_R=False,
         return False
     if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
         return False
-    return pair_plan(tuple(shape), 4, halo0=halo0) is not None
+    return pair_plan(tuple(shape), 4, halo0=halo0,
+                     with_mse=with_mse) is not None
 
 
 def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                       fista: bool, b1: int, has_seam: bool, n0: int,
                       g1: int, debug: bool = False,
                       with_halo0: bool = False,
-                      with_halo1: bool = False):
+                      with_halo1: bool = False,
+                      with_mse: bool = False):
     """Kernel body; operand order must match :func:`fused_pair_iteration`.
 
     Stage guards (grid inner index ``ip`` in [0, n0+2]):
@@ -288,6 +299,11 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 v = lax.slice_in_dim(v, i, i + 1, axis=2)
                 return v.reshape((1, 1) + v.shape[3:])
 
+        # per-iteration SSE vs reference data: ONE extra operand at row
+        # ip-3 — at S_D the r1 ring carry (c_r1_1) already holds
+        # iteration-1's row ip-3, so both iterations' SSE terms reduce
+        # against the same reference block with no extra carries
+        mse_ref = next(it) if with_mse else None   # block @ (ip-3, j)
         r2_out = next(it)                      # block @ (ip-3, j)
         if debug:
             r1_out = next(it)                  # block @ (ip-1, j)
@@ -300,6 +316,9 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         bnorm2_o = next(it)
         dnum2_o = next(it)
         dden2_o = next(it)
+        if with_mse:
+            sse1_o = next(it)
+            sse2_o = next(it)
 
         c_r0 = next(it)                        # R0 row ip-1
         c_og0 = next(it)                       # orig row ip-2
@@ -332,14 +351,15 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             lb1 = [next(it) for _ in range(n_ax)]  # left-band b1 @ ip-2
             lr0_prev = next(it)                # left r0 col -1 @ ip-2
             l_og = next(it)                    # left orig col -1 @ ip-2
-        s_sums = next(it)                      # SMEM (6,)
+        s_sums = next(it)                      # SMEM (6,) / (8,) with mse
+        n_sums = 8 if with_mse else 6
 
         j = pl.program_id(0)
         ip = pl.program_id(1)
 
         @pl.when(jnp.logical_and(j == 0, ip == 0))
         def _():
-            for q in range(6):
+            for q in range(n_sums):
                 s_sums[q] = jnp.float32(0.0)
 
         lam_inv = [scal[0, k] for k in range(n_ax)]
@@ -816,6 +836,12 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             r2_out[...] = r2f
             s_sums[4] = s_sums[4] + jnp.sum(jnp.abs(r2f - r1p))
             s_sums[5] = s_sums[5] + jnp.sum(jnp.abs(r1p))
+            if with_mse:
+                rv = mse_ref[...]
+                e1 = r1p - rv
+                e2 = r2f - rv
+                s_sums[6] = s_sums[6] + jnp.sum(e1 * e1)
+                s_sums[7] = s_sums[7] + jnp.sum(e2 * e2)
 
         # ---------------- end of step: shift the rings -------------------
         for k in range(n_ax):
@@ -855,6 +881,9 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             bnorm2_o[0, 0] = s_sums[3]
             dnum2_o[0, 0] = s_sums[4]
             dden2_o[0, 0] = s_sums[5]
+            if with_mse:
+                sse1_o[0, 0] = s_sums[6]
+                sse2_o[0, 0] = s_sums[7]
 
     return kernel
 
@@ -878,6 +907,7 @@ def fused_pair_iteration(
     halos1=None,
     first1=None,
     last1=None,
+    ref: Optional[Array] = None,
 ):
     """TWO full TV iterations in one temporally-blocked Pallas pass.
 
@@ -886,6 +916,13 @@ def fused_pair_iteration(
     ``(recon2, accs2, ds2, bnorm1, dnum1, dden1, bnorm2, dnum2, dden2)``
     — the per-iteration reductions of BOTH iterations, as deterministic
     float32 scalars, bit-matching two passes of the K=1 kernel.
+
+    ``ref`` (per-iteration MSE runs, reference cyTVDN/cyTVDN.py:176-181):
+    the reference datacube; appends ``(sse1, sse2)`` — the summed squared
+    error of each iteration's reconstruction — to the return tuple. Both
+    reduce at S_D against one extra pipelined operand (the r1 ring carry
+    already holds iteration-1's row there), ~0.5 extra HBM traversals
+    per iteration.
 
     ``halos0`` (axis-0-sharded runs, used inside ``shard_map``): dict of
     pre-update neighbor bands — ``p_r0`` (2 rows: the -1 shard's rows
@@ -898,9 +935,10 @@ def fused_pair_iteration(
     ndim = len(in_shape)
     with_halo0 = halos0 is not None
     with_halo1 = halos1 is not None
+    with_mse = ref is not None
     assert not (with_halo0 and with_halo1), "one split axis at a time"
     plan = pair_plan(in_shape, orig.dtype.itemsize,
-                     halo0=with_halo0 or with_halo1)
+                     halo0=with_halo0 or with_halo1, with_mse=with_mse)
     if plan is None:
         raise ValueError(f"pair kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b1 = plan
@@ -1141,6 +1179,10 @@ def fused_pair_iteration(
         in_specs += [lspec(0), lspec(1)]
         inputs += [lpk, lpk]
 
+    if with_mse:
+        in_specs.append(blk(at_im3))
+        inputs.append(emb(ref))
+
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
     )
@@ -1158,8 +1200,9 @@ def fused_pair_iteration(
     if fista:
         out_specs += [blk(at_im2) for _ in range(ndim)]  # d2
         out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim
-    out_specs += [scal_out] * 6
-    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 6
+    n_scal_out = 8 if with_mse else 6
+    out_specs += [scal_out] * n_scal_out
+    out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * n_scal_out
 
     scratch = [pltpu.VMEM(block, dt) for _ in range(3)]   # c_r0, c_og0/1
     scratch += [pltpu.VMEM(block, dt) for _ in range(2 * ndim)]  # c_b1a/b
@@ -1186,12 +1229,12 @@ def fused_pair_iteration(
         scratch += [pltpu.VMEM(one_tail, dt)
                     for _ in range(ndim)]                 # lb1 rings
         scratch += [pltpu.VMEM(one_tail, dt)] * 2  # lr0_prev, l_og
-    scratch += [pltpu.SMEM((6,), jnp.float32)]
+    scratch += [pltpu.SMEM((8 if with_mse else 6,), jnp.float32)]
 
     outs = pl.pallas_call(
         _make_pair_kernel(ndim, inblock_axes, flat, fista, b1, has_seam,
                           n0, g1, debug=debug, with_halo0=with_halo0,
-                          with_halo1=with_halo1),
+                          with_halo1=with_halo1, with_mse=with_mse),
         grid=(g1, n0 + 3),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1219,6 +1262,9 @@ def fused_pair_iteration(
     else:
         ds2 = None
         scals = outs[base + ndim:]
-    bnorm1, dnum1, dden1, bnorm2, dnum2, dden2 = [s[0, 0] for s in scals]
+    svals = [s[0, 0] for s in scals]
+    bnorm1, dnum1, dden1, bnorm2, dnum2, dden2 = svals[:6]
     out = (recon2, accs2, ds2, bnorm1, dnum1, dden1, bnorm2, dnum2, dden2)
+    if with_mse:
+        out = out + (svals[6], svals[7])
     return out + ((dbg,) if debug else ())

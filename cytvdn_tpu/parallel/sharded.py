@@ -104,8 +104,6 @@ def temporal_mesh_preference(opts: SolverOptions, dtype) -> bool:
         opts.temporal_pairs
         and opts.bc_mode == BCMode.JIA_ZHAO
         and not (opts.isotropic_R or opts.isotropic_Q)
-        and opts.stopping_relative_change is None
-        and not opts.calculate_mse
         and not opts.fista_restart
         and np.dtype(dtype) == np.float32
     )
@@ -208,9 +206,16 @@ def run_sharded(
     state: Optional[Dict[str, Any]] = None,
     i_stop=None,
     keep_state: bool = False,
+    fallback: bool = True,
 ):
     """Run the solver sharded over a device mesh. Same return contract as
-    :func:`cytvdn_tpu.solver.engine.run_solver`."""
+    :func:`cytvdn_tpu.solver.engine.run_solver`.
+
+    ``fallback=False`` disables the internal VMEM-gate degradation
+    ladder — for callers that issue MANY run_sharded calls on the same
+    geometry (the out-of-core slab sweeps) and must remember the
+    degraded opts across calls instead of re-paying a failing compile
+    per call."""
     devices = tuple(devices if devices is not None else jax.devices())
     shard_t = resolve_shard(
         shard, orig.shape, len(devices),
@@ -260,6 +265,12 @@ def run_sharded(
             args.append(jstate)
         return fn(*args)
 
+    if not fallback:
+        return attempt(opts)
+
     from cytvdn_tpu.solver.engine import vmem_fallback
 
-    return vmem_fallback(opts, attempt)
+    # the resident kernel never engages under a mesh — temporal_pairs is
+    # the only multi-iteration knob a sharded compile failure can be
+    # blaming, so it is the only one worth a retry
+    return vmem_fallback(opts, attempt, knobs=("temporal_pairs",))

@@ -450,18 +450,19 @@ def _run_phase(
 def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     """Whether iterations may run in PAIRS through the temporally-blocked
     K=2 kernel (``kernels/temporal.py``): Jia-Zhao anisotropic float32,
-    fixed momentum schedule, no per-iteration MSE (that needs iteration-1
-    state the pair kernel keeps in VMEM only), on a single device or an
-    axis-0/axis-1 mesh (2-row operand-halo bands). Results are
-    bit-identical to the K=1 kernel, so this is purely a throughput
-    decision.
+    fixed momentum schedule, on a single device or an axis-0/axis-1 mesh
+    (2-row operand-halo bands) or a 2D grid (seam repair). Per-iteration
+    MSE rides the kernel's SSE reductions (one extra operand) except on
+    2D grids. Results are bit-identical to the K=1 kernel, so this is
+    purely a throughput decision.
 
     ``stopping_relative_change`` does NOT disable pairs (the reference's
     canonical converged workflows all set it, reference
     cyTVDN/cyTVDN.py:44,253): the paired loop runs while a conservative
     extrapolation of the delta trace stays above the threshold and hands
-    the final approach to the exact-stopping K=1 loop — see
-    :func:`_run_phase_paired`."""
+    the final approach to the exact-stopping K=1 loop (discarding a pair
+    whose first iteration crosses, so the stop is exact in every case) —
+    see :func:`_run_phase_paired`."""
     from cytvdn_tpu.config import BCMode
 
     if not opts.temporal_pairs:
@@ -475,9 +476,11 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
             return False  # the left/right seam recomputes need 2 columns
         if split == {0, 1} and shape[1] < 4:
             return False  # the 2D-grid seam-repair strips need 4 columns
+        if split == {0, 1} and opts.calculate_mse:
+            # the 2D-grid seam repair (parallel/pairfix.py) does not yet
+            # adjust the SSE reductions for the repaired columns
+            return False
         halo = bool(split)
-    if opts.calculate_mse:
-        return False
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
         return False
     if opts.bc_mode != BCMode.JIA_ZHAO:
@@ -487,18 +490,50 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
         return False
     from cytvdn_tpu.kernels.temporal import pair_hbm_viable, pair_supported
 
-    if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo):
+    if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo,
+                          with_mse=opts.calculate_mse):
         return False
     halo1 = halo and comm is not None \
         and set(getattr(comm, "split_axes", ())) == {1}
     if halo and jax.default_backend() == "tpu" \
-            and not pair_hbm_viable(shape, halo1=halo1):
+            and not pair_hbm_viable(shape, halo1=halo1,
+                                    with_mse=opts.calculate_mse):
         # pod-scale shards: VMEM forces small strips, and the band
         # gathers (cube/B1 each) then exceed HBM — run the K=1 kernel.
         # (Single-device configs are sized by the bench/caller against
         # the in-core budget and validated empirically.)
         return False
     return True
+
+
+def _resident_gates(opts: SolverOptions, shape, dtype, comm,
+                    n_iters: int) -> Tuple[bool, bool]:
+    """Gate ladder shared by the resident kernel's two serving modes
+    (whole-run and chunked): single-device anisotropic float32 pallas
+    runs without MSE / adaptive restart, on a state the kernel's VMEM
+    plan accepts for ``n_iters`` in-kernel iterations (traces included).
+    Returns (use, interpret). Mode-specific gates (stopping, schedule
+    length) live in the two ``_resolve_resident*`` wrappers — keep any
+    new option gate HERE so both modes stay in lockstep."""
+    if not opts.vmem_resident:
+        return False, False
+    if opts.backend in (Backend.JAX, Backend.CPP):
+        return False, False
+    if comm is not None and not isinstance(comm, NullComm):
+        return False, False
+    if opts.calculate_mse or opts.fista_restart \
+            or opts.isotropic_R or opts.isotropic_Q:
+        return False, False
+    from cytvdn_tpu.kernels.resident import resident_supported
+
+    if not resident_supported(shape, dtype, opts.bc_mode,
+                              fista=opts.iterations_fista > 0,
+                              n_iters=n_iters):
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if opts.backend == Backend.PALLAS:
+        return True, not on_tpu
+    return on_tpu, False  # AUTO
 
 
 def _resolve_resident(opts: SolverOptions, shape, dtype,
@@ -508,29 +543,12 @@ def _resolve_resident(opts: SolverOptions, shape, dtype,
     The resident kernel (``kernels/resident.py``) runs the WHOLE schedule
     inside one pallas launch with all state in VMEM — per-iteration HBM
     traffic is O(1/T) instead of ~10 traversals, lifting small cubes off
-    the ~10 µs/step grid floor. Fresh single-device Jia-Zhao anisotropic
-    float32 runs without early stop / MSE / adaptive restart only; the
+    the ~10 µs/step grid floor. Fresh runs without early stop only; the
     caller additionally requires a fresh state and an uncapped i_stop."""
-    if not opts.vmem_resident:
+    if opts.stopping_relative_change is not None:
         return False, False
-    if opts.backend in (Backend.JAX, Backend.CPP):
-        return False, False
-    if comm is not None and not isinstance(comm, NullComm):
-        return False, False
-    if opts.stopping_relative_change is not None or opts.calculate_mse:
-        return False, False
-    if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
-        return False, False
-    from cytvdn_tpu.kernels.resident import resident_supported
-
-    if not resident_supported(shape, dtype, opts.bc_mode,
-                              fista=opts.iterations_fista > 0,
-                              n_iters=opts.total_iterations):
-        return False, False
-    on_tpu = jax.default_backend() == "tpu"
-    if opts.backend == Backend.PALLAS:
-        return True, not on_tpu
-    return on_tpu, False  # AUTO
+    return _resident_gates(opts, shape, dtype, comm,
+                           n_iters=opts.total_iterations)
 
 
 #: iterations per resident chunk in stop-aware runs — large enough to
@@ -551,32 +569,15 @@ def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
     checkpoint/progress execution, ``run_chunked``) — chunks advance to
     within a chunk of the cap, pairs/K=1 finish the remainder, so
     checkpoint cadence costs O(2·state/chunk) HBM traffic per iteration
-    instead of the streaming kernels' ~10 traversals. Same gates as
-    :func:`_resolve_resident` otherwise."""
-    if not opts.vmem_resident:
-        return False, False
+    instead of the streaming kernels' ~10 traversals. Shares
+    :func:`_resident_gates` with the whole-run resolver."""
     if opts.total_iterations < _RESIDENT_CHUNK:
         # the loop body traces unconditionally: its chunk-wide trace
         # writes need trace arrays at least one chunk long (and shorter
         # runs have nothing to gain from chunking anyway)
         return False, False
-    if opts.backend in (Backend.JAX, Backend.CPP):
-        return False, False
-    if comm is not None and not isinstance(comm, NullComm):
-        return False, False
-    if opts.calculate_mse or opts.fista_restart \
-            or opts.isotropic_R or opts.isotropic_Q:
-        return False, False
-    from cytvdn_tpu.kernels.resident import resident_supported
-
-    if not resident_supported(shape, dtype, opts.bc_mode,
-                              fista=opts.iterations_fista > 0,
-                              n_iters=_RESIDENT_CHUNK):
-        return False, False
-    on_tpu = jax.default_backend() == "tpu"
-    if opts.backend == Backend.PALLAS:
-        return True, not on_tpu
-    return on_tpu, False  # AUTO
+    return _resident_gates(opts, shape, dtype, comm,
+                           n_iters=_RESIDENT_CHUNK)
 
 
 def _run_phase_resident(
@@ -599,9 +600,15 @@ def _run_phase_resident(
     here with ``k = 2·chunk`` — the worst case modeled is the decay rate
     doubling for two full chunks) says the threshold cannot be crossed
     inside the next chunk; the pairs/K=1 phases after it perform the
-    exact approach and stop. If delta nevertheless collapses mid-chunk,
-    ``done`` latches with the full chunk's iterations honestly recorded
-    in the traces. Without stopping (dynamically capped chunked runs),
+    exact approach and stop. If delta nevertheless collapses mid-chunk
+    (the guard beaten), the chunk is DISCARDED — the loop bails with the
+    pre-chunk state intact and the pairs/K=1 phases redo those
+    iterations with their exact stop checks, so the final state is
+    bit-identical to the streaming run in every case, not just when the
+    prediction holds. The bail keeps the pre-chunk state live across the
+    aliased kernel call, which costs one defensive state copy per chunk
+    (~2 extra HBM traversals / ``T`` iterations) — only paid when
+    stopping is set. Without stopping (dynamically capped chunked runs),
     chunks simply advance to within one chunk of the bound — state is
     bit-identical to the streaming loops either way."""
     from cytvdn_tpu.kernels.resident import resident_solve
@@ -614,10 +621,12 @@ def _run_phase_resident(
         rhos_full = jnp.concatenate(
             [tk_ratios.astype(jnp.float32), jnp.zeros((T,), jnp.float32)])
 
-    def cond(c: _PhaseCarry):
+    def cond(cb):
+        c, bail = cb
         ok = jnp.logical_and(c.i + T <= bound, jnp.logical_not(c.done))
         if stopping is None:
             return ok
+        ok = jnp.logical_and(ok, jnp.logical_not(bail))
         d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
         d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
         have = jnp.logical_and(c.i >= 2,
@@ -628,7 +637,8 @@ def _run_phase_resident(
         return jnp.logical_and(
             ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
 
-    def body(c: _PhaseCarry):
+    def body(cb):
+        c, _ = cb
         rhos = (lax.dynamic_slice(rhos_full, (c.i,), (T,)) if fista
                 else jnp.zeros((T,), jnp.float32))
         ds = tuple(c.ds) if fista else None
@@ -641,10 +651,9 @@ def _run_phase_resident(
         b_norm = lax.dynamic_update_slice(
             c.b_norm, bn.astype(c.b_norm.dtype), (c.i,))
         delta_tr = lax.dynamic_update_slice(c.delta, deltas, (c.i,))
-        done = c.done if stopping is None else jnp.any(deltas < stopping)
-        return _PhaseCarry(
+        new_c = _PhaseCarry(
             i=c.i + T,
-            done=done,
+            done=c.done,
             recon=recon,
             accs=accs,
             ds=ds_n if fista else c.ds,
@@ -653,8 +662,17 @@ def _run_phase_resident(
             mse=c.mse,
             tk=c.tk,
         )
+        if stopping is None:
+            return new_c, jnp.zeros((), bool)
+        # mid-chunk crossing: the predictive guard was beaten — discard
+        # the chunk (keep c) and bail; the exact stop-checking phases
+        # after this loop redo the iterations from the pre-chunk state
+        crossed = jnp.any(deltas < stopping)
+        return lax.cond(crossed, lambda: c, lambda: new_c), crossed
 
-    return lax.while_loop(cond, body, carry)
+    carry, _ = lax.while_loop(cond, body,
+                              (carry, jnp.zeros((), bool)))
+    return carry
 
 
 def _run_phase_paired(
@@ -669,6 +687,7 @@ def _run_phase_paired(
     interpret: bool,
     i_stop,
     comm=None,
+    reference_data: Optional[Array] = None,
 ) -> _PhaseCarry:
     """Advance a phase two iterations at a time through the K=2 kernel.
 
@@ -689,12 +708,20 @@ def _run_phase_paired(
     per-iteration stop check then happens in the K=1 finisher, which is
     bit-identical state-wise, so stop-aware runs normally reproduce the
     unpaired run exactly (tests assert this). If delta nevertheless
-    collapses faster than the prediction, the pair's own deltas latch
-    ``done``: when the pair's *second* delta crosses, the result is still
-    exact (the reference stops after the converging iteration too,
-    reference cyTVDN/cyTVDN.py:189-194); only a crossing at the pair's
-    *first* delta yields one extra (more-converged) iteration, honestly
-    visible in the delta trace and ``iterations_run``."""
+    collapses faster than the prediction: a crossing at the pair's
+    *second* delta simply latches ``done`` — the pair ends at the
+    converging iteration, exactly where the K=1 loop stops (reference
+    cyTVDN/cyTVDN.py:189-194); a crossing at the pair's *first* delta
+    means the kernel computed one iteration past the stop, so the pair
+    is DISCARDED — the loop bails with the pre-pair state intact and the
+    K=1 finisher redoes those iterations with its exact per-iteration
+    stop check. The final state, stop iteration, and traces are
+    therefore bit-identical to the unpaired run in EVERY case (the same
+    discard-and-bail scheme as the resident chunks,
+    :func:`_run_phase_resident`). Keeping the pre-pair carry live across
+    the recon-aliased kernel call costs one defensive recon copy per
+    pair (~1 extra HBM traversal / 2 iterations) — only paid when
+    stopping is set."""
     from cytvdn_tpu.kernels.temporal import fused_pair_iteration
 
     comm = comm or NullComm()
@@ -704,9 +731,11 @@ def _run_phase_paired(
     dtype = orig.dtype
     stopping = opts.stopping_relative_change
 
-    def cond(c: _PhaseCarry):
+    def cond(cb):
+        c, bail = cb
         ok = jnp.logical_and(c.i + 2 <= bound, jnp.logical_not(c.done))
         if stopping is not None:
+            ok = jnp.logical_and(ok, jnp.logical_not(bail))
             d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
             d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
             have = jnp.logical_and(c.i >= 2,
@@ -718,7 +747,8 @@ def _run_phase_paired(
                 ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
         return ok
 
-    def body(c: _PhaseCarry):
+    def body(cb):
+        c, _ = cb
         if fista:
             rho1 = tk_ratios[c.i].astype(dtype)
             rho2 = tk_ratios[c.i + 1].astype(dtype)
@@ -802,13 +832,18 @@ def _run_phase_paired(
                 for k in range(1, nd):
                     halos0[f"n_d{k}"] = got_n[base + 1 + k]
             f0, l0 = comm.is_first(0), comm.is_last(0)
-        recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = \
-            fused_pair_iteration(
-                orig, c.recon, c.accs, ds, rho1, rho2, lambda_inv, lam_mu,
-                fista=fista, interpret=interpret,
-                halos0=halos0, first0=f0, last0=l0,
-                halos1=halos1, first1=f1, last1=l1,
-            )
+        with_mse = opts.calculate_mse
+        outs = fused_pair_iteration(
+            orig, c.recon, c.accs, ds, rho1, rho2, lambda_inv, lam_mu,
+            fista=fista, interpret=interpret,
+            halos0=halos0, first0=f0, last0=l0,
+            halos1=halos1, first1=f1, last1=l1,
+            ref=reference_data if with_mse else None,
+        )
+        recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = outs[:9]
+        sse1 = sse2 = None
+        if with_mse:
+            sse1, sse2 = outs[9], outs[10]
         if grid2d:
             from cytvdn_tpu.parallel.pairfix import repair_axis1_seams
 
@@ -822,6 +857,8 @@ def _run_phase_paired(
             dn1 = comm.allsum(dn1) / comm.allsum(dd1)
             dn2 = comm.allsum(dn2) / comm.allsum(dd2)
             dd1 = dd2 = jnp.ones((), jnp.float32)
+            if with_mse:
+                sse1, sse2 = comm.allsum(sse1), comm.allsum(sse2)
         dv1 = (dn1 / dd1).astype(c.delta.dtype)
         dv2 = (dn2 / dd2).astype(c.delta.dtype)
         b_norm = (c.b_norm
@@ -830,26 +867,37 @@ def _run_phase_paired(
         delta_tr = (c.delta
                     .at[c.i].set(dv1)
                     .at[c.i + 1].set(dv2))
-        if stopping is not None:
-            # exact when dv2 crosses (the pair ends at the converging
-            # iteration); a dv1 crossing means the predictive guard was
-            # beaten — latch done and carry the one-extra iteration
-            done = jnp.logical_or(dv1 < stopping, dv2 < stopping)
-        else:
-            done = c.done
-        return _PhaseCarry(
+        mse_tr = c.mse
+        if with_mse:
+            # the K=1 loop records sse AFTER each iteration at mse[i+1]
+            mse_tr = (c.mse
+                      .at[c.i + 1].set(sse1.astype(c.mse.dtype))
+                      .at[c.i + 2].set(sse2.astype(c.mse.dtype)))
+        new_c = _PhaseCarry(
             i=c.i + 2,
-            done=done,
+            done=(jnp.asarray(dv2 < stopping)
+                  if stopping is not None else c.done),
             recon=recon2,
             accs=accs2,
             ds=ds2 if fista else c.ds,
             b_norm=b_norm,
             delta=delta_tr,
-            mse=c.mse,
+            mse=mse_tr,
             tk=c.tk,
         )
+        if stopping is None:
+            return new_c, jnp.zeros((), bool)
+        # dv2 crossing: the pair ends at the converging iteration — exact,
+        # latch done. dv1 crossing: the predictive guard was beaten and the
+        # kernel computed one iteration past the stop — DISCARD the pair
+        # (keep c) and bail; the K=1 finisher redoes from the pre-pair
+        # state with its exact stop check
+        crossed1 = dv1 < stopping
+        return lax.cond(crossed1, lambda: c, lambda: new_c), crossed1
 
-    return lax.while_loop(cond, body, carry)
+    carry, _ = lax.while_loop(cond, body,
+                              (carry, jnp.zeros((), bool)))
+    return carry
 
 
 def _device_oom(err: Exception) -> bool:
@@ -859,9 +907,16 @@ def _device_oom(err: Exception) -> bool:
             or "RESOURCE_EXHAUSTED" in s)
 
 
-def vmem_fallback(opts: SolverOptions, call):
+def vmem_fallback(opts: SolverOptions, call,
+                  knobs=("vmem_resident", "temporal_pairs")):
     """Run ``call(opts)``, degrading kernel choices on device-memory
     compile failures instead of crashing.
+
+    ``knobs`` names the option flags to flip off in order; callers whose
+    context rules a path out entirely should omit its knob (e.g.
+    ``run_sharded`` passes only ``temporal_pairs`` — the resident kernel
+    never engages under a mesh, so flipping ``vmem_resident`` there
+    would waste a full failing recompile on an identical program).
 
     The resident/pair kernels gate themselves on calibrated VMEM/HBM
     budget models (kernels/resident.py::resident_plan,
@@ -869,10 +924,11 @@ def vmem_fallback(opts: SolverOptions, call):
     miscalibrated for an untested shape/compiler combination surfaces as
     a compile-time RESOURCE_EXHAUSTED — this ladder turns each
     multi-iteration kernel off in turn (resident first, then temporal
-    pairs; both are pure throughput choices with bit-identical results)
-    and retries, so the worst case is the K=1 streaming path, not a
-    crash. A genuine can't-fit failure (e.g. HBM on an oversized cube)
-    exhausts the ladder and re-raises."""
+    pairs; all are pure throughput choices with bit-identical results,
+    including under stopping — guard-beaten chunks/pairs are discarded
+    and redone exactly) and retries, so the worst case is the K=1
+    streaming path, not a crash. A genuine can't-fit failure (e.g. HBM
+    on an oversized cube) exhausts the ladder and re-raises."""
     import dataclasses
     import warnings
 
@@ -884,8 +940,7 @@ def vmem_fallback(opts: SolverOptions, call):
             if not _device_oom(e):
                 raise
             knob = next(
-                (k for k in ("vmem_resident", "temporal_pairs")
-                 if getattr(attempt, k)), None)
+                (k for k in knobs if getattr(attempt, k)), None)
             if knob is None:
                 raise
             warnings.warn(
@@ -1093,7 +1148,7 @@ def run_solver(
         if temporal_ok:
             carry = _run_phase_paired(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                opts, t_interpret, i_stop, comm,
+                opts, t_interpret, i_stop, comm, reference_data,
             )
         carry = _run_phase(
             True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,
@@ -1135,7 +1190,7 @@ def run_solver(
         if temporal_ok:
             carry = _run_phase_paired(
                 False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                opts, t_interpret, i_stop2, comm,
+                opts, t_interpret, i_stop2, comm, reference_data,
             )
         carry = _run_phase(
             False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu, opts,

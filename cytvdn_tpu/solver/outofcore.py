@@ -571,6 +571,27 @@ def solve_outofcore_sharded_temporal(
 
     has_ds = n_f > 0  # ds are carried (frozen) through the unacc phase
 
+    # VMEM-gate fallback is handled HERE, not inside run_sharded: a
+    # degraded opts (temporal_pairs flipped off by a miscalibrated pair
+    # plan) is remembered across all 2 x n_slabs x n_sweeps calls, so a
+    # failing compile is paid once — not re-attempted (and re-warned)
+    # on every slab of every sweep
+    run_opts = {"opts": opts_run}
+
+    def run_slab(orig_slab, state, i_stop):
+        from cytvdn_tpu.solver.engine import vmem_fallback
+
+        def call(o):
+            return run_sharded(
+                orig_slab, lambda_inv, lam_mu, o, shard=shard_t,
+                devices=devices, state=state, i_stop=i_stop,
+                keep_state=True, fallback=False), o
+
+        out, used = vmem_fallback(run_opts["opts"], call,
+                                  knobs=("temporal_pairs",))
+        run_opts["opts"] = used
+        return out
+
     def slab_state(si, t):
         lo, hi, _, _ = ext[si]
         sl = slice(lo, hi)
@@ -625,10 +646,7 @@ def solve_outofcore_sharded_temporal(
             state = slab_state(si, t)
             orig_slab = orig[lo:hi]
             if k_t > 1:
-                mid = run_sharded(
-                    orig_slab, lambda_inv, lam_mu, opts_run,
-                    shard=shard_t, devices=devices, state=state,
-                    i_stop=t + k_t - 1, keep_state=True)
+                mid = run_slab(orig_slab, state, i_stop=t + k_t - 1)
                 state2 = {
                     "recon": mid["recon"], "accs": mid["accs"],
                     "ds": mid["ds"], "b_norm": mid["b_norm"],
@@ -640,10 +658,7 @@ def solve_outofcore_sharded_temporal(
             else:
                 state2 = state
                 r_prev = jnp.asarray(state["recon"])
-            out = run_sharded(
-                orig_slab, lambda_inv, lam_mu, opts_run,
-                shard=shard_t, devices=devices, state=state2,
-                i_stop=t + k_t, keep_state=True)
+            out = run_slab(orig_slab, state2, i_stop=t + k_t)
             bn, dn, dd = core_stats(out["recon"], list(out["accs"]),
                                     r_prev, off=off, clen=clen)
             # the float() fetches force the slab's program to complete,

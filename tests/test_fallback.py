@@ -88,8 +88,11 @@ def test_sharded_oom_falls_back(monkeypatch):
     lm = np.full(4, 1 / 32.0, np.float32)
     opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=0,
                          backend=Backend.PALLAS)
-    with pytest.warns(UserWarning, match="fallback"):
+    with pytest.warns(UserWarning, match="temporal_pairs=False") as rec:
         got = run_sharded(cube, li, lm, opts, shard=(4, 1, 1, 1))
+    # the mesh path must NOT waste a failing recompile flipping
+    # vmem_resident (the resident kernel never engages under a mesh)
+    assert not any("vmem_resident" in str(w.message) for w in rec)
     want = run_sharded(cube, li, lm,
                        SolverOptions(ndim=4, iterations_fista=4,
                                      iterations_unacc=0,
@@ -98,3 +101,40 @@ def test_sharded_oom_falls_back(monkeypatch):
                        shard=(4, 1, 1, 1))
     np.testing.assert_array_equal(np.asarray(got["recon"]),
                                   np.asarray(want["recon"]))
+
+
+def test_outofcore_sharded_remembers_degradation(monkeypatch):
+    """The sharded slab sweeps must pay a miscalibrated pair plan's
+    failing compile ONCE, remembering the degraded opts across the
+    2 x n_slabs x n_sweeps run_sharded calls — not re-attempting (and
+    re-warning) per call."""
+    import warnings
+
+    from cytvdn_tpu.solver.outofcore import solve_outofcore_sharded_temporal
+
+    booms = []
+
+    def boom(*a, **k):
+        booms.append(1)
+        raise RuntimeError(_OOM)
+
+    monkeypatch.setattr(TT, "fused_pair_iteration", boom)
+    shape = (12, 4, 32)
+    cube = _cube(shape)
+    mu = np.full(3, 1.0, np.float32)
+    lam = mu / 16.0
+    opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=6,
+                         backend=Backend.PALLAS)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = solve_outofcore_sharded_temporal(
+            cube, (1.0 / lam), (lam / mu), opts, n_slabs=2, temporal_k=3,
+            shard_w=2)
+    fb = [w for w in rec if "temporal_pairs=False" in str(w.message)]
+    assert len(fb) == 1, f"expected one degradation warning, got {len(fb)}"
+    assert len(booms) == 1, f"failing compile attempted {len(booms)} times"
+    from cytvdn_tpu import denoise3D
+
+    want = denoise3D(np.asarray(cube), mu, iterations=(0, 6), FISTA=False,
+                     quiet=True, backend="pallas")
+    np.testing.assert_allclose(out["recon"], want[0], rtol=2e-6, atol=2e-6)

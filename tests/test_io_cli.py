@@ -126,8 +126,9 @@ def test_cli_preset(tmp_path):
     assert rc == 0
     assert read_emd(out).shape == data.shape
 
-    with pytest.raises(KeyError, match="unknown preset"):
-        main(["-i", inp, "-o", out, "-m", "1.0", "--preset", "nope"])
+    # unknown preset: CLI error convention (print + rc 2), not a traceback
+    rc = main(["-i", inp, "-o", out, "-m", "1.0", "--preset", "nope"])
+    assert rc == 2
 
 
 def test_cli_bad_dims(tmp_path, capsys):

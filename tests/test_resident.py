@@ -164,6 +164,49 @@ def test_chunked_runs_ride_resident_chunks(monkeypatch, iters):
                                np.asarray(want["delta"]), rtol=1e-4)
 
 
+def test_resident_chunk_bails_exactly_on_guard_beat():
+    """When delta crosses the stopping threshold mid-chunk — the
+    predictive guard beaten — the chunk must be DISCARDED: the loop
+    returns the pre-chunk carry bit-exactly (state, traces, i, done all
+    unchanged), so the exact stop-checking pair/K=1 phases redo those
+    iterations and the run matches streaming in every case."""
+    from cytvdn_tpu.solver.engine import (_RESIDENT_CHUNK, _PhaseCarry,
+                                          _run_phase_resident)
+
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=7)
+    n = 40
+    assert n >= _RESIDENT_CHUNK + 2
+    # recorded history shows a plateau (d1 = d2 = 1.0 -> r = 1, pred =
+    # 1.0 >= stopping) so the guard lets the chunk run; the ACTUAL
+    # deltas of a fresh TV state are orders of magnitude below
+    # stopping=0.5, so the chunk crosses mid-flight
+    delta = jnp.zeros((n,), jnp.float32).at[0].set(1.0).at[1].set(1.0)
+    carry = _PhaseCarry(
+        i=jnp.int32(2), done=jnp.zeros((), bool),
+        recon=orig + 0.0,
+        accs=tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)),
+        ds=(),
+        b_norm=jnp.zeros((n,), jnp.float32), delta=delta,
+        mse=jnp.zeros((0,), jnp.float32), tk=jnp.float32(1.0),
+    )
+    opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=n,
+                         backend=Backend.PALLAS,
+                         stopping_relative_change=0.5)
+    out = _run_phase_resident(False, n, carry, orig, jnp.zeros((n,)),
+                              li, lm, opts, interpret=True, i_stop=n)
+    assert int(out.i) == 2, "bail must leave i at the chunk start"
+    assert not bool(out.done), "bail must not latch done"
+    np.testing.assert_array_equal(np.asarray(out.recon),
+                                  np.asarray(carry.recon))
+    for a, b in zip(out.accs, carry.accs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out.delta),
+                                  np.asarray(carry.delta))
+    np.testing.assert_array_equal(np.asarray(out.b_norm),
+                                  np.asarray(carry.b_norm))
+
+
 def test_resident_gates():
     """Configs the resident kernel cannot serve must resolve off."""
     ok = dict(ndim=3, iterations_fista=4, iterations_unacc=0,

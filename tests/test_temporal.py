@@ -361,6 +361,84 @@ def test_stop_aware_immediate_stop():
                                   np.asarray(want["recon"]))
 
 
+def test_paired_bails_exactly_on_guard_beat():
+    """When the pair's FIRST delta crosses the threshold — the predictive
+    guard beaten — the pair must be DISCARDED: the loop returns the
+    pre-pair carry bit-exactly (state, traces, i, done all unchanged) so
+    the K=1 finisher redoes those iterations with its exact stop check."""
+    from cytvdn_tpu.solver.engine import _PhaseCarry, _run_phase_paired
+
+    shape = (8, 6, 64)
+    orig, _, _, li, lm = _state(shape, False, seed=7)
+    n = 12
+    # recorded history shows a plateau (d1 = d2 = 1.0 -> pred = 1.0 >=
+    # stopping) so the guard admits a pair; the ACTUAL deltas of a fresh
+    # TV state are far below stopping=0.5, so dv1 crosses immediately
+    delta = jnp.zeros((n,), jnp.float32).at[0].set(1.0).at[1].set(1.0)
+    carry = _PhaseCarry(
+        i=jnp.int32(2), done=jnp.zeros((), bool),
+        recon=orig + 0.0,
+        accs=tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)),
+        ds=(),
+        b_norm=jnp.zeros((n,), jnp.float32), delta=delta,
+        mse=jnp.zeros((0,), jnp.float32), tk=jnp.float32(1.0),
+    )
+    opts = SolverOptions(ndim=3, iterations_fista=0, iterations_unacc=n,
+                         backend=Backend.PALLAS,
+                         stopping_relative_change=0.5)
+    out = _run_phase_paired(False, n, carry, orig, jnp.zeros((n,)),
+                            li, lm, opts, interpret=True, i_stop=n)
+    assert int(out.i) == 2, "bail must leave i at the pair start"
+    assert not bool(out.done), "bail must not latch done"
+    np.testing.assert_array_equal(np.asarray(out.recon),
+                                  np.asarray(carry.recon))
+    for a, b in zip(out.accs, carry.accs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out.delta),
+                                  np.asarray(carry.delta))
+    np.testing.assert_array_equal(np.asarray(out.b_norm),
+                                  np.asarray(carry.b_norm))
+
+
+def test_guard_beat_end_to_end_matches_unpaired():
+    """Full-run equivalence when the guard IS beaten: resuming from a
+    fabricated plateau history (recorded deltas 1.0, actual deltas far
+    below the threshold) the paired engine must discard the crossing
+    pair and stop at the identical iteration with bit-identical recon —
+    the corner the old latch-one-extra-iteration semantics got wrong."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (8, 6, 64)
+    orig, _, _, li, lm = _state(shape, False, seed=9)
+    n = 12
+    base = dict(ndim=3, iterations_fista=0, iterations_unacc=n,
+                backend=Backend.PALLAS, stopping_relative_change=0.5,
+                vmem_resident=False)
+    state = {
+        "recon": orig + 0.0,
+        "accs": tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)),
+        "ds": (),
+        "b_norm": jnp.zeros((n,), jnp.float32),
+        "delta": jnp.zeros((n,), jnp.float32).at[0].set(1.0).at[1]
+        .set(1.0),
+        "i": 2,
+    }
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      state=dict(state))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True),
+                     state=dict(state))
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    assert bool(got["early_stopped"]) and bool(want["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_array_equal(np.asarray(got["delta"]),
+                                  np.asarray(want["delta"]))
+    np.testing.assert_array_equal(np.asarray(got["b_norm"]),
+                                  np.asarray(want["b_norm"]))
+
+
 def test_stop_aware_sharded_pairs():
     """Stop-aware pairing on an axis-0 mesh: same stop iteration and
     ulp-level recon agreement with the unsharded unpaired run."""
@@ -378,6 +456,81 @@ def test_stop_aware_sharded_pairs():
     np.testing.assert_allclose(np.asarray(got["recon"]),
                                np.asarray(want["recon"]),
                                rtol=5e-7, atol=1e-7)
+
+
+@pytest.mark.parametrize("iters", [(8, 0), (0, 8), (5, 4)])
+def test_pair_mse_matches_k1(iters):
+    """Per-iteration MSE rides the pair kernel's SSE reductions (one
+    extra operand at S_D): recon/state exact vs the unpaired run, the
+    mse trace equal to reduction-grouping ulps."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (8, 6, 4, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=11)
+    rng = np.random.default_rng(12)
+    ref = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    base = dict(ndim=4, iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS,
+                calculate_mse=True)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      reference_data=ref)
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True),
+                     reference_data=ref)
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    assert np.all(np.asarray(got["mse"]) > 0)
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               np.asarray(want["mse"]), rtol=1e-5)
+
+
+def test_pair_mse_actually_pairs(monkeypatch):
+    """MSE no longer gates the pair kernel off — the paired loop must
+    receive the reference operand."""
+    import cytvdn_tpu.kernels.temporal as TT
+    from cytvdn_tpu.solver.engine import run_solver
+
+    calls = []
+    real = TT.fused_pair_iteration
+
+    def spy(*a, **k):
+        calls.append(k.get("ref") is not None)
+        return real(*a, **k)
+
+    monkeypatch.setattr(TT, "fused_pair_iteration", spy)
+    shape = (8, 6, 4, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=11)
+    ref = orig + 0.5
+    opts = SolverOptions(ndim=4, iterations_fista=8, iterations_unacc=0,
+                         backend=Backend.PALLAS, calculate_mse=True)
+    run_solver(orig, li, lm, opts, reference_data=ref)
+    assert calls and all(calls)
+
+
+def test_pair_mse_sharded_matches_single():
+    """MSE pairing on an axis-0 mesh: mse trace matches the unsharded
+    unpaired run to psum-grouping ulps; recon at ulp tolerance."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (16, 8, 6, 16)
+    orig, _, _, li, lm = _state(shape, True, seed=13)
+    rng = np.random.default_rng(14)
+    ref = np.asarray(rng.standard_normal(shape), np.float32)
+    base = dict(ndim=4, iterations_fista=10, iterations_unacc=0,
+                backend=Backend.PALLAS, calculate_mse=True)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      reference_data=jnp.asarray(ref))
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      SolverOptions(**base), shard=(4, 1, 1, 1),
+                      reference_data=ref)
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(want["recon"]),
+                               rtol=5e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               np.asarray(want["mse"]), rtol=1e-5)
 
 
 def test_pair_plan_row_floor():
