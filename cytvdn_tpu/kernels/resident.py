@@ -16,15 +16,18 @@ in a persistent VMEM window:
   flushes them once, at the end) — per-iteration HBM traffic is O(1/T);
 - per-iteration traces land in ``(T, 1)`` outputs indexed by ``t``.
 
-Scope: float32, Jia-Zhao, anisotropic; fresh runs (state initialized
+Scope: float32, Jia-Zhao (all BC modes when unfolded), anisotropic and
+half-isotropic pairs (4D, JZ only — the same envelope as the fused
+kernel, reference halfisotropic.pyx:70-82); fresh runs (state initialized
 in-kernel at ``t == 0``: recon ← orig, accumulators ← 0 — the reference's
 init, cyTVDN/cyTVDN.py:131-145) and resumed runs (state enters through
 HBM via ``pltpu.ANY`` + DMA, costing no VMEM windows — used by the
 engine's stop-aware resident chunks). Hybrid schedules run in FISTA mode
 with ``rho = 0`` for the unaccelerated phase — ``b = c + 0·(c − d) = c``
-is the unaccelerated update exactly. MSE stays on the streaming paths;
-early stopping rides chunks + the predictive guard
-(``solver.engine._run_phase_resident``).
+is the unaccelerated update exactly. Per-iteration MSE (reference
+cyTVDN/cyTVDN.py:176-181) holds the reference cube in one extra
+resident window and reduces SSE in-kernel. Early stopping rides chunks
++ the predictive guard (``solver.engine._run_phase_resident``).
 
 Reference baseline: the 3D driver loop, cyTVDN/cyTVDN.py:368-430.
 """
@@ -67,11 +70,14 @@ def _padded_cube_bytes(shape: Tuple[int, ...], itemsize: int) -> int:
 
 
 def resident_plan(shape: Tuple[int, ...], fista: bool, itemsize: int = 4,
-                  n_iters: int = 0):
+                  n_iters: int = 0, with_mse: bool = False,
+                  with_iso: bool = False):
     """Work layout for the resident kernel, or None when the state does
     not fit the VMEM budget. Reuses the fused planner's layout logic
     (4D direct / 3D single / 3D flat-fold) for lane-dense tiling, but
-    with the whole array as one block."""
+    with the whole array as one block. ``with_mse`` charges the
+    resident reference-data window and the fourth trace; ``with_iso``
+    charges the joint projection's magnitude/scale temporaries."""
     plan = _plan(tuple(shape), itemsize)
     if plan is None:
         # the fused planner's block budget is irrelevant here; retry the
@@ -83,30 +89,37 @@ def resident_plan(shape: Tuple[int, ...], fista: bool, itemsize: int = 4,
             return None
     else:
         work, _, flat = plan[0], plan[1], plan[2]
-    n_live = 2 + (2 if fista else 1) * len(shape)
+    n_live = 2 + (2 if fista else 1) * len(shape) + (1 if with_mse else 0)
     padded = _padded_cube_bytes(work, itemsize)
+    temps = _TEMP_BUFFERS + (2 if with_iso else 0)
     # (T,1) trace windows pad their lane dim to 128
-    trace_bytes = 3 * (-(-max(n_iters, 1) // 8) * 8) * 128 * 4
-    if padded * (n_live + _TEMP_BUFFERS) + trace_bytes \
+    trace_bytes = ((4 if with_mse else 3)
+                   * (-(-max(n_iters, 1) // 8) * 8) * 128 * 4)
+    if padded * (n_live + temps) + trace_bytes \
             > _RESIDENT_VMEM_CAP:
         return None
     return work, flat
 
 
 def resident_supported(shape, dtype, bc, fista: bool, n_iters: int = 0,
-                       isotropic_R=False, isotropic_Q=False) -> bool:
+                       isotropic_R=False, isotropic_Q=False,
+                       with_mse: bool = False) -> bool:
     """Whether the resident whole-run kernel covers this config (all
     three BC modes; a folded 3D energy axis is JZ-only, and mirror needs
-    2 elements per axis — the same envelope as the fused kernel)."""
+    2 elements per axis — the same envelope as the fused kernel;
+    half-isotropic pairs are 4D Jia-Zhao only, as in the reference,
+    halfisotropic.pyx:70-82)."""
     from cytvdn_tpu.config import BCMode
 
     if dtype != jnp.float32:
         return False
     if len(shape) not in (3, 4) or shape[0] < 2:
         return False
-    if isotropic_R or isotropic_Q:
+    with_iso = bool(isotropic_R or isotropic_Q)
+    if with_iso and (len(shape) != 4 or bc != BCMode.JIA_ZHAO):
         return False
-    plan = resident_plan(tuple(shape), fista, n_iters=n_iters)
+    plan = resident_plan(tuple(shape), fista, n_iters=n_iters,
+                         with_mse=with_mse, with_iso=with_iso)
     if plan is None:
         return False
     if bc != BCMode.JIA_ZHAO:
@@ -119,7 +132,9 @@ def resident_supported(shape, dtype, bc, fista: bool, n_iters: int = 0,
 
 def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
                           fista: bool, with_state: bool = False,
-                          state_any: bool = False, bc: int = 2):
+                          state_any: bool = False, bc: int = 2,
+                          with_mse: bool = False,
+                          iso_pairs: Tuple[Tuple[int, int], ...] = ()):
     """Kernel body for ``grid=(T,)``.
 
     Per-axis difference semantics are exactly the fused kernel's in-block
@@ -144,6 +159,7 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
         scal = next(it)                         # SMEM (1, 2n)
         rho_ref = next(it)                      # SMEM (1, T), whole
         orig = next(it)                         # whole array, constant
+        mse_ref = next(it) if with_mse else None   # whole, constant
         n_state_in = (1 + (2 if fista else 1) * n_ax) if with_state else 0
         state_ins = [next(it) for _ in range(n_state_in)]
         recon = next(it)                        # OUTPUT window (resident)
@@ -152,6 +168,7 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
         bnorm_out = next(it)                    # VMEM (T, 1), whole
         dnum_out = next(it)
         dden_out = next(it)
+        sse_out = next(it) if with_mse else None
         sem = next(it) if (with_state and state_any) else None
 
         t = pl.program_id(0)
@@ -214,11 +231,26 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
         if flat:
             diffs.append(a - _shift_down_flat(a))
 
+        # dual projection: per-axis clip, or joint L2 for iso pairs —
+        # the exact expressions of kernels/fused.py (joint projection:
+        # reference halfisotropic.pyx:84-95, shared clip cyTVDN.py:160-162)
+        proj = [None] * n_ax
+        for (k1, k2) in iso_pairs:
+            dl1 = diffs[k1] + b_outs[k1][...]
+            dl2 = diffs[k2] + b_outs[k2][...]
+            mag = jnp.sqrt(dl1 * dl1 + dl2 * dl2)
+            clipv = lam_inv[k1]
+            scale = jnp.where(
+                mag > clipv, clipv / jnp.where(mag > 0, mag, 1.0), 1.0)
+            proj[k1] = dl1 * scale
+            proj[k2] = dl2 * scale
+
         b_new = []
         bnorm = jnp.zeros((), jnp.float32)
         for k in range(n_ax):
-            clipped = jnp.clip(diffs[k] + b_outs[k][...],
-                               -lam_inv[k], lam_inv[k])
+            clipped = proj[k] if proj[k] is not None else \
+                jnp.clip(diffs[k] + b_outs[k][...],
+                         -lam_inv[k], lam_inv[k])
             if fista:
                 bk = clipped + rho * (clipped - d_outs[k][...])
                 d_outs[k][...] = clipped
@@ -248,13 +280,16 @@ def _make_resident_kernel(n_ax: int, work_ndim: int, flat: bool,
             jnp.sum(jnp.abs(newr - a)), (1, 1))
         dden_out[pl.ds(t, 1), :] = jnp.reshape(
             jnp.sum(jnp.abs(a)), (1, 1))
+        if with_mse:
+            e = newr - mse_ref[...]
+            sse_out[pl.ds(t, 1), :] = jnp.reshape(jnp.sum(e * e), (1, 1))
 
     return kernel
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_iters", "fista", "interpret",
-                                    "bc"))
+                                    "bc", "iso_r", "iso_q"))
 def resident_solve(
     orig: Array,
     rhos: Array,
@@ -265,6 +300,9 @@ def resident_solve(
     interpret: bool = False,
     state=None,
     bc: int = 2,
+    ref: Optional[Array] = None,
+    iso_r: bool = False,
+    iso_q: bool = False,
 ):
     """Run ``n_iters`` TV iterations entirely in VMEM.
 
@@ -277,15 +315,23 @@ def resident_solve(
     enters through HBM (``pltpu.ANY``) and is DMA'd into the resident
     windows at the first grid step, costing no extra VMEM.
 
-    Returns ``(recon, accs, ds, b_norm, dnum, dden)`` — the traces are
-    length-``n_iters`` float32 vectors (deterministic whole-array
-    reductions; may differ from the streaming kernels' block-grouped
-    sums in the last ulp, as chunking choices are allowed to,
-    CLAUDE.md invariants).
+    ``ref`` (per-iteration MSE runs): the reference datacube, held in
+    one extra resident VMEM window; appends the per-iteration SSE trace
+    to the return tuple.
+
+    Returns ``(recon, accs, ds, b_norm, dnum, dden[, sse])`` — the
+    traces are length-``n_iters`` float32 vectors (deterministic
+    whole-array reductions; may differ from the streaming kernels'
+    block-grouped sums in the last ulp, as chunking choices are allowed
+    to, CLAUDE.md invariants).
     """
     in_shape = orig.shape
     ndim = len(in_shape)
-    plan = resident_plan(in_shape, fista, orig.dtype.itemsize, n_iters)
+    with_mse = ref is not None
+    iso_pairs = tuple(
+        p for p, on in (((0, 1), iso_r), ((2, 3), iso_q)) if on)
+    plan = resident_plan(in_shape, fista, orig.dtype.itemsize, n_iters,
+                         with_mse=with_mse, with_iso=bool(iso_pairs))
     if plan is None:
         raise ValueError(
             f"resident kernel does not support shape {in_shape}")
@@ -314,6 +360,9 @@ def resident_solve(
         whole,
     ]
     inputs = [scal, rho_row, orig_w]
+    if with_mse:
+        in_specs.append(whole)
+        inputs.append(ref.reshape(work))
 
     dt = orig.dtype
     n_state = 1 + (2 if fista else 1) * ndim
@@ -332,16 +381,18 @@ def resident_solve(
         inputs += sins
         for k in range(n_state):
             aliases[base + k] = k
-    out_specs = [whole] * n_state + [trace_spec] * 3
+    n_trace = 4 if with_mse else 3
+    out_specs = [whole] * n_state + [trace_spec] * n_trace
     out_shape = [jax.ShapeDtypeStruct(work, dt)] * n_state
-    out_shape += [jax.ShapeDtypeStruct((n_iters, 1), jnp.float32)] * 3
+    out_shape += [jax.ShapeDtypeStruct((n_iters, 1), jnp.float32)] * n_trace
 
     scratch = [pltpu.SemaphoreType.DMA] if state_any else []
 
     outs = pl.pallas_call(
         _make_resident_kernel(ndim, work_ndim, flat, fista,
                               with_state=with_state, state_any=state_any,
-                              bc=int(bc)),
+                              bc=int(bc), with_mse=with_mse,
+                              iso_pairs=iso_pairs),
         grid=(n_iters,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -361,5 +412,5 @@ def resident_solve(
     accs = tuple(unemb(o) for o in outs[1:1 + ndim])
     ds = tuple(unemb(o) for o in outs[1 + ndim:1 + 2 * ndim]) if fista \
         else None
-    b_norm, dnum, dden = (o[:, 0] for o in outs[n_state:])
-    return recon, accs, ds, b_norm, dnum, dden
+    traces = tuple(o[:, 0] for o in outs[n_state:])
+    return (recon, accs, ds) + traces

@@ -20,6 +20,9 @@ AND 1) executes:
    wrong columns' contributions; a second strip pass with the kernel's
    own (JZ-edge) semantics reproduces those values so each sum is
    adjusted by (correct − kernel-wrong) over exactly the wrong sets.
+   Per-iteration SSE reductions (``ref`` given) are adjusted the same
+   way over the recon wrong sets — the reference columns involved are
+   the shard's own, so no extra exchange is needed.
 
 Wrong-set derivation (per shard of local width m, JZ axis-1 edges):
 iteration-1 duals are wrong only at the axis-1 dual's column 0
@@ -124,20 +127,33 @@ def repair_axis1_seams(
     lambda_inv,
     lam_mu,
     sums,
+    ref: Optional[Array] = None,
+    sse: Optional[Tuple[Array, Array]] = None,
 ):
     """Repair one pair step's axis-1 shard seams.
 
     ``recon0/accs0/ds0`` are the PRE-pair state (the same operands the
     kernel consumed), ``recon2/accs2/ds2`` the kernel's outputs computed
     with JZ axis-1 edges. ``sums = (bn1, dn1, dd1, bn2, dn2, dd2)`` are
-    the kernel's local (pre-psum) reductions. Returns the repaired
-    ``(recon2, accs2, ds2, sums)``.
+    the kernel's local (pre-psum) reductions. With ``ref`` (the shard's
+    reference-data block) and ``sse = (sse1, sse2)`` (the kernel's local
+    per-iteration SSE reductions, reference cyTVDN/cyTVDN.py:176-181),
+    the SSE sums are repaired over the recon wrong sets too. Returns the
+    repaired ``(recon2, accs2, ds2, sums, sse)`` (``sse`` is None when
+    not given).
     """
     from cytvdn_tpu.parallel.halo import MeshComm
 
     ndim = orig.ndim
     fista = ds0 is not None
     m = orig.shape[1]
+    with_sse = ref is not None
+    if with_sse:
+        sse1, sse2 = sse
+
+    def _sq(a, r):
+        d = a.astype(jnp.float32) - r.astype(jnp.float32)
+        return jnp.sum(d * d)
     comm0 = MeshComm({0: comm.axis_names[0]}, comm.bc) \
         if 0 in comm.axis_names else MeshComm({}, comm.bc)
     first1 = comm.is_first(1) > 0
@@ -216,6 +232,14 @@ def repair_axis1_seams(
         _sum_abs(r2R[:, cW] - r1R[:, cW])
         - _sum_abs(r2Rw[:, cW] - r1Rw[:, cW]))
     dd2 = dd2 + corr(_sum_abs(r1R[:, 3:4]) - _sum_abs(r1Rw[:, 3:4]))
+    if with_sse:
+        # r1 wrong at col m-1; r2 wrong at cols {m-2, m-1}
+        ref_m1 = _cols(ref, m - 1, m)
+        ref_cW = _cols(ref, m - 2, m)
+        sse1 = sse1 + corr(_sq(r1R[:, 3:4], ref_m1)
+                           - _sq(r1Rw[:, 3:4], ref_m1))
+        sse2 = sse2 + corr(_sq(r2R[:, cW], ref_cW)
+                           - _sq(r2Rw[:, cW], ref_cW))
 
     # ---- LEFT seam (own first columns {0, 1}; skipped on first1) -------
     oR, oO, oA, oD = own(0, _SW)
@@ -259,5 +283,14 @@ def repair_axis1_seams(
         _sum_abs(r2L[:, cC] - r1L[:, cC])
         - _sum_abs(r2Lw[:, cWn] - r1Lw[:, cWn]))
     dd2 = dd2 + corrL(_sum_abs(r1L[:, 4:5]) - _sum_abs(r1Lw[:, 0:1]))
+    if with_sse:
+        # r1 wrong at col 0; r2 wrong at cols {0, 1}
+        ref_0 = _cols(ref, 0, 1)
+        ref_01 = _cols(ref, 0, 2)
+        sse1 = sse1 + corrL(_sq(r1L[:, 4:5], ref_0)
+                            - _sq(r1Lw[:, 0:1], ref_0))
+        sse2 = sse2 + corrL(_sq(r2L[:, cC], ref_01)
+                            - _sq(r2Lw[:, cWn], ref_01))
 
-    return recon2, accs2, ds2, (bn1, dn1, dd1, bn2, dn2, dd2)
+    return (recon2, accs2, ds2, (bn1, dn1, dd1, bn2, dn2, dd2),
+            (sse1, sse2) if with_sse else None)

@@ -452,9 +452,10 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     K=2 kernel (``kernels/temporal.py``): Jia-Zhao anisotropic float32,
     fixed momentum schedule, on a single device or an axis-0/axis-1 mesh
     (2-row operand-halo bands) or a 2D grid (seam repair). Per-iteration
-    MSE rides the kernel's SSE reductions (one extra operand) except on
-    2D grids. Results are bit-identical to the K=1 kernel, so this is
-    purely a throughput decision.
+    MSE rides the kernel's SSE reductions (one extra operand); on 2D
+    grids the seam repair adjusts the SSE sums over the recon wrong sets
+    (``parallel/pairfix.py``). Results are bit-identical to the K=1
+    kernel, so this is purely a throughput decision.
 
     ``stopping_relative_change`` does NOT disable pairs (the reference's
     canonical converged workflows all set it, reference
@@ -476,10 +477,6 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
             return False  # the left/right seam recomputes need 2 columns
         if split == {0, 1} and shape[1] < 4:
             return False  # the 2D-grid seam-repair strips need 4 columns
-        if split == {0, 1} and opts.calculate_mse:
-            # the 2D-grid seam repair (parallel/pairfix.py) does not yet
-            # adjust the SSE reductions for the repaired columns
-            return False
         halo = bool(split)
     if opts.fista_restart or opts.isotropic_R or opts.isotropic_Q:
         return False
@@ -509,26 +506,30 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
 def _resident_gates(opts: SolverOptions, shape, dtype, comm,
                     n_iters: int) -> Tuple[bool, bool]:
     """Gate ladder shared by the resident kernel's two serving modes
-    (whole-run and chunked): single-device anisotropic float32 pallas
-    runs without MSE / adaptive restart, on a state the kernel's VMEM
-    plan accepts for ``n_iters`` in-kernel iterations (traces included).
-    Returns (use, interpret). Mode-specific gates (stopping, schedule
-    length) live in the two ``_resolve_resident*`` wrappers — keep any
-    new option gate HERE so both modes stay in lockstep."""
+    (whole-run and chunked): single-device float32 pallas runs
+    (anisotropic, or 4D half-isotropic under Jia-Zhao)
+    without adaptive restart, on a state the kernel's VMEM plan
+    accepts for ``n_iters`` in-kernel iterations (traces and the MSE
+    reference window included). Returns (use, interpret). Mode-specific
+    gates (stopping, schedule length) live in the two
+    ``_resolve_resident*`` wrappers — keep any new option gate HERE so
+    both modes stay in lockstep."""
     if not opts.vmem_resident:
         return False, False
     if opts.backend in (Backend.JAX, Backend.CPP):
         return False, False
     if comm is not None and not isinstance(comm, NullComm):
         return False, False
-    if opts.calculate_mse or opts.fista_restart \
-            or opts.isotropic_R or opts.isotropic_Q:
+    if opts.fista_restart:
         return False, False
     from cytvdn_tpu.kernels.resident import resident_supported
 
     if not resident_supported(shape, dtype, opts.bc_mode,
                               fista=opts.iterations_fista > 0,
-                              n_iters=n_iters):
+                              n_iters=n_iters,
+                              isotropic_R=opts.isotropic_R,
+                              isotropic_Q=opts.isotropic_Q,
+                              with_mse=opts.calculate_mse):
         return False, False
     on_tpu = jax.default_backend() == "tpu"
     if opts.backend == Backend.PALLAS:
@@ -591,6 +592,7 @@ def _run_phase_resident(
     opts: SolverOptions,
     interpret: bool,
     i_stop,
+    reference_data: Optional[Array] = None,
 ) -> _PhaseCarry:
     """Advance a stop-aware phase ``_RESIDENT_CHUNK`` iterations at a
     time through the VMEM-resident kernel.
@@ -642,15 +644,24 @@ def _run_phase_resident(
         rhos = (lax.dynamic_slice(rhos_full, (c.i,), (T,)) if fista
                 else jnp.zeros((T,), jnp.float32))
         ds = tuple(c.ds) if fista else None
-        recon, accs, ds_n, bn, dnum, dden = resident_solve(
+        with_mse = opts.calculate_mse
+        routs = resident_solve(
             orig, rhos, lambda_inv, lam_mu, n_iters=T, fista=fista,
             interpret=interpret, state=(c.recon, tuple(c.accs), ds),
             bc=int(opts.bc_mode),
+            ref=reference_data if with_mse else None,
+            iso_r=opts.isotropic_R, iso_q=opts.isotropic_Q,
         )
+        recon, accs, ds_n, bn, dnum, dden = routs[:6]
         deltas = (dnum / dden).astype(c.delta.dtype)
         b_norm = lax.dynamic_update_slice(
             c.b_norm, bn.astype(c.b_norm.dtype), (c.i,))
         delta_tr = lax.dynamic_update_slice(c.delta, deltas, (c.i,))
+        mse_tr = c.mse
+        if with_mse:
+            # the K=1 loop records sse AFTER iteration i at mse[i+1]
+            mse_tr = lax.dynamic_update_slice(
+                c.mse, routs[6].astype(c.mse.dtype), (c.i + 1,))
         new_c = _PhaseCarry(
             i=c.i + T,
             done=c.done,
@@ -659,7 +670,7 @@ def _run_phase_resident(
             ds=ds_n if fista else c.ds,
             b_norm=b_norm,
             delta=delta_tr,
-            mse=c.mse,
+            mse=mse_tr,
             tk=c.tk,
         )
         if stopping is None:
@@ -848,10 +859,15 @@ def _run_phase_paired(
             from cytvdn_tpu.parallel.pairfix import repair_axis1_seams
 
             recon2, accs2, ds2, \
-                (bn1, dn1, dd1, bn2, dn2, dd2) = repair_axis1_seams(
+                (bn1, dn1, dd1, bn2, dn2, dd2), sse_fx = \
+                repair_axis1_seams(
                     comm, orig, c.recon, c.accs, ds, recon2, accs2, ds2,
                     rho1, rho2, lambda_inv, lam_mu,
-                    (bn1, dn1, dd1, bn2, dn2, dd2))
+                    (bn1, dn1, dd1, bn2, dn2, dd2),
+                    ref=reference_data if with_mse else None,
+                    sse=(sse1, sse2) if with_mse else None)
+            if with_mse:
+                sse1, sse2 = sse_fx
         if sharded:
             bn1, bn2 = comm.allsum(bn1), comm.allsum(bn2)
             dn1 = comm.allsum(dn1) / comm.allsum(dd1)
@@ -1068,11 +1084,14 @@ def run_solver(
             rhos = np.zeros((n_total,), np.float64)
             if n_f:
                 rhos[:n_f] = fista_tk_ratios(n_f)[:n_f]
-            recon_r, accs_r, ds_r, bn_r, dnum_r, dden_r = resident_solve(
+            routs = resident_solve(
                 orig, jnp.asarray(rhos, dtype), lambda_inv, lam_mu,
                 n_iters=n_total, fista=bool(n_f), interpret=r_interp,
                 bc=int(opts.bc_mode),
+                ref=reference_data if opts.calculate_mse else None,
+                iso_r=opts.isotropic_R, iso_q=opts.isotropic_Q,
             )
+            recon_r, accs_r, ds_r, bn_r, dnum_r, dden_r = routs[:6]
             out = {
                 "recon": recon_r,
                 "b_norm": bn_r.astype(dtype),
@@ -1080,6 +1099,10 @@ def run_solver(
                 "iterations_run": jnp.asarray(n_total, jnp.int32),
                 "early_stopped": jnp.zeros((), bool),
             }
+            if opts.calculate_mse:
+                sse0 = ops.sum_square_error(orig, reference_data)
+                out["mse"] = jnp.concatenate(
+                    [sse0.reshape(1), routs[6]]).astype(dtype)
             if keep_state:
                 out["accs"] = accs_r
                 out["ds"] = ds_r if (n_f and not n_u) else ()
@@ -1143,7 +1166,7 @@ def run_solver(
         if rc_ok:
             carry = _run_phase_resident(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
-                opts, rc_interpret, i_stop,
+                opts, rc_interpret, i_stop, reference_data,
             )
         if temporal_ok:
             carry = _run_phase_paired(
@@ -1185,7 +1208,7 @@ def run_solver(
         if rc_ok:
             carry = _run_phase_resident(
                 False, n_total, carry, orig, tk_ratios, lambda_inv,
-                lam_mu, opts, rc_interpret, i_stop2,
+                lam_mu, opts, rc_interpret, i_stop2, reference_data,
             )
         if temporal_ok:
             carry = _run_phase_paired(

@@ -126,11 +126,13 @@ def check_vs_ops(shape, bc, iso_r=False, iso_q=False):
     return ok, err
 
 
-def check_pair(shape, iters_f, iters_u, stopping=None):
+def check_pair(shape, iters_f, iters_u, stopping=None, mse=False):
     """Temporally-blocked K=2 kernel vs the K=1 kernel, compiled on the
     same device: full solver runs must agree bit-for-bit on the recon.
     With ``stopping`` set this exercises the stop-aware paired path,
-    which must also stop at the identical iteration."""
+    which must also stop at the identical iteration. With ``mse`` the
+    pair kernel's SSE reductions are compared against the K=1 loop's
+    XLA reduction (reduction-grouping ulps)."""
     import jax
 
     from cytvdn_tpu.config import SolverOptions
@@ -138,6 +140,9 @@ def check_pair(shape, iters_f, iters_u, stopping=None):
 
     ndim = len(shape)
     cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    ref = (jnp.asarray(
+        (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32))
+        if mse else None)
     mu = np.full(ndim, 1.0, np.float32)
     lam = mu / (32.0 if ndim == 4 else 16.0)
     li = jnp.asarray(1.0 / lam)
@@ -147,8 +152,9 @@ def check_pair(shape, iters_f, iters_u, stopping=None):
         opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
                              iterations_unacc=iters_u,
                              stopping_relative_change=stopping,
+                             calculate_mse=mse,
                              temporal_pairs=pairs)
-        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o, ref))
         outs[pairs] = {k: np.asarray(v) for k, v in
                        fn(jnp.asarray(cube), li, lm).items()}
     err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
@@ -156,17 +162,24 @@ def check_pair(shape, iters_f, iters_u, stopping=None):
     err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
     same_stop = (int(outs[True]["iterations_run"])
                  == int(outs[False]["iterations_run"]))
-    ok = err_r == 0.0 and err_t < 1e-5 and same_stop
+    err_m = 0.0
+    if mse:
+        ms_a, ms_b = outs[True]["mse"], outs[False]["mse"]
+        err_m = float(np.max(np.abs(ms_a - ms_b)
+                             / np.maximum(np.abs(ms_b), 1)))
+    ok = err_r == 0.0 and err_t < 1e-5 and err_m < 1e-5 and same_stop
     print(f"{'OK ' if ok else 'FAIL'} pair-vs-k1 {shape} "
-          f"iters=({iters_f},{iters_u}) stop={stopping}: "
+          f"iters=({iters_f},{iters_u}) stop={stopping} mse={mse}: "
           f"recon max {err_r:.2e} bnorm rel {err_t:.2e} "
-          f"iters_run {int(outs[True]['iterations_run'])}"
+          + (f"mse rel {err_m:.2e} " if mse else "")
+          + f"iters_run {int(outs[True]['iterations_run'])}"
           f"{'==' if same_stop else '!='}"
           f"{int(outs[False]['iterations_run'])}", flush=True)
-    return ok, err_r, err_t, int(outs[True]["iterations_run"])
+    return ok, err_r, err_t, err_m, int(outs[True]["iterations_run"])
 
 
-def check_resident(shape, iters_f, iters_u, stopping=None, bc=2):
+def check_resident(shape, iters_f, iters_u, stopping=None, bc=2,
+                   mse=False, iso_r=False, iso_q=False):
     """VMEM-resident paths vs the plain streaming engine path, compiled
     on the same device: recon must agree bit-for-bit. With ``stopping``
     this exercises the full stop-aware ladder (resident chunks with the
@@ -180,6 +193,9 @@ def check_resident(shape, iters_f, iters_u, stopping=None, bc=2):
 
     ndim = len(shape)
     cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    ref = (jnp.asarray(
+        (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32))
+        if mse else None)
     mu = np.full(ndim, 1.0, np.float32)
     lam = mu / (32.0 if ndim == 4 else 16.0)
     li = jnp.asarray(1.0 / lam)
@@ -190,13 +206,16 @@ def check_resident(shape, iters_f, iters_u, stopping=None, bc=2):
         opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
                              iterations_unacc=iters_u, vmem_resident=res,
                              stopping_relative_change=stopping,
-                             temporal_pairs=res, bc_mode=BCMode(bc))
+                             calculate_mse=mse,
+                             isotropic_R=iso_r, isotropic_Q=iso_q,
+                             temporal_pairs=res and not (iso_r or iso_q),
+                             bc_mode=BCMode(bc))
         if res:
             resolve = (_resolve_resident_chunks if stopping is not None
                        else _resolve_resident)
             assert resolve(opts, shape, jnp.float32, None)[0], \
                 "resident gate must accept this config"
-        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o, ref))
         outs[res] = {k: np.asarray(v) for k, v in
                      fn(jnp.asarray(cube), li, lm).items()}
     err_r = float(np.max(np.abs(outs[True]["recon"] - outs[False]["recon"])))
@@ -204,14 +223,20 @@ def check_resident(shape, iters_f, iters_u, stopping=None, bc=2):
     err_t = float(np.max(np.abs(bn_a - bn_b) / np.maximum(np.abs(bn_b), 1)))
     same_stop = (int(outs[True]["iterations_run"])
                  == int(outs[False]["iterations_run"]))
-    ok = err_r == 0.0 and err_t < 1e-5 and same_stop
+    err_m = 0.0
+    if mse:
+        ms_a, ms_b = outs[True]["mse"], outs[False]["mse"]
+        err_m = float(np.max(np.abs(ms_a - ms_b)
+                             / np.maximum(np.abs(ms_b), 1)))
+    ok = err_r == 0.0 and err_t < 1e-5 and err_m < 1e-5 and same_stop
     print(f"{'OK ' if ok else 'FAIL'} resident-vs-streaming {shape} "
-          f"iters=({iters_f},{iters_u}) stop={stopping}: recon max "
-          f"{err_r:.2e} bnorm rel {err_t:.2e} iters_run "
-          f"{int(outs[True]['iterations_run'])}"
+          f"iters=({iters_f},{iters_u}) stop={stopping} mse={mse}: "
+          f"recon max {err_r:.2e} bnorm rel {err_t:.2e} "
+          + (f"mse rel {err_m:.2e} " if mse else "")
+          + f"iters_run {int(outs[True]['iterations_run'])}"
           f"{'==' if same_stop else '!='}"
           f"{int(outs[False]['iterations_run'])}", flush=True)
-    return ok, err_r, err_t
+    return ok, err_r, err_t, err_m
 
 
 if __name__ == "__main__":
@@ -261,36 +286,48 @@ if __name__ == "__main__":
         # the lane-hostile permuted path, and the stop-aware paired path
         # (stopping set: guard + K=1 finisher must stop at the identical
         # iteration with a bit-identical recon)
-        for shape, itf, itu, stop in [
-            ((32, 32, 64, 64), 5, 0, None),
-            ((24, 24, 16, 24), 4, 3, None),
-            ((64, 64, 512), 0, 6, None),
-            ((32, 32, 64, 64), 40, 0, 0.0005),
+        for shape, itf, itu, stop, mse in [
+            ((32, 32, 64, 64), 5, 0, None, False),
+            ((24, 24, 16, 24), 4, 3, None, False),
+            ((64, 64, 512), 0, 6, None, False),
+            ((32, 32, 64, 64), 40, 0, 0.0005, False),
+            ((32, 32, 64, 64), 6, 0, None, True),   # SSE reductions
         ]:
-            good, er, et, itr = check_pair(shape, itf, itu, stop)
+            good, er, et, em, itr = check_pair(shape, itf, itu, stop, mse)
             ok &= good
             results["pair_vs_k1"].append({
                 "shape": list(shape), "iters": [itf, itu],
-                "stopping": stop, "iterations_run": itr,
-                "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
+                "stopping": stop, "mse": mse, "iterations_run": itr,
+                "recon_max_abs_diff": er, "bnorm_rel_diff": et,
+                "mse_rel_diff": em, "ok": good,
             })
         # compiled VMEM-resident whole-run kernel vs the streaming path
         # (incl. the BASELINE cfg1 shape — its raison d'être), plus the
         # stop-aware resident-chunk ladder (HBM-DMA state path)
-        for shape, itf, itu, stop, bc in [
-            ((64, 64, 512), 0, 8, None, 2),
-            ((64, 64, 512), 8, 0, None, 2),
-            ((16, 16, 24, 24), 4, 3, None, 2),
-            ((64, 64, 512), 0, 120, 1e-3, 2),
-            ((64, 64, 512), 6, 0, None, 0),     # periodic, resident
-            ((64, 64, 512), 6, 0, None, 1),     # corrected mirror
+        for shape, itf, itu, stop, bc, mse, iso in [
+            ((64, 64, 512), 0, 8, None, 2, False, (False, False)),
+            ((64, 64, 512), 8, 0, None, 2, False, (False, False)),
+            ((16, 16, 24, 24), 4, 3, None, 2, False, (False, False)),
+            ((64, 64, 512), 0, 120, 1e-3, 2, False, (False, False)),
+            # periodic, then corrected mirror
+            ((64, 64, 512), 6, 0, None, 0, False, (False, False)),
+            ((64, 64, 512), 6, 0, None, 1, False, (False, False)),
+            # SSE reductions (unacc: the FISTA state + ref window would
+            # exceed the VMEM cap at this shape — the gate rejects it)
+            ((64, 64, 512), 0, 6, None, 2, True, (False, False)),
+            # half-isotropic pairs (joint L2 projection in-kernel)
+            ((16, 16, 24, 24), 4, 2, None, 2, False, (True, True)),
         ]:
-            good, er, et = check_resident(shape, itf, itu, stop, bc)
+            good, er, et, em = check_resident(shape, itf, itu, stop, bc,
+                                              mse, iso_r=iso[0],
+                                              iso_q=iso[1])
             ok &= good
             results["resident_vs_streaming"].append({
                 "shape": list(shape), "iters": [itf, itu],
-                "stopping": stop, "bc": bc,
-                "recon_max_abs_diff": er, "bnorm_rel_diff": et, "ok": good,
+                "stopping": stop, "bc": bc, "mse": mse,
+                "iso": list(iso),
+                "recon_max_abs_diff": er, "bnorm_rel_diff": et,
+                "mse_rel_diff": em, "ok": good,
             })
         results["all_ok"] = bool(ok)
         out = os.path.join(os.path.dirname(_HERE), "TPU_FUSED_PARITY.json")

@@ -56,6 +56,72 @@ def test_resident_matches_streaming(shape, iters):
                                np.asarray(want["delta"]), rtol=1e-4)
 
 
+@pytest.mark.parametrize("iters", [(6, 0), (0, 6), (3, 4)])
+def test_resident_mse_matches_streaming(iters):
+    """Per-iteration MSE rides the resident kernel (reference cube in
+    one extra VMEM window): recon exact, mse trace equal to
+    reduction-grouping ulps vs the streaming K=1 MSE loop."""
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=23)
+    rng = np.random.default_rng(24)
+    ref = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    base = dict(ndim=3, iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS,
+                calculate_mse=True)
+    opts_r = SolverOptions(**base, vmem_resident=True,
+                           temporal_pairs=False)
+    assert _resolve_resident(opts_r, shape, jnp.float32, None)[0], \
+        "the resident gate must accept MSE configs"
+    got = run_solver(orig, li, lm, opts_r, reference_data=ref)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False,
+                                    temporal_pairs=False),
+                      reference_data=ref)
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    assert np.all(np.asarray(got["mse"]) > 0)
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               np.asarray(want["mse"]), rtol=1e-5)
+
+
+def test_resident_chunks_mse(monkeypatch):
+    """Stop-aware resident chunks record the mse trace too — and the
+    chunks must actually run (spy), not silently fall back."""
+    from cytvdn_tpu.kernels import resident as RR
+
+    calls = []
+    real = RR.resident_solve
+
+    def spy(*a, **k):
+        calls.append(k.get("ref") is not None)
+        return real(*a, **k)
+
+    monkeypatch.setattr(RR, "resident_solve", spy)
+    # engine imports resident_solve inside the function body from the
+    # module, so patching the module attribute is enough
+    shape = (8, 6, 64)
+    orig, li, lm = _state(shape, seed=29)
+    rng = np.random.default_rng(30)
+    ref = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    base = dict(ndim=3, iterations_fista=40, iterations_unacc=0,
+                backend=Backend.PALLAS, calculate_mse=True,
+                stopping_relative_change=1e-8)
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, vmem_resident=True,
+                                   temporal_pairs=False),
+                     reference_data=ref)
+    assert calls and all(calls), "resident chunks must run with ref"
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False,
+                                    temporal_pairs=False),
+                      reference_data=ref)
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               np.asarray(want["mse"]), rtol=1e-5)
+
+
 def test_resident_keep_state_matches():
     """keep_state outputs (accs/ds) must match the streaming path."""
     shape = (8, 6, 64)
@@ -226,13 +292,16 @@ def test_resident_gates():
                                     BCMode.PERIODIC, fista=True)
     for bad in (
         dict(stopping_relative_change=0.01),
-        dict(calculate_mse=True),
         dict(fista_restart=True),
         dict(vmem_resident=False),
         dict(backend=Backend.JAX),
     ):
         assert not _resolve_resident(
             SolverOptions(**{**ok, **bad}), shape, dt, None)[0], bad
+    # MSE resolves ON since late round 3 (ref cube in one extra window)
+    assert _resolve_resident(
+        SolverOptions(**{**ok, "calculate_mse": True}), shape, dt,
+        None)[0]
     # a mesh comm gates off
     comm = type("C", (), {"split_axes": (0,)})()
     assert not _resolve_resident(SolverOptions(**ok), shape, dt, comm)[0]
@@ -242,6 +311,51 @@ def test_resident_gates():
     # the BASELINE cfg1 shape must be IN budget (the whole point)
     assert R.resident_supported((64, 64, 512), jnp.float32,
                                 BCMode.JIA_ZHAO, fista=False)
+
+
+@pytest.mark.parametrize("iso_kw,iters", [
+    (dict(isotropic_R=True), (4, 0)),
+    (dict(isotropic_Q=True), (0, 4)),
+    (dict(isotropic_R=True, isotropic_Q=True), (3, 2)),
+])
+def test_resident_iso_matches_streaming(iso_kw, iters):
+    """Half-isotropic pairs through the resident kernel (joint L2
+    projection, reference halfisotropic.pyx:84-95) must match the
+    streaming fused path bit-for-bit on the recon."""
+    shape = (6, 4, 6, 16)
+    orig, li, lm = _state(shape, seed=41)
+    base = dict(ndim=4, iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS,
+                **iso_kw)
+    opts_r = SolverOptions(**base, vmem_resident=True,
+                           temporal_pairs=False)
+    assert _resolve_resident(opts_r, shape, jnp.float32, None)[0], \
+        "the resident gate must accept 4D JZ iso configs"
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, vmem_resident=False,
+                                    temporal_pairs=False))
+    got = run_solver(orig, li, lm, opts_r)
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["b_norm"]),
+                               np.asarray(want["b_norm"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-4)
+
+
+def test_resident_iso_gates():
+    """Iso configs resolve on only for 4D Jia-Zhao (the fused kernel's
+    envelope, reference halfisotropic.pyx:70-82)."""
+    ok4 = dict(ndim=4, iterations_fista=4, iterations_unacc=0,
+               backend=Backend.PALLAS, isotropic_R=True)
+    assert _resolve_resident(
+        SolverOptions(**ok4), (6, 4, 6, 16), jnp.float32, None)[0]
+    assert not R.resident_supported((6, 4, 6, 16), jnp.float32,
+                                    BCMode.PERIODIC, fista=True,
+                                    isotropic_R=True)
+    assert not R.resident_supported((8, 6, 64), jnp.float32,
+                                    BCMode.JIA_ZHAO, fista=True,
+                                    isotropic_R=True)
 
 
 @pytest.mark.parametrize("bc", [BCMode.PERIODIC, BCMode.MIRROR])

@@ -265,7 +265,6 @@ def test_temporal_gates():
         SolverOptions(**{**ok, "stopping_relative_change": 0.01}),
         shape, dt, None)
     for bad in (
-        dict(calculate_mse=True),
         dict(fista_restart=True),
         dict(isotropic_R=True),
         dict(bc_mode=BCMode.PERIODIC),
@@ -274,6 +273,10 @@ def test_temporal_gates():
     ):
         assert not _resolve_temporal(
             SolverOptions(**{**ok, **bad}), shape, dt, None), bad
+    # MSE resolves ON since late round 3 (in-kernel SSE reductions;
+    # 2D-grid meshes repair the SSE sums in parallel/pairfix.py)
+    assert _resolve_temporal(
+        SolverOptions(**{**ok, "calculate_mse": True}), shape, dt, None)
 
 
 def _stop_case(shape, iters, seed, stop_at, **opt_kw):
@@ -525,6 +528,44 @@ def test_pair_mse_sharded_matches_single():
                       reference_data=jnp.asarray(ref))
     got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
                       SolverOptions(**base), shard=(4, 1, 1, 1),
+                      reference_data=ref)
+    np.testing.assert_allclose(np.asarray(got["recon"]),
+                               np.asarray(want["recon"]),
+                               rtol=5e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got["mse"]),
+                               np.asarray(want["mse"]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("shard,shape,iters", [
+    ((2, 2, 1, 1), (8, 8, 6, 16), (8, 0)),   # FISTA 2D grid
+    ((2, 2, 1), (8, 8, 64), (0, 6)),         # 3D unaccelerated
+    ((2, 4, 1, 1), (8, 16, 6, 16), (5, 2)),  # hybrid, odd pair count
+])
+def test_pair_mse_sharded_2d_grid_matches_single(shard, shape, iters):
+    """MSE pairing on a 2D device grid: the seam repair must adjust the
+    kernel's SSE reductions over the recon wrong sets
+    (parallel/pairfix.py), so the mse trace matches the unsharded
+    unpaired run to psum-grouping ulps."""
+    from cytvdn_tpu.parallel.sharded import run_sharded
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(shape)
+    orig, _, _, li, lm = _state(shape, True, seed=17)
+    rng = np.random.default_rng(18)
+    ref = np.asarray(rng.standard_normal(shape), np.float32)
+    base = dict(ndim=ndim, iterations_fista=iters[0],
+                iterations_unacc=iters[1],
+                backend=Backend.PALLAS, calculate_mse=True)
+    local = tuple(s // w for s, w in zip(shape, shard))
+    from cytvdn_tpu.solver.engine import _resolve_temporal
+    assert _resolve_temporal(
+        SolverOptions(**base), local, jnp.float32,
+        type("C", (), {"split_axes": (0, 1)})())
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      reference_data=jnp.asarray(ref))
+    got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
+                      SolverOptions(**base), shard=shard,
                       reference_data=ref)
     np.testing.assert_allclose(np.asarray(got["recon"]),
                                np.asarray(want["recon"]),
