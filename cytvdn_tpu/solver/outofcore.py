@@ -136,6 +136,18 @@ def _make_step():
     return step
 
 
+def _host_sse(a: np.ndarray, b: np.ndarray) -> float:
+    """SSE over host arrays, float64-accumulated in row chunks (no
+    cube-size float64 temporary; agrees with the engine's on-device
+    float32 tree sums within the trace tolerance)."""
+    tot = 0.0
+    for lo in range(0, a.shape[0], 8):
+        d = (a[lo:lo + 8].astype(np.float64)
+             - b[lo:lo + 8].astype(np.float64)).ravel()
+        tot += float(np.dot(d, d))
+    return tot
+
+
 def _slab_bounds(n0: int, n_slabs: int):
     """Balanced split of ``n0`` rows into ``n_slabs`` contiguous slabs
     (sizes differ by at most one — a greedy ceil split can leave an
@@ -157,11 +169,17 @@ def solve_outofcore(
     lam_mu: np.ndarray,
     opts: SolverOptions,
     n_slabs: int,
+    reference: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Run the full schedule with host-resident state, streaming slabs.
 
     Requirements: float32, Jia-Zhao BCs, anisotropic axes (the fused
     kernel's domain); each slab must have ≥2 rows.
+
+    ``reference`` (with ``opts.calculate_mse``): per-iteration SSE vs the
+    host-resident reference cube (reference cyTVDN/cyTVDN.py:176-181),
+    accumulated per slab at write-back — ``mse[0]`` is the input's SSE,
+    ``mse[i+1]`` the SSE after iteration ``i`` (the in-core layout).
     """
     import jax
     import jax.numpy as jnp
@@ -195,6 +213,10 @@ def solve_outofcore(
     ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
+    with_mse = opts.calculate_mse and reference is not None
+    mse = np.zeros(n_total + 1, np.float32) if with_mse else None
+    if with_mse:
+        mse[0] = _host_sse(orig, reference)
 
     li = jnp.asarray(lambda_inv.astype(np.float32))
     lm = jnp.asarray(lam_mu.astype(np.float32))
@@ -260,11 +282,28 @@ def solve_outofcore(
     def iteration(fista: bool, tk_ratio: float):
         """One full sweep over the slabs, software-pipelined: slab i+1
         transfers in while slab i computes and slab i-1 streams back.
-        Returns (bnorm, delta)."""
+        Returns (bnorm, delta, sse)."""
         bnorm_tot = dnum_tot = dden_tot = 0.0
+        sse_tot = 0.0
         tk = jnp.asarray(np.float32(tk_ratio))
         dev = load_slab(0, fista, None)
         pending = None  # (slice, out tuple) awaiting write-back
+
+        def write_back(psl, pout):
+            nonlocal bnorm_tot, dnum_tot, dden_tot, sse_tot
+            recon_new, accs_new, ds_new, bnorm, dnum, dden = pout
+            rn = np.asarray(recon_new)
+            recon[psl] = rn
+            if with_mse:
+                sse_tot += _host_sse(rn, reference[psl])
+            for k in range(ndim):
+                accs[k][psl] = np.asarray(accs_new[k])
+                if fista:
+                    ds[k][psl] = np.asarray(ds_new[k])
+            bnorm_tot += float(bnorm)
+            dnum_tot += float(dnum)
+            dden_tot += float(dden)
+
         for si in range(len(bounds)):
             a0, a1 = bounds[si]
             out = step(
@@ -277,34 +316,18 @@ def solve_outofcore(
                 # enqueue the next slab's transfers while this one computes
                 dev = load_slab(si + 1, fista, prev_last_old)
             if pending is not None:
-                psl, pout = pending
-                recon_new, accs_new, ds_new, bnorm, dnum, dden = pout
-                recon[psl] = np.asarray(recon_new)
-                for k in range(ndim):
-                    accs[k][psl] = np.asarray(accs_new[k])
-                    if fista:
-                        ds[k][psl] = np.asarray(ds_new[k])
-                bnorm_tot += float(bnorm)
-                dnum_tot += float(dnum)
-                dden_tot += float(dden)
+                write_back(*pending)
             pending = (slice(a0, a1), out)
-        psl, pout = pending
-        recon_new, accs_new, ds_new, bnorm, dnum, dden = pout
-        recon[psl] = np.asarray(recon_new)
-        for k in range(ndim):
-            accs[k][psl] = np.asarray(accs_new[k])
-            if fista:
-                ds[k][psl] = np.asarray(ds_new[k])
-        bnorm_tot += float(bnorm)
-        dnum_tot += float(dnum)
-        dden_tot += float(dden)
+        write_back(*pending)
         # all-zero input: match the in-core 0/0 -> NaN instead of raising
         delta_tot = dnum_tot / dden_tot if dden_tot else float("nan")
-        return bnorm_tot, delta_tot
+        return bnorm_tot, delta_tot, sse_tot
 
     for i in range(n_f):
-        b_norm[i], delta[i] = iteration(True, float(tk_ratios[i]))
+        b_norm[i], delta[i], sse_i = iteration(True, float(tk_ratios[i]))
         it_run = i + 1
+        if with_mse:
+            mse[i + 1] = sse_i
         if stopping is not None and delta[i] < stopping:
             stopped = True
             break
@@ -312,19 +335,24 @@ def solve_outofcore(
         stopped = False  # second phase runs regardless (reference behavior)
     for j in range(n_u):
         i = j + n_f
-        b_norm[i], delta[i] = iteration(False, 0.0)
+        b_norm[i], delta[i], sse_i = iteration(False, 0.0)
         it_run = i + 1
+        if with_mse:
+            mse[i + 1] = sse_i
         if stopping is not None and delta[i] < stopping:
             stopped = True
             break
 
-    return {
+    out = {
         "recon": recon,
         "b_norm": b_norm,
         "delta": delta,
         "iterations_run": np.int32(it_run),
         "early_stopped": np.bool_(stopped),
     }
+    if with_mse:
+        out["mse"] = mse
+    return out
 
 
 def solve_outofcore_temporal(
@@ -334,6 +362,7 @@ def solve_outofcore_temporal(
     opts: SolverOptions,
     n_slabs: int,
     temporal_k: int,
+    reference: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Out-of-core solve with temporal blocking: ``temporal_k`` iterations
     per slab residency.
@@ -349,14 +378,18 @@ def solve_outofcore_temporal(
     ``b_norm``/``delta`` traces carry true values only at sweep-final
     iterations (zeros between), and early stopping is evaluated at sweep
     granularity — a run that would stop mid-sweep runs to the sweep end.
-    Sweeps never cross the FISTA→unaccelerated phase boundary.
+    Per-iteration MSE (``reference``) follows the same cadence: SSE is
+    recorded at sweep-final iterations only (intermediate states are
+    never materialized host-side). Sweeps never cross the
+    FISTA→unaccelerated phase boundary.
     """
     import jax
 
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if temporal_k <= 1:
-        return solve_outofcore(orig, lambda_inv, lam_mu, opts, n_slabs)
+        return solve_outofcore(orig, lambda_inv, lam_mu, opts, n_slabs,
+                               reference=reference)
     if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
         raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
     orig = np.ascontiguousarray(orig)
@@ -394,6 +427,10 @@ def solve_outofcore_temporal(
     ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
+    with_mse = opts.calculate_mse and reference is not None
+    mse = np.zeros(n_total + 1, np.float32) if with_mse else None
+    if with_mse:
+        mse[0] = _host_sse(orig, reference)
 
     import jax.numpy as jnp
 
@@ -471,16 +508,21 @@ def solve_outofcore_temporal(
             it_run += k_t
             b_norm[it_run - 1] = bn
             delta[it_run - 1] = dl
+            if with_mse:
+                mse[it_run] = _host_sse(recon, reference)
             if stopping is not None and dl < stopping:
                 stopped = True
 
-    return {
+    out = {
         "recon": recon,
         "b_norm": b_norm,
         "delta": delta,
         "iterations_run": np.int32(it_run),
         "early_stopped": np.bool_(stopped),
     }
+    if with_mse:
+        out["mse"] = mse
+    return out
 
 
 def solve_outofcore_sharded_temporal(
@@ -492,6 +534,7 @@ def solve_outofcore_sharded_temporal(
     temporal_k: int,
     shard_w: int = 0,
     devices=None,
+    reference: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Out-of-core solve with each resident slab SHARDED over the local
     devices: the BASELINE config-5 deployment shape (512²×256² on a
@@ -560,6 +603,10 @@ def solve_outofcore_sharded_temporal(
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
     zeros_tr = np.zeros(n_total, np.float32)
+    with_mse = opts.calculate_mse and reference is not None
+    mse = np.zeros(n_total + 1, np.float32) if with_mse else None
+    if with_mse:
+        mse[0] = _host_sse(orig, reference)
 
     @functools.partial(jax.jit, static_argnames=("off", "clen"))
     def core_stats(r, a_list, r_prev, off, clen):
@@ -687,16 +734,23 @@ def solve_outofcore_sharded_temporal(
             it_run = t
             b_norm[it_run - 1] = bn
             delta[it_run - 1] = dl
+            if with_mse:
+                # sweep-final cadence, like the traces (the temporal-mode
+                # semantics deviation documented above)
+                mse[it_run] = _host_sse(recon, reference)
             if stopping is not None and dl < stopping:
                 stopped = True
 
-    return {
+    out = {
         "recon": recon,
         "b_norm": b_norm,
         "delta": delta,
         "iterations_run": np.int32(it_run),
         "early_stopped": np.bool_(stopped),
     }
+    if with_mse:
+        out["mse"] = mse
+    return out
 
 
 def denoise_outofcore(
@@ -711,6 +765,7 @@ def denoise_outofcore(
     temporal_k: int = 1,
     shard_w: int = 1,
     devices=None,
+    reference_data: Optional[np.ndarray] = None,
 ):
     """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
 
@@ -724,7 +779,10 @@ def denoise_outofcore(
     while its 4 chips split each slab); ``shard_w=0`` uses all local
     devices. See :func:`solve_outofcore_sharded_temporal`.
 
-    Returns ``(recon, b_norm, delta)`` like :func:`cytvdn_tpu.denoise`.
+    Returns ``(recon, b_norm, delta)`` like :func:`cytvdn_tpu.denoise`,
+    plus the ``mse`` trace when ``reference_data`` is given (per
+    iteration in the streaming mode; sweep-final cadence under temporal
+    blocking, like the traces).
     """
     from cytvdn_tpu.api import _validate_and_derive
 
@@ -739,19 +797,31 @@ def denoise_outofcore(
               f"memory per slab (host holds the full "
               f"{datacube.nbytes * n_state / 2**30:.1f} GiB state)")
     n_f, n_u = normalize_iterations(iterations, FISTA)
+    with_mse = reference_data is not None
+    if with_mse:
+        reference_data = np.ascontiguousarray(reference_data,
+                                              dtype=np.float32)
+        if reference_data.shape != datacube.shape:
+            raise ValueError("reference_data shape mismatch")
     opts = SolverOptions(
         ndim=ndim,
         iterations_fista=n_f,
         iterations_unacc=n_u,
         stopping_relative_change=stopping_relative_change,
+        calculate_mse=with_mse,
     )
     if shard_w != 1:
         out = solve_outofcore_sharded_temporal(
             datacube, lambda_inv, lam_mu, opts, n_slabs,
-            max(temporal_k, 1), shard_w=shard_w, devices=devices)
+            max(temporal_k, 1), shard_w=shard_w, devices=devices,
+            reference=reference_data)
     elif temporal_k > 1:
         out = solve_outofcore_temporal(datacube, lambda_inv, lam_mu, opts,
-                                       n_slabs, temporal_k)
+                                       n_slabs, temporal_k,
+                                       reference=reference_data)
     else:
-        out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs)
+        out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs,
+                              reference=reference_data)
+    if with_mse:
+        return out["recon"], out["b_norm"], out["delta"], out["mse"]
     return out["recon"], out["b_norm"], out["delta"]

@@ -46,6 +46,59 @@ def test_outofcore_matches_incore_3d_early_stop():
         np.testing.assert_allclose(g, w, rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.parametrize("fista", [True, False])
+def test_outofcore_mse_matches_incore(fista):
+    """Per-iteration MSE in the streaming out-of-core mode must match
+    the in-core trace (host float64-chunk accumulation vs the engine's
+    on-device float32 sums — trace tolerance)."""
+    cube = _cube((10, 6, 8, 16))
+    ref = _cube((10, 6, 8, 16))
+    mu = np.full(4, 1.0, np.float32)
+    want = denoise4D(cube, mu, iterations=5, FISTA=fista, quiet=True,
+                     backend="pallas", reference_data=ref)
+    got = denoise_outofcore(cube, mu, iterations=5, FISTA=fista,
+                            n_slabs=3, reference_data=ref)
+    assert len(got) == 4
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-5)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
+
+
+def test_outofcore_mse_temporal_sweep_final():
+    """Temporal blocking records SSE at sweep-final iterations only
+    (zeros between), matching the in-core per-iteration trace at those
+    indices — the same cadence as the b_norm/delta traces."""
+    cube = _cube((12, 8, 16))
+    ref = _cube((12, 8, 16))
+    mu = np.full(3, 1.0, np.float32)
+    want = denoise3D(cube, mu, iterations=6, FISTA=False, quiet=True,
+                     backend="pallas", reference_data=ref)
+    got = denoise_outofcore(cube, mu, iterations=6, FISTA=False,
+                            n_slabs=2, temporal_k=3, reference_data=ref)
+    assert len(got) == 4
+    np.testing.assert_allclose(got[3][0], want[3][0], rtol=1e-5)
+    for i in (3, 6):  # sweep-final indices
+        np.testing.assert_allclose(got[3][i], want[3][i], rtol=1e-5)
+    assert got[3][1] == 0.0 and got[3][2] == 0.0  # between sweeps
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
+
+
+def test_outofcore_mse_sharded_temporal():
+    """The sharded out-of-core mode's sweep-final MSE matches the
+    in-core trace at sweep boundaries."""
+    cube = _cube((12, 8, 16))
+    ref = _cube((12, 8, 16))
+    mu = np.full(3, 1.0, np.float32)
+    want = denoise3D(cube, mu, iterations=4, FISTA=True, quiet=True,
+                     backend="pallas", reference_data=ref)
+    got = denoise_outofcore(cube, mu, iterations=4, FISTA=True,
+                            n_slabs=2, temporal_k=2, shard_w=2,
+                            reference_data=ref)
+    assert len(got) == 4
+    for i in (0, 2, 4):
+        np.testing.assert_allclose(got[3][i], want[3][i], rtol=1e-5)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
+
+
 def test_outofcore_rejects_unsupported():
     cube = _cube((8, 6, 8))
     with pytest.raises(ValueError):
