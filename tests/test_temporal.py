@@ -700,17 +700,29 @@ def test_pair_fuzz_sharded_2d_grid(monkeypatch, seed):
         monkeypatch.setattr(T, "_PAIR_BLOCK_CAP", 16384)
     n_f = int(rng.integers(1, 5))
     n_u = int(rng.integers(0, 3))
+    with_mse = bool(rng.choice([False, True]))
+    ref = (jnp.asarray(
+        rng.standard_normal(shape).astype(np.float32)) if with_mse
+        else None)
     orig, _, _, li, lm = _state(shape, True, seed=seed)
     opts = SolverOptions(ndim=ndim, iterations_fista=n_f,
-                         iterations_unacc=n_u, backend=Backend.PALLAS)
+                         iterations_unacc=n_u, backend=Backend.PALLAS,
+                         calculate_mse=with_mse)
     shard = (w0, w1) + (1,) * (ndim - 2)
-    single = run_solver(orig, li, lm, opts)
+    single = run_solver(orig, li, lm, opts, ref)
     got = run_sharded(np.asarray(orig), np.asarray(li), np.asarray(lm),
-                      opts, shard=shard)
+                      opts, shard=shard,
+                      reference_data=(np.asarray(ref) if with_mse
+                                      else None))
     np.testing.assert_allclose(
         np.asarray(got["recon"]), np.asarray(single["recon"]),
         rtol=5e-7, atol=1e-7,
         err_msg=f"{shape} shard={shard} iters=({n_f},{n_u})")
+    if with_mse:
+        np.testing.assert_allclose(
+            np.asarray(got["mse"]), np.asarray(single["mse"]),
+            rtol=1e-5,
+            err_msg=f"mse {shape} shard={shard} iters=({n_f},{n_u})")
 
 
 def test_sharded_pairs_axis1_flat_fold(monkeypatch):
