@@ -259,13 +259,11 @@ def main(argv=None) -> int:
             except ValueError:
                 bad.append("--shard (out-of-core takes a device COUNT or "
                            "'auto', not a per-axis tiling)")
-        if args.checkpoint or args.checkpoint_every:
-            bad.append("--checkpoint*")
         if args.dtype != "float32":
             bad.append("--dtype")
         if bad:
             print(f"error: --out-of-core does not support {', '.join(bad)} "
-                  "(Jia-Zhao anisotropic float32, no checkpoint)",
+                  "(Jia-Zhao anisotropic float32)",
                   file=sys.stderr)
             return 2
         from cytvdn_tpu.solver.outofcore import denoise_outofcore
@@ -274,6 +272,8 @@ def main(argv=None) -> int:
             data, mu, lam=lam, iterations=iterations, FISTA=bool(args.fista),
             stopping_relative_change=args.stop, n_slabs=args.out_of_core,
             temporal_k=args.temporal, shard_w=shard_w, quiet=not verbose,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every, resume=args.resume,
         )
     elif args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded

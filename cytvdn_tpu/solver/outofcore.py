@@ -136,6 +136,58 @@ def _make_step():
     return step
 
 
+def _ckpt_meta(opts: SolverOptions, shape, mode: str) -> Dict:
+    """Schedule/geometry fingerprint stored in out-of-core checkpoints —
+    a resume against a different schedule would silently misinterpret
+    the saved iteration index (same rule as utils.checkpoint)."""
+    return {
+        "shape": list(shape), "ndim": opts.ndim,
+        "iterations_fista": opts.iterations_fista,
+        "iterations_unacc": opts.iterations_unacc,
+        "stopping": opts.stopping_relative_change,
+        "bc_mode": int(opts.bc_mode),
+        "mode": mode,
+    }
+
+
+def _ckpt_resume(path, resume: bool, meta: Dict, shape):
+    """Load-and-validate an out-of-core checkpoint, or None."""
+    from cytvdn_tpu.utils.checkpoint import checkpoint_exists, load_state
+
+    if not (resume and checkpoint_exists(path)):
+        return None
+    state, ck_meta = load_state(path)
+    if state is None:
+        return None
+    if ck_meta["shape"] != list(shape):
+        raise ValueError(
+            f"checkpoint shape {ck_meta['shape']} does not match input "
+            f"{list(shape)}")
+    for k, v in meta.items():
+        if k != "shape" and ck_meta.get(k, v) != v:
+            raise ValueError(
+                f"checkpoint {k}={ck_meta.get(k)!r} does not match the "
+                f"requested run's {k}={v!r}")
+    return state
+
+
+def _ckpt_save(path, meta, it_run, recon, accs, ds, b_norm, delta, mse,
+               stopped: bool):
+    """Atomic full-state save of a host-resident out-of-core run."""
+    from cytvdn_tpu.utils.checkpoint import save_state
+
+    save_state(path, {
+        "recon": recon,
+        "accs": tuple(accs),
+        "ds": tuple(ds) if ds else (),
+        "b_norm": b_norm,
+        "delta": delta,
+        "mse": mse if mse is not None else np.zeros(0, np.float32),
+        "i": np.int32(it_run),
+        "early_stopped": bool(stopped),
+    }, meta)
+
+
 def _host_sse(a: np.ndarray, b: np.ndarray) -> float:
     """SSE over host arrays, float64-accumulated in row chunks (no
     cube-size float64 temporary; agrees with the engine's on-device
@@ -170,6 +222,9 @@ def solve_outofcore(
     opts: SolverOptions,
     n_slabs: int,
     reference: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Run the full schedule with host-resident state, streaming slabs.
 
@@ -180,6 +235,12 @@ def solve_outofcore(
     host-resident reference cube (reference cyTVDN/cyTVDN.py:176-181),
     accumulated per slab at write-back — ``mse[0]`` is the input's SSE,
     ``mse[i+1]`` the SSE after iteration ``i`` (the in-core layout).
+
+    ``checkpoint_path``/``checkpoint_every``/``resume``: atomic
+    full-state saves every N iterations (utils.checkpoint format) and
+    bit-exact resume — the longest-running execution mode gets the same
+    failure recovery as the in-core paths. Resuming a completed or
+    early-stopped run is an idempotent no-op.
     """
     import jax
     import jax.numpy as jnp
@@ -218,12 +279,32 @@ def solve_outofcore(
     if with_mse:
         mse[0] = _host_sse(orig, reference)
 
+    ck_meta = _ckpt_meta(opts, orig.shape, "stream") \
+        if checkpoint_path else None
+    start = 0
+    resumed_stop = False
+    if checkpoint_path:
+        st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
+        if st is not None:
+            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
+            accs = [np.ascontiguousarray(a, dtype=np.float32)
+                    for a in st["accs"]]
+            if n_f:
+                ds = [np.ascontiguousarray(d, dtype=np.float32)
+                      for d in st["ds"]]
+            b_norm[:] = st["b_norm"]
+            delta[:] = st["delta"]
+            if with_mse and np.asarray(st["mse"]).size == mse.size:
+                mse[:] = st["mse"]
+            start = int(st["i"])
+            resumed_stop = bool(st.get("early_stopped", False))
+
     li = jnp.asarray(lambda_inv.astype(np.float32))
     lm = jnp.asarray(lam_mu.astype(np.float32))
 
     interpret = jax.default_backend() != "tpu"
-    it_run = 0
-    stopped = False
+    it_run = start
+    stopped = resumed_stop
     step = _make_step()
     put = jax.device_put
 
@@ -323,25 +404,42 @@ def solve_outofcore(
         delta_tot = dnum_tot / dden_tot if dden_tot else float("nan")
         return bnorm_tot, delta_tot, sse_tot
 
-    for i in range(n_f):
-        b_norm[i], delta[i], sse_i = iteration(True, float(tk_ratios[i]))
-        it_run = i + 1
-        if with_mse:
-            mse[i + 1] = sse_i
-        if stopping is not None and delta[i] < stopping:
-            stopped = True
-            break
-    if n_u:
-        stopped = False  # second phase runs regardless (reference behavior)
-    for j in range(n_u):
-        i = j + n_f
-        b_norm[i], delta[i], sse_i = iteration(False, 0.0)
-        it_run = i + 1
-        if with_mse:
-            mse[i + 1] = sse_i
-        if stopping is not None and delta[i] < stopping:
-            stopped = True
-            break
+    def maybe_save(done: bool):
+        # periodic saves record early_stopped=False — only the terminal
+        # save may mark a run resumable-as-finished (a phase-1 stop with
+        # a pending unaccelerated phase is NOT terminal)
+        if not checkpoint_path:
+            return
+        if done or (checkpoint_every > 0
+                    and it_run % checkpoint_every == 0):
+            _ckpt_save(checkpoint_path, ck_meta, it_run, recon, accs,
+                       ds if n_f else None, b_norm, delta, mse,
+                       done and stopped)
+
+    if not (resumed_stop or start >= n_total):
+        for i in range(start, n_f):
+            b_norm[i], delta[i], sse_i = iteration(
+                True, float(tk_ratios[i]))
+            it_run = i + 1
+            if with_mse:
+                mse[i + 1] = sse_i
+            if stopping is not None and delta[i] < stopping:
+                stopped = True
+                break
+            maybe_save(False)
+        if n_u:
+            stopped = False  # second phase runs regardless (reference)
+        for j in range(max(start - n_f, 0), n_u):
+            i = j + n_f
+            b_norm[i], delta[i], sse_i = iteration(False, 0.0)
+            it_run = i + 1
+            if with_mse:
+                mse[i + 1] = sse_i
+            if stopping is not None and delta[i] < stopping:
+                stopped = True
+                break
+            maybe_save(False)
+        maybe_save(True)
 
     out = {
         "recon": recon,
@@ -363,6 +461,9 @@ def solve_outofcore_temporal(
     n_slabs: int,
     temporal_k: int,
     reference: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Out-of-core solve with temporal blocking: ``temporal_k`` iterations
     per slab residency.
@@ -389,7 +490,10 @@ def solve_outofcore_temporal(
 
     if temporal_k <= 1:
         return solve_outofcore(orig, lambda_inv, lam_mu, opts, n_slabs,
-                               reference=reference)
+                               reference=reference,
+                               checkpoint_path=checkpoint_path,
+                               checkpoint_every=checkpoint_every,
+                               resume=resume)
     if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
         raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
     orig = np.ascontiguousarray(orig)
@@ -431,6 +535,26 @@ def solve_outofcore_temporal(
     mse = np.zeros(n_total + 1, np.float32) if with_mse else None
     if with_mse:
         mse[0] = _host_sse(orig, reference)
+
+    ck_meta = _ckpt_meta(opts, orig.shape, f"temporal{K}") \
+        if checkpoint_path else None
+    start = 0
+    resumed_stop = False
+    if checkpoint_path:
+        st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
+        if st is not None:
+            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
+            accs = [np.ascontiguousarray(a, dtype=np.float32)
+                    for a in st["accs"]]
+            if n_f:
+                ds = [np.ascontiguousarray(d, dtype=np.float32)
+                      for d in st["ds"]]
+            b_norm[:] = st["b_norm"]
+            delta[:] = st["delta"]
+            if with_mse and np.asarray(st["mse"]).size == mse.size:
+                mse[:] = st["mse"]
+            start = int(st["i"])
+            resumed_stop = bool(st.get("early_stopped", False))
 
     import jax.numpy as jnp
 
@@ -491,16 +615,22 @@ def solve_outofcore_temporal(
                 ds[k][sl] = np.asarray(d_out[k][off:off + clen])
         return bn_t + float(bn), dn_t + float(dn), dd_t + float(dd)
 
-    it_run = 0
-    stopped = False
+    it_run = start
+    stopped = resumed_stop
+    next_save = ((start // checkpoint_every + 1) * checkpoint_every
+                 if checkpoint_path and checkpoint_every > 0 else None)
+    base = 0
     for fista, count, tks_phase in (
         (True, n_f, tk_all), (False, n_u, np.zeros(n_u, np.float32))
     ):
+        if resumed_stop or start >= n_total:
+            break
         if not count:
             continue
         if not fista:
             stopped = False  # second phase runs regardless (reference)
-        t = 0
+        t = min(max(start - base, 0), count)
+        base += count
         while t < count and not stopped:
             k_t = min(K, count - t)
             bn, dl = sweep(fista, tks_phase[t:t + k_t])
@@ -512,6 +642,15 @@ def solve_outofcore_temporal(
                 mse[it_run] = _host_sse(recon, reference)
             if stopping is not None and dl < stopping:
                 stopped = True
+            elif next_save is not None and it_run >= next_save:
+                _ckpt_save(checkpoint_path, ck_meta, it_run, recon, accs,
+                           ds if n_f else None, b_norm, delta, mse,
+                           False)
+                next_save = (it_run // checkpoint_every + 1) \
+                    * checkpoint_every
+    if checkpoint_path and not (resumed_stop or start >= n_total):
+        _ckpt_save(checkpoint_path, ck_meta, it_run, recon, accs,
+                   ds if n_f else None, b_norm, delta, mse, stopped)
 
     out = {
         "recon": recon,
@@ -535,6 +674,9 @@ def solve_outofcore_sharded_temporal(
     shard_w: int = 0,
     devices=None,
     reference: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Out-of-core solve with each resident slab SHARDED over the local
     devices: the BASELINE config-5 deployment shape (512²×256² on a
@@ -607,6 +749,26 @@ def solve_outofcore_sharded_temporal(
     mse = np.zeros(n_total + 1, np.float32) if with_mse else None
     if with_mse:
         mse[0] = _host_sse(orig, reference)
+
+    ck_meta = _ckpt_meta(opts, orig.shape, f"sharded_temporal{K}") \
+        if checkpoint_path else None
+    start = 0
+    resumed_stop = False
+    if checkpoint_path:
+        st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
+        if st is not None:
+            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
+            accs = [np.ascontiguousarray(a, dtype=np.float32)
+                    for a in st["accs"]]
+            if n_f:
+                ds = [np.ascontiguousarray(d, dtype=np.float32)
+                      for d in st["ds"]]
+            b_norm[:] = st["b_norm"]
+            delta[:] = st["delta"]
+            if with_mse and np.asarray(st["mse"]).size == mse.size:
+                mse[:] = st["mse"]
+            start = int(st["i"])
+            resumed_stop = bool(st.get("early_stopped", False))
 
     @functools.partial(jax.jit, static_argnames=("off", "clen"))
     def core_stats(r, a_list, r_prev, off, clen):
@@ -719,14 +881,18 @@ def solve_outofcore_sharded_temporal(
         _writeback(*pending)
         return bn_t, (dn_t / dd_t if dd_t else float("nan"))
 
-    it_run = 0
-    stopped = False
+    it_run = start
+    stopped = resumed_stop
+    next_save = ((start // checkpoint_every + 1) * checkpoint_every
+                 if checkpoint_path and checkpoint_every > 0 else None)
     for fista, count, base_t in ((True, n_f, 0), (False, n_u, n_f)):
+        if resumed_stop or start >= n_total:
+            break
         if not count:
             continue
         if not fista:
             stopped = False  # second phase runs regardless (reference)
-        t = base_t
+        t = min(max(start, base_t), base_t + count)
         while t < base_t + count and not stopped:
             k_t = min(K, base_t + count - t)
             bn, dl = sweep(t, k_t)
@@ -740,6 +906,15 @@ def solve_outofcore_sharded_temporal(
                 mse[it_run] = _host_sse(recon, reference)
             if stopping is not None and dl < stopping:
                 stopped = True
+            elif next_save is not None and it_run >= next_save:
+                _ckpt_save(checkpoint_path, ck_meta, it_run, recon, accs,
+                           ds if n_f else None, b_norm, delta, mse,
+                           False)
+                next_save = (it_run // checkpoint_every + 1) \
+                    * checkpoint_every
+    if checkpoint_path and not (resumed_stop or start >= n_total):
+        _ckpt_save(checkpoint_path, ck_meta, it_run, recon, accs,
+                   ds if n_f else None, b_norm, delta, mse, stopped)
 
     out = {
         "recon": recon,
@@ -766,6 +941,9 @@ def denoise_outofcore(
     shard_w: int = 1,
     devices=None,
     reference_data: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ):
     """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
 
@@ -810,18 +988,20 @@ def denoise_outofcore(
         stopping_relative_change=stopping_relative_change,
         calculate_mse=with_mse,
     )
+    ck = dict(checkpoint_path=checkpoint_path,
+              checkpoint_every=checkpoint_every, resume=resume)
     if shard_w != 1:
         out = solve_outofcore_sharded_temporal(
             datacube, lambda_inv, lam_mu, opts, n_slabs,
             max(temporal_k, 1), shard_w=shard_w, devices=devices,
-            reference=reference_data)
+            reference=reference_data, **ck)
     elif temporal_k > 1:
         out = solve_outofcore_temporal(datacube, lambda_inv, lam_mu, opts,
                                        n_slabs, temporal_k,
-                                       reference=reference_data)
+                                       reference=reference_data, **ck)
     else:
         out = solve_outofcore(datacube, lambda_inv, lam_mu, opts, n_slabs,
-                              reference=reference_data)
+                              reference=reference_data, **ck)
     if with_mse:
         return out["recon"], out["b_norm"], out["delta"], out["mse"]
     return out["recon"], out["b_norm"], out["delta"]

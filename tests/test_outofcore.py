@@ -99,6 +99,112 @@ def test_outofcore_mse_sharded_temporal():
     np.testing.assert_allclose(got[0], want[0], rtol=2e-6, atol=2e-6)
 
 
+class TestOutOfCoreCheckpoint:
+    """Failure recovery for the longest-running execution mode: atomic
+    full-state saves + bit-exact resume (reference has none, SURVEY §5)."""
+
+    def _kill_after_first_save(self, monkeypatch):
+        import cytvdn_tpu.solver.outofcore as O
+
+        real = O._ckpt_save
+        calls = []
+
+        def killing(*a, **kw):
+            real(*a, **kw)
+            calls.append(1)
+            if len(calls) == 1:
+                raise KeyboardInterrupt  # kill right after the save lands
+
+        monkeypatch.setattr(O, "_ckpt_save", killing)
+        return lambda: monkeypatch.setattr(O, "_ckpt_save", real)
+
+    def test_stream_kill_resume_bitexact(self, tmp_path, monkeypatch):
+        cube = _cube((10, 6, 8, 16))
+        mu = np.full(4, 1.0, np.float32)
+        want = denoise_outofcore(cube, mu, iterations=(4, 3), n_slabs=2)
+        ck = str(tmp_path / "ooc.npz")
+        restore = self._kill_after_first_save(monkeypatch)
+        with pytest.raises(KeyboardInterrupt):
+            denoise_outofcore(cube, mu, iterations=(4, 3), n_slabs=2,
+                              checkpoint_path=ck, checkpoint_every=2)
+        restore()
+        got = denoise_outofcore(cube, mu, iterations=(4, 3), n_slabs=2,
+                                checkpoint_path=ck, checkpoint_every=2,
+                                resume=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_temporal_kill_resume_bitexact(self, tmp_path, monkeypatch):
+        cube = _cube((12, 8, 16))
+        mu = np.full(3, 1.0, np.float32)
+        want = denoise_outofcore(cube, mu, iterations=8, FISTA=False,
+                                 n_slabs=2, temporal_k=2)
+        ck = str(tmp_path / "ooct.npz")
+        restore = self._kill_after_first_save(monkeypatch)
+        with pytest.raises(KeyboardInterrupt):
+            denoise_outofcore(cube, mu, iterations=8, FISTA=False,
+                              n_slabs=2, temporal_k=2,
+                              checkpoint_path=ck, checkpoint_every=2)
+        restore()
+        got = denoise_outofcore(cube, mu, iterations=8, FISTA=False,
+                                n_slabs=2, temporal_k=2,
+                                checkpoint_path=ck, checkpoint_every=2,
+                                resume=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_sharded_temporal_checkpointed_matches(self, tmp_path):
+        cube = _cube((12, 8, 16))
+        mu = np.full(3, 1.0, np.float32)
+        want = denoise_outofcore(cube, mu, iterations=(4, 2), n_slabs=2,
+                                 temporal_k=2, shard_w=2)
+        ck = str(tmp_path / "oocs.npz")
+        got = denoise_outofcore(cube, mu, iterations=(4, 2), n_slabs=2,
+                                temporal_k=2, shard_w=2,
+                                checkpoint_path=ck, checkpoint_every=2)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, rtol=2e-6, atol=2e-6)
+        # resuming a completed run is an idempotent no-op
+        again = denoise_outofcore(cube, mu, iterations=(4, 2), n_slabs=2,
+                                  temporal_k=2, shard_w=2,
+                                  checkpoint_path=ck, checkpoint_every=2,
+                                  resume=True)
+        for g, a in zip(got, again):
+            np.testing.assert_array_equal(g, a)
+
+    def test_schedule_mismatch_rejected(self, tmp_path):
+        cube = _cube((10, 6, 16))
+        mu = np.full(3, 1.0, np.float32)
+        ck = str(tmp_path / "oocm.npz")
+        denoise_outofcore(cube, mu, iterations=4, FISTA=False, n_slabs=2,
+                          checkpoint_path=ck, checkpoint_every=2)
+        with pytest.raises(ValueError, match="does not match"):
+            denoise_outofcore(cube, mu, iterations=6, FISTA=False,
+                              n_slabs=2, checkpoint_path=ck,
+                              checkpoint_every=2, resume=True)
+
+    def test_mse_survives_resume(self, tmp_path, monkeypatch):
+        cube = _cube((10, 6, 16))
+        ref = _cube((10, 6, 16))
+        mu = np.full(3, 1.0, np.float32)
+        want = denoise_outofcore(cube, mu, iterations=6, FISTA=False,
+                                 n_slabs=2, reference_data=ref)
+        ck = str(tmp_path / "oocmse.npz")
+        restore = self._kill_after_first_save(monkeypatch)
+        with pytest.raises(KeyboardInterrupt):
+            denoise_outofcore(cube, mu, iterations=6, FISTA=False,
+                              n_slabs=2, reference_data=ref,
+                              checkpoint_path=ck, checkpoint_every=2)
+        restore()
+        got = denoise_outofcore(cube, mu, iterations=6, FISTA=False,
+                                n_slabs=2, reference_data=ref,
+                                checkpoint_path=ck, checkpoint_every=2,
+                                resume=True)
+        assert len(got) == 4
+        np.testing.assert_array_equal(got[3], want[3])
+        np.testing.assert_array_equal(got[0], want[0])
+
+
 def test_outofcore_rejects_unsupported():
     cube = _cube((8, 6, 8))
     with pytest.raises(ValueError):
