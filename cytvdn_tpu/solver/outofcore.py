@@ -136,6 +136,12 @@ def _make_step():
     return step
 
 
+#: test hook — called with ``it_run`` after each COMPLETED checkpoint
+#: save (post-barrier in multihost mode, so killing here leaves a
+#: consistent generation on every process)
+_POST_CKPT_HOOK = None
+
+
 def _ckpt_meta(opts: SolverOptions, shape, mode: str) -> Dict:
     """Schedule/geometry fingerprint stored in out-of-core checkpoints —
     a resume against a different schedule would silently misinterpret
@@ -922,6 +928,354 @@ def solve_outofcore_sharded_temporal(
         "delta": delta,
         "iterations_run": np.int32(it_run),
         "early_stopped": np.bool_(stopped),
+    }
+    if with_mse:
+        out["mse"] = mse
+    return out
+
+
+def solve_outofcore_multihost(
+    orig_local: np.ndarray,
+    lambda_inv: np.ndarray,
+    lam_mu: np.ndarray,
+    opts: SolverOptions,
+    n_slabs: int,
+    temporal_k: int,
+    global_rows: Tuple[int, int, int],
+    shard_w: int = 0,
+    devices=None,
+    reference_local: Optional[np.ndarray] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> Dict[str, np.ndarray]:
+    """MULTI-HOST out-of-core solve: each process streams ITS OWN axis-0
+    row range of the host-resident state, sharding each resident slab
+    over its local chips — the full config-5 deployment shape on a real
+    pod slice (a v5e-16 spans multiple hosts, each holding a slice of
+    the ~640 GiB state in its own RAM; reference analog: the MPI ranks'
+    row-range ownership, mpi.py:130-153).
+
+    ``orig_local`` holds only this process's rows; ``global_rows =
+    (g0, g1, n0)`` declares the owned range and the global axis-0
+    extent (ranges must tile [0, n0) in process order — validated by an
+    allgather).
+
+    Mechanics: because a TV iteration reads only iteration-``t`` state
+    (Jacobi-style — the serial sweep's deferred write-back preserves
+    exactly this), the cross-process coupling per sweep is ONE exchange
+    of the K-row pre-sweep boundary bands of every state array
+    (``multihost_utils.process_allgather``). Each process keeps K ghost
+    rows per interior edge, refreshed at sweep start, and sweeps its own
+    slabs with K-row margins exactly like
+    :func:`solve_outofcore_sharded_temporal` (the margins' boundary
+    light cone never reaches the core; ghost rows are never written).
+    ``b_norm``/``delta``/SSE partials are allgather-summed, so every
+    process computes the identical sweep-granular stop decision (the
+    multi-host control-flow invariant).
+
+    Checkpointing saves one self-contained part per process
+    (``path.ooc<p>`` — no shared filesystem needed) with a
+    cross-process generation agreement check on resume: a mixed set
+    (crash mid-save) is collectively discarded and the run restarts
+    fresh, the same recovery utils.checkpoint uses.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from cytvdn_tpu.parallel.sharded import run_sharded
+
+    if opts.bc_mode != BCMode.JIA_ZHAO or opts.isotropic_R or opts.isotropic_Q:
+        raise ValueError("out-of-core mode covers Jia-Zhao anisotropic runs")
+    orig_local = np.ascontiguousarray(orig_local)
+    if orig_local.dtype != np.float32:
+        raise ValueError("out-of-core mode requires float32 data")
+    g0, g1, n0 = (int(v) for v in global_rows)
+    m = g1 - g0
+    if orig_local.shape[0] != m:
+        raise ValueError(
+            f"orig_local has {orig_local.shape[0]} rows; global_rows "
+            f"declares {m}")
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    # every process must declare a range; together they must tile [0, n0)
+    ranges = multihost_utils.process_allgather(
+        np.asarray([g0, g1], np.int64))
+    ranges = np.asarray(ranges).reshape(nproc, 2)
+    expect = 0
+    for q in range(nproc):
+        if int(ranges[q, 0]) != expect:
+            raise ValueError(
+                f"process ranges {ranges.tolist()} do not tile [0, {n0}) "
+                f"in process order")
+        expect = int(ranges[q, 1])
+    if expect != n0:
+        raise ValueError(
+            f"process ranges {ranges.tolist()} do not cover [0, {n0})")
+
+    devices = tuple(devices if devices is not None
+                    else jax.local_devices())
+    if shard_w <= 0:
+        shard_w = len(devices)
+    if orig_local.shape[1] % shard_w:
+        raise ValueError(
+            f"axis-1 extent {orig_local.shape[1]} not divisible by "
+            f"{shard_w} devices")
+    ndim = opts.ndim
+    K = int(temporal_k)
+    bounds = _slab_bounds(m, n_slabs)
+    min_core = min(b - a for a, b in bounds)
+    if K > min_core or K > m:
+        raise ValueError(
+            f"temporal_k={K} exceeds the smallest local slab core "
+            f"({min_core} rows of {m}); use fewer slabs or a smaller "
+            f"temporal_k")
+    tg = K if g0 > 0 else 0          # top ghost rows (from process pid-1)
+    bg = K if g1 < n0 else 0         # bottom ghost rows (from pid+1)
+    rest = orig_local.shape[1:]
+
+    def padded():
+        return np.zeros((tg + m + bg,) + rest, np.float32)
+
+    own = slice(tg, tg + m)
+    # padded row r is global row g0 - tg + r
+    ext = [(max(tg + a - K, 0), min(tg + b + K, tg + m + bg), a, b)
+           for a, b in bounds]
+
+    n_f, n_u = opts.iterations_fista, opts.iterations_unacc
+    n_total = n_f + n_u
+    stopping = opts.stopping_relative_change
+    import dataclasses
+
+    opts_run = dataclasses.replace(opts, stopping_relative_change=None,
+                                   calculate_mse=False)
+    shard_t = (1, shard_w) + (1,) * (ndim - 2)
+
+    orig_p = padded()
+    orig_p[own] = orig_local
+    recon = padded()
+    recon[own] = orig_local
+    accs = [padded() for _ in range(ndim)]
+    ds = [padded() for _ in range(ndim)] if n_f else None
+    has_ds = n_f > 0
+    b_norm = np.zeros(n_total, np.float32)
+    delta = np.zeros(n_total, np.float32)
+    zeros_tr = np.zeros(n_total, np.float32)
+    with_mse = opts.calculate_mse and reference_local is not None
+    mse = np.zeros(n_total + 1, np.float32) if with_mse else None
+
+    def gsum(*vals) -> Tuple[float, ...]:
+        got = multihost_utils.process_allgather(
+            np.asarray(vals, np.float64))
+        return tuple(float(s) for s in np.asarray(got).sum(axis=0))
+
+    if with_mse:
+        mse[0] = gsum(_host_sse(orig_local, reference_local))[0]
+
+    state_arrays = [recon] + accs + (ds if has_ds else [])
+
+    def exchange(arrays):
+        """Refresh ghost rows from the neighbors' pre-sweep bands: ONE
+        allgather of every array's head+tail K rows."""
+        if nproc == 1:
+            return
+        send = np.stack([np.concatenate([x[tg:tg + K],
+                                         x[tg + m - K:tg + m]])
+                         for x in arrays])          # (n_arr, 2K, *rest)
+        got = np.asarray(multihost_utils.process_allgather(send))
+        if tg:
+            for i, x in enumerate(arrays):
+                x[:tg] = got[pid - 1, i, K:]        # left neighbor's tail
+        if bg:
+            for i, x in enumerate(arrays):
+                x[tg + m:] = got[pid + 1, i, :K]    # right neighbor's head
+
+    exchange([orig_p])  # orig is constant: ghost rows fetched once
+
+    ck_meta = None
+    start = 0
+    resumed_stop = False
+    ck_path_p = f"{checkpoint_path}.ooc{pid}" if checkpoint_path else None
+    if checkpoint_path:
+        ck_meta = {**_ckpt_meta(opts, orig_local.shape,
+                                f"multihost_temporal{K}"),
+                   "proc": pid, "nproc": nproc,
+                   "grows": [g0, g1, n0]}
+        st = _ckpt_resume(ck_path_p, resume, ck_meta, orig_local.shape)
+        have = np.asarray([1 if st is not None else 0,
+                           int(st["i"]) if st is not None else -1],
+                          np.int64)
+        allst = np.asarray(multihost_utils.process_allgather(have))
+        # all processes must hold the SAME generation; otherwise discard
+        # collectively (every process sees the same allgather and takes
+        # the same branch)
+        if int(allst[:, 0].min()) == 1 \
+                and int(allst[:, 1].min()) == int(allst[:, 1].max()):
+            recon[own] = np.asarray(st["recon"], np.float32)
+            for k in range(ndim):
+                accs[k][own] = np.asarray(st["accs"][k], np.float32)
+                if has_ds:
+                    ds[k][own] = np.asarray(st["ds"][k], np.float32)
+            b_norm[:] = st["b_norm"]
+            delta[:] = st["delta"]
+            if with_mse and np.asarray(st["mse"]).size == mse.size:
+                mse[:] = st["mse"]
+            start = int(st["i"])
+            resumed_stop = bool(st.get("early_stopped", False))
+        elif int(allst[:, 0].max()) == 1 and st is not None:
+            import warnings
+
+            warnings.warn(
+                "multihost out-of-core checkpoint parts disagree or are "
+                "incomplete — discarding and restarting fresh",
+                stacklevel=2)
+
+    def save(it_now, terminal_stop):
+        _ckpt_save(ck_path_p, ck_meta, it_now, recon[own],
+                   [a[own] for a in accs],
+                   [d[own] for d in ds] if has_ds else None,
+                   b_norm, delta, mse, terminal_stop)
+        # no process may treat this generation as resumable until every
+        # part of it exists
+        multihost_utils.sync_global_devices("cytv_ooc_ckpt_saved")
+        if _POST_CKPT_HOOK is not None:
+            _POST_CKPT_HOOK(it_now)
+
+    @functools.partial(jax.jit, static_argnames=("off", "clen"))
+    def core_stats(r, a_list, r_prev, off, clen):
+        bn = jnp.zeros((), jnp.float32)
+        for a_k in a_list:
+            bn = bn + jnp.sum(jnp.abs(a_k[off:off + clen]))
+        rc, rp = r[off:off + clen], r_prev[off:off + clen]
+        return bn, jnp.sum(jnp.abs(rc - rp)), jnp.sum(jnp.abs(rp))
+
+    run_opts = {"opts": opts_run}
+
+    def run_slab(orig_slab, state, i_stop):
+        from cytvdn_tpu.solver.engine import vmem_fallback
+
+        def call(o):
+            return run_sharded(
+                orig_slab, lambda_inv, lam_mu, o, shard=shard_t,
+                devices=devices, state=state, i_stop=i_stop,
+                keep_state=True, fallback=False), o
+
+        out, used = vmem_fallback(run_opts["opts"], call,
+                                  knobs=("temporal_pairs",))
+        run_opts["opts"] = used
+        return out
+
+    def slab_state(si, t):
+        lo, hi, _, _ = ext[si]
+        sl = slice(lo, hi)
+
+        def dual_slab(a):
+            v = a[sl]
+            if g0 - tg + lo > 0:
+                # JZ zero-slab restoration keyed on the GLOBAL position
+                # (solve_outofcore_sharded_temporal's scheme): a slab
+                # whose first padded row is global row 0 keeps the true
+                # zero slab; any other zeroes its local row 0 so the
+                # engine's trailing-edge wrap reads an exact 0
+                v = v.copy()
+                v[0] = 0.0
+            return v
+
+        return {
+            "recon": recon[sl],
+            "accs": tuple(dual_slab(a) for a in accs),
+            "ds": tuple(dual_slab(d) for d in ds) if has_ds else (),
+            "b_norm": zeros_tr,
+            "delta": zeros_tr,
+            "mse": np.zeros((0,), np.float32),
+            "i": np.int32(t),
+            "tk": np.float32(1.0),
+        }
+
+    def _writeback(si, out):
+        lo, hi, a0, a1 = ext[si]
+        off, clen = (tg + a0) - lo, a1 - a0
+        sl = slice(tg + a0, tg + a1)
+        recon[sl] = np.asarray(out["recon"][off:off + clen])
+        for kx in range(ndim):
+            accs[kx][sl] = np.asarray(out["accs"][kx][off:off + clen])
+            if has_ds:
+                ds[kx][sl] = np.asarray(out["ds"][kx][off:off + clen])
+
+    def sweep(t: int, k_t: int):
+        exchange(state_arrays)  # pre-sweep bands into the ghost rows
+        bn_t = dn_t = dd_t = 0.0
+        pending = None  # deferred write-back, same discipline as 1-proc
+        for si in range(len(bounds)):
+            lo, hi, a0, a1 = ext[si]
+            off, clen = (tg + a0) - lo, a1 - a0
+            state = slab_state(si, t)
+            orig_slab = orig_p[lo:hi]
+            if k_t > 1:
+                mid = run_slab(orig_slab, state, i_stop=t + k_t - 1)
+                state2 = {
+                    "recon": mid["recon"], "accs": mid["accs"],
+                    "ds": mid["ds"], "b_norm": mid["b_norm"],
+                    "delta": mid["delta"],
+                    "mse": np.zeros((0,), np.float32),
+                    "i": mid["i"], "tk": mid["tk"],
+                }
+                r_prev = mid["recon"]
+            else:
+                state2 = state
+                r_prev = jnp.asarray(state["recon"])
+            out = run_slab(orig_slab, state2, i_stop=t + k_t)
+            bn, dn, dd = core_stats(out["recon"], list(out["accs"]),
+                                    r_prev, off=off, clen=clen)
+            bn_t += float(bn)
+            dn_t += float(dn)
+            dd_t += float(dd)
+            if pending is not None:
+                _writeback(*pending)
+            pending = (si, out)
+        _writeback(*pending)
+        bn_g, dn_g, dd_g = gsum(bn_t, dn_t, dd_t)
+        return bn_g, (dn_g / dd_g if dd_g else float("nan"))
+
+    it_run = start
+    stopped = resumed_stop
+    next_save = ((start // checkpoint_every + 1) * checkpoint_every
+                 if checkpoint_path and checkpoint_every > 0 else None)
+    for fista, count, base_t in ((True, n_f, 0), (False, n_u, n_f)):
+        if resumed_stop or start >= n_total:
+            break
+        if not count:
+            continue
+        if not fista:
+            stopped = False  # second phase runs regardless (reference)
+        t = min(max(start, base_t), base_t + count)
+        while t < base_t + count and not stopped:
+            k_t = min(K, base_t + count - t)
+            bn, dl = sweep(t, k_t)
+            t += k_t
+            it_run = t
+            b_norm[it_run - 1] = bn
+            delta[it_run - 1] = dl
+            if with_mse:
+                mse[it_run] = gsum(
+                    _host_sse(recon[own], reference_local))[0]
+            if stopping is not None and dl < stopping:
+                stopped = True
+            elif next_save is not None and it_run >= next_save:
+                save(it_run, False)
+                next_save = (it_run // checkpoint_every + 1) \
+                    * checkpoint_every
+    if checkpoint_path and not (resumed_stop or start >= n_total):
+        save(it_run, stopped)
+
+    out = {
+        "recon": np.ascontiguousarray(recon[own]),
+        "b_norm": b_norm,
+        "delta": delta,
+        "iterations_run": np.int32(it_run),
+        "early_stopped": np.bool_(stopped),
+        "global_rows": np.asarray([g0, g1, n0], np.int64),
     }
     if with_mse:
         out["mse"] = mse

@@ -62,3 +62,43 @@ def test_two_process_temporal_pairs_axis0_mesh():
     assert out["multiproc_e2e"] == "ok"
     assert out["rel_err"] < 1e-6
     assert out["temporal_pairs_mesh"] is True
+
+
+OOC_TOOL = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "multiproc_outofcore.py")
+
+
+def _run_ooc(extra, port_seed):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, OOC_TOOL, "--port", str(port_seed)] + extra,
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+@pytest.mark.slow
+def test_multihost_outofcore_bit_identical():
+    """Two processes each stream their own axis-0 row range of the
+    host-resident state (solve_outofcore_multihost): stitched recon must
+    equal the single-process IN-CORE run bit-for-bit (pre-sweep boundary
+    band exchange + K-row margins are exact)."""
+    out = _run_ooc([], 25000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_e2e"] == "ok"
+    assert out["recon_rel_err_vs_incore"] == 0.0
+
+
+@pytest.mark.slow
+def test_multihost_outofcore_kill_resume():
+    """Every process killed (os._exit) right after the first checkpoint
+    generation lands; the resume pass must reproduce the uninterrupted
+    in-core result bit-for-bit."""
+    out = _run_ooc(["--checkpoint"], 26000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_e2e"] == "ok"
+    assert out["recon_rel_err_vs_incore"] == 0.0
+    assert out["killed_after_first_generation"] is True

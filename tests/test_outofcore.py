@@ -205,6 +205,45 @@ class TestOutOfCoreCheckpoint:
         np.testing.assert_array_equal(got[0], want[0])
 
 
+def test_multihost_single_process_degenerates():
+    """solve_outofcore_multihost with one process owning the whole range
+    must equal solve_outofcore_sharded_temporal bit-for-bit (no ghosts,
+    exchange is a no-op). The true 2-process path is covered by
+    tests/test_multiproc.py + tools/multiproc_outofcore.py."""
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.outofcore import (
+        solve_outofcore_multihost, solve_outofcore_sharded_temporal)
+
+    cube = _cube((12, 8, 32))
+    li = np.full(3, 16.0, np.float32)
+    lm = np.full(3, 1 / 16.0, np.float32)
+    opts = SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=2)
+    want = solve_outofcore_sharded_temporal(cube, li, lm, opts, 2, 2,
+                                            shard_w=2)
+    got = solve_outofcore_multihost(cube, li, lm, opts, 2, 2,
+                                    global_rows=(0, 12, 12), shard_w=2)
+    np.testing.assert_array_equal(got["recon"], want["recon"])
+    np.testing.assert_allclose(got["b_norm"], want["b_norm"], rtol=1e-6)
+    np.testing.assert_allclose(got["delta"], want["delta"], rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_multihost_bad_row_ranges_rejected():
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.outofcore import solve_outofcore_multihost
+
+    cube = _cube((12, 8, 32))
+    li = np.full(3, 16.0, np.float32)
+    lm = np.full(3, 1 / 16.0, np.float32)
+    opts = SolverOptions(ndim=3, iterations_fista=2, iterations_unacc=0)
+    with pytest.raises(ValueError, match="do not cover"):
+        solve_outofcore_multihost(cube, li, lm, opts, 2, 2,
+                                  global_rows=(0, 12, 16), shard_w=2)
+    with pytest.raises(ValueError, match="rows"):
+        solve_outofcore_multihost(cube, li, lm, opts, 2, 2,
+                                  global_rows=(0, 10, 12), shard_w=2)
+
+
 def test_outofcore_rejects_unsupported():
     cube = _cube((8, 6, 8))
     with pytest.raises(ValueError):

@@ -1,0 +1,217 @@
+"""Multi-host out-of-core e2e: N real processes (jax.distributed over
+localhost, gloo — the same path a pod takes over DCN), each owning an
+axis-0 row range of the host-resident state and streaming its own slabs
+while sharding each resident slab over its local virtual devices.
+
+Checks, against a single-process IN-CORE run of the same schedule:
+
+- stitched recon from the per-process row ranges matches (the margins'
+  light cone + the once-per-sweep pre-sweep band exchange are exact);
+- b_norm/delta sweep-final traces match (allgather-summed partials);
+- (--checkpoint) a REAL kill of every process right after a checkpoint
+  generation lands, followed by a resume pass, reproduces the
+  uninterrupted result bit-for-bit.
+
+Reference analog: the MPI ranks' row-range ownership (reference
+cyTVDN/mpi.py:130-153) — which has no temporal blocking, no metrics and
+no resume (reference README.md:22-34, SURVEY §5).
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+SHAPE = (16, 8, 32)
+ITERS = (4, 2)
+K = 2
+N_SLABS = 2
+MU = 1.0
+
+
+def _force_cpu(n_local_devices: int):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{n_local_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def _rows(n0: int, nproc: int, pid: int):
+    base, extra = divmod(n0, nproc)
+    g0 = pid * base + min(pid, extra)
+    return g0, g0 + base + (1 if pid < extra else 0)
+
+
+def child(args) -> int:
+    _force_cpu(args.local_devices)
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{args.port}",
+        num_processes=args.nproc, process_id=args.pid)
+
+    import cytvdn_tpu.solver.outofcore as O
+    from cytvdn_tpu.config import SolverOptions
+
+    work = args.workdir
+    cube = np.load(f"{work}/noisy.npy")
+    g0, g1 = _rows(cube.shape[0], args.nproc, args.pid)
+    opts = SolverOptions(ndim=3, iterations_fista=ITERS[0],
+                         iterations_unacc=ITERS[1])
+    kw = {}
+    if args.checkpoint:
+        kw = dict(checkpoint_path=f"{work}/ooc.ck", checkpoint_every=2,
+                  resume=True)
+        if args.die_after_save:
+            # kill THIS process right after a full checkpoint generation
+            # exists everywhere (the hook runs post-barrier) — a real
+            # crashed-pod cycle, not a simulated one
+            O._POST_CKPT_HOOK = lambda it: os._exit(17)
+    out = O.solve_outofcore_multihost(
+        np.ascontiguousarray(cube[g0:g1]),
+        np.full(3, 1.0 / (MU / 16.0), np.float32),
+        np.full(3, 1 / 16.0, np.float32),
+        opts, N_SLABS, K, global_rows=(g0, g1, cube.shape[0]),
+        shard_w=args.local_devices, **kw)
+    np.save(f"{work}/rows{args.pid}.npy", out["recon"])
+    if args.pid == 0:
+        np.save(f"{work}/traces.npy",
+                np.stack([out["b_norm"], out["delta"]]))
+    return 0
+
+
+def _expected(noisy: np.ndarray):
+    """Single-process in-core run (same schedule, sweep-final trace
+    indices will be compared)."""
+    _force_cpu(1)
+    from cytvdn_tpu import denoise3D
+
+    mu = np.full(3, MU, np.float32)
+    return denoise3D(noisy, mu, iterations=ITERS, FISTA=True, quiet=True)
+
+
+def parent(args) -> int:
+    work = args.keep or tempfile.mkdtemp(prefix="cytv_mpooc_")
+    os.makedirs(work, exist_ok=True)
+    rng = np.random.default_rng(11)
+    noisy = (rng.standard_normal(SHAPE) * 0.4 + 1.5).astype(np.float32)
+    np.save(f"{work}/noisy.npy", noisy)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    expected = _expected(noisy)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+
+    def spawn(port, die=False):
+        return [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--pid", str(pid), "--nproc", str(args.nproc),
+             "--port", str(port), "--workdir", work,
+             "--local-devices", str(args.local_devices)]
+            + (["--checkpoint"] if args.checkpoint else [])
+            + (["--die-after-save"] if die else []),
+            env=env,
+        ) for pid in range(args.nproc)]
+
+    interrupted = False
+    if args.checkpoint:
+        # pass 1: every process kills itself (os._exit) right after the
+        # first complete checkpoint generation is on disk
+        procs = spawn(args.port, die=True)
+        rcs = [p.wait(timeout=600) for p in procs]
+        interrupted = all(rc == 17 for rc in rcs)
+        if not interrupted:
+            print(f"FAIL: kill pass exit codes {rcs}")
+            return 1
+        args.port += 1  # fresh coordinator for the resume pass
+
+    procs = spawn(args.port)
+    rcs = [p.wait(timeout=600) for p in procs]
+    if any(rcs):
+        print(f"FAIL: child exit codes {rcs}")
+        return 1
+
+    got = np.concatenate([np.load(f"{work}/rows{p}.npy")
+                          for p in range(args.nproc)])
+    err = float(np.max(np.abs(got - expected[0])))
+    rel = err / float(np.max(np.abs(expected[0])))
+    # sweep-final traces vs the in-core per-iteration traces
+    traces = np.load(f"{work}/traces.npy")
+    n_f, n_u = ITERS
+    finals = [i - 1 for i in range(K, n_f + 1, K)] \
+        + [n_f + i - 1 for i in range(K, n_u + 1, K)]
+    if n_f % K:
+        finals.append(n_f - 1)
+    if n_u % K:
+        finals.append(n_f + n_u - 1)
+    finals = sorted(set(finals))
+    tr_rel = max(
+        float(np.max(np.abs(traces[0][finals] - expected[1][finals])
+                     / np.maximum(np.abs(expected[1][finals]), 1e-30))),
+        float(np.max(np.abs(traces[1][finals] - expected[2][finals])
+                     / np.maximum(np.abs(expected[2][finals]), 1e-30))),
+    )
+    result = {
+        "multiproc_outofcore_e2e": "ok"
+        if rel < 1e-6 and tr_rel < 1e-4 else "FAIL",
+        "nproc": args.nproc,
+        "local_devices": args.local_devices,
+        "temporal_k": K,
+        "n_slabs_per_process": N_SLABS,
+        "recon_rel_err_vs_incore": rel,
+        "trace_rel_err_vs_incore": tr_rel,
+        "checkpoint_cycle": bool(args.checkpoint),
+        "killed_after_first_generation": interrupted,
+    }
+    print(json.dumps(result))
+    if args.artifact:
+        existing = []
+        if os.path.exists(args.artifact):
+            with open(args.artifact) as f:
+                existing = json.load(f)
+        existing.append(result)
+        with open(args.artifact, "w") as f:
+            json.dump(existing, f, indent=2)
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+    return 0 if result["multiproc_outofcore_e2e"] == "ok" else 1
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--child", action="store_true")
+    p.add_argument("--nproc", type=int, default=2)
+    p.add_argument("--pid", type=int, default=0)
+    p.add_argument("--port", type=int,
+                   default=24000 + (os.getpid() * 13) % 9000)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--local-devices", type=int, default=2)
+    p.add_argument("--checkpoint", action="store_true",
+                   help="kill every process after the first checkpoint "
+                        "generation, then resume")
+    p.add_argument("--die-after-save", action="store_true")
+    p.add_argument("--keep", default=None, metavar="WORKDIR")
+    p.add_argument("--artifact", default=None, metavar="JSON")
+    return p
+
+
+if __name__ == "__main__":
+    a = build_parser().parse_args()
+    sys.exit(child(a) if a.child else parent(a))
