@@ -724,15 +724,21 @@ def _run_phase_paired(
     converging iteration, exactly where the K=1 loop stops (reference
     cyTVDN/cyTVDN.py:189-194); a crossing at the pair's *first* delta
     means the kernel computed one iteration past the stop, so the pair
-    is DISCARDED — the loop bails with the pre-pair state intact and the
-    K=1 finisher redoes those iterations with its exact per-iteration
-    stop check. The final state, stop iteration, and traces are
-    therefore bit-identical to the unpaired run in EVERY case (the same
-    discard-and-bail scheme as the resident chunks,
-    :func:`_run_phase_resident`). Keeping the pre-pair carry live across
-    the recon-aliased kernel call costs one defensive recon copy per
-    pair (~1 extra HBM traversal / 2 iterations) — only paid when
-    stopping is set."""
+    is DISCARDED and the K=1 finisher redoes those iterations with its
+    exact per-iteration stop check. The final state, stop iteration, and
+    traces are therefore bit-identical to the unpaired run in EVERY case
+    (the same discard-and-bail scheme as the resident chunks,
+    :func:`_run_phase_resident`).
+
+    The discard state is kept at BLOCK granularity: pairs run in blocks
+    of ``_STOP_CKPT_PAIRS`` inside an outer loop that checkpoints the
+    carry once per block, and a guard beat discards the whole block
+    (the finisher redoes ≤ 2·_STOP_CKPT_PAIRS iterations, once per run
+    at most). Keeping the pre-pair carry live across EVERY
+    kernel call — the first implementation — forced XLA to defensively
+    copy every aliased state array per pair and halved the measured
+    stop-path throughput (bench floor catch, round 3); per-block
+    checkpointing pays that copy once per ``_STOP_CKPT_PAIRS`` pairs."""
     from cytvdn_tpu.kernels.temporal import fused_pair_iteration
 
     comm = comm or NullComm()
@@ -757,6 +763,13 @@ def _run_phase_paired(
             ok = jnp.logical_and(
                 ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
         return ok
+
+    run_blocked = stopping is not None
+
+    # block length for the stop-aware checkpointed outer loop (pairs);
+    # copy overhead ~1/_STOP_CKPT_PAIRS, beat replay ≤ 2x this many
+    # iterations through the K=1 finisher
+    _STOP_CKPT_PAIRS = 16
 
     def body(cb):
         c, _ = cb
@@ -904,14 +917,47 @@ def _run_phase_paired(
         if stopping is None:
             return new_c, jnp.zeros((), bool)
         # dv2 crossing: the pair ends at the converging iteration — exact,
-        # latch done. dv1 crossing: the predictive guard was beaten and the
-        # kernel computed one iteration past the stop — DISCARD the pair
-        # (keep c) and bail; the K=1 finisher redoes from the pre-pair
-        # state with its exact stop check
+        # latch done (handled via new_c.done). dv1 crossing: the guard was
+        # beaten and the kernel computed one iteration past the stop —
+        # FLAG it; the outer block loop discards back to its checkpoint.
+        # The pre-pair carry must NOT be referenced here: keeping it live
+        # across the aliased kernel call forces a defensive copy of every
+        # state array per pair (measured ~2x on the stop path).
         crossed1 = dv1 < stopping
-        return lax.cond(crossed1, lambda: c, lambda: new_c), crossed1
+        return new_c, crossed1
 
-    carry, _ = lax.while_loop(cond, body,
+    if not run_blocked:
+        carry, _ = lax.while_loop(cond, body,
+                                  (carry, jnp.zeros((), bool)))
+        return carry
+
+    # Stop-aware runs: pairs run in blocks of _STOP_CKPT_PAIRS; the outer
+    # loop keeps ONE checkpoint of the carry per block (a single
+    # defensive copy when the block's first kernel call donates the
+    # checkpointed buffers). A guard beat discards the whole block and
+    # bails with the block-start state — bit-exact, since the K=1
+    # finisher redoes the discarded iterations (≤ 2·_STOP_CKPT_PAIRS,
+    # at most once per run) with the exact per-iteration stop check.
+    def inner_cond(cbl):
+        c, bail, limit = cbl
+        return jnp.logical_and(cond((c, bail)), c.i < limit)
+
+    def inner_body(cbl):
+        c, b, limit = cbl
+        c2, beat = body((c, b))
+        return c2, beat, limit
+
+    def outer_body(cb):
+        c, _ = cb
+        ckpt = c
+        c2, beat, _ = lax.while_loop(
+            inner_cond, inner_body,
+            (c, jnp.zeros((), bool),
+             c.i + jnp.int32(2 * _STOP_CKPT_PAIRS)))
+        out = lax.cond(beat, lambda: ckpt, lambda: c2)
+        return out, beat
+
+    carry, _ = lax.while_loop(cond, outer_body,
                               (carry, jnp.zeros((), bool)))
     return carry
 

@@ -474,7 +474,7 @@ def test_pair_mse_matches_k1(iters):
     ref = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     base = dict(ndim=4, iterations_fista=iters[0],
                 iterations_unacc=iters[1], backend=Backend.PALLAS,
-                calculate_mse=True)
+                calculate_mse=True, vmem_resident=False)
     want = run_solver(orig, li, lm,
                       SolverOptions(**base, temporal_pairs=False),
                       reference_data=ref)
@@ -506,7 +506,8 @@ def test_pair_mse_actually_pairs(monkeypatch):
     orig, _, _, li, lm = _state(shape, True, seed=11)
     ref = orig + 0.5
     opts = SolverOptions(ndim=4, iterations_fista=8, iterations_unacc=0,
-                         backend=Backend.PALLAS, calculate_mse=True)
+                         backend=Backend.PALLAS, calculate_mse=True,
+                         vmem_resident=False)
     run_solver(orig, li, lm, opts, reference_data=ref)
     assert calls and all(calls)
 
