@@ -312,14 +312,40 @@ def run_full(only=None):
             continue
         try:
             if len(shape) == 4 and fista and not _fits(shape):
-                v, n_slabs, split = _measure_outofcore(shape)
-                detail[name] = {
-                    "voxel_updates_per_sec": round(v, 1),
-                    "shape": list(shape), "fista": fista,
-                    "mode": f"out-of-core, temporal-blocked K=5 "
-                            f"({n_slabs} slabs, host-resident state)",
-                    **split,
-                }
+                # QUARANTINE: the out-of-core row moves tens of GB
+                # through the dev tunnel and holds ~50 GB of host RAM —
+                # a failure mid-row has been observed to poison the
+                # process's backend channel, killing every LATER config
+                # in the run. Measure it in a child process so any
+                # damage dies with the child; merge its row via the
+                # artifact file.
+                if not os.environ.get("CYTV_BENCH_NO_FORK"):
+                    import subprocess
+
+                    with open(out, "w") as f:
+                        json.dump(detail, f, indent=2)
+                    env = dict(os.environ, CYTV_BENCH_NO_FORK="1")
+                    r = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--full", "--only", name, "--no-headline"],
+                        env=env, timeout=3600)
+                    with open(out) as f:
+                        detail = json.load(f)
+                    if r.returncode:
+                        detail.setdefault(name, {
+                            "error": "child process failed",
+                            "detail": f"exit code {r.returncode}"})
+                    v = detail.get(name, {}).get(
+                        "voxel_updates_per_sec", float("nan"))
+                else:
+                    v, n_slabs, split = _measure_outofcore(shape)
+                    detail[name] = {
+                        "voxel_updates_per_sec": round(v, 1),
+                        "shape": list(shape), "fista": fista,
+                        "mode": f"out-of-core, temporal-blocked K=5 "
+                                f"({n_slabs} slabs, host-resident state)",
+                        **split,
+                    }
             elif name.startswith("cfg1_chunked"):
                 iters = ITERS_OVERRIDE.get(name, ITERS)
                 v = _measure_chunked(shape, iters, _CHUNK_EVERY)
@@ -354,8 +380,10 @@ def run_full(only=None):
                 detail[name] = rec
             print(f"# {name}: {v/1e9:.2f} Gvox-upd/s", file=sys.stderr)
         except Exception as e:
-            detail[name] = {"error": type(e).__name__}
-            print(f"# {name}: {type(e).__name__}", file=sys.stderr)
+            detail[name] = {"error": type(e).__name__,
+                            "detail": str(e)[:300]}
+            print(f"# {name}: {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
     with open(out, "w") as f:
         json.dump(detail, f, indent=2)
     print(f"# detail written to {out}", file=sys.stderr)
@@ -377,6 +405,8 @@ def main():
         only = (sys.argv[sys.argv.index("--only") + 1]
                 if "--only" in sys.argv else None)
         run_full(only)
+        if "--no-headline" in sys.argv:
+            return  # quarantined child: its row is in the artifact
         # fall through: the headline JSON line below is the driver
         # contract (CLAUDE.md) and prints regardless of --only
 

@@ -179,7 +179,8 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     data_path = None
-    if args.shard and args.dtype == "float32":
+    ooc_multihost = bool(args.out_of_core) and n_proc > 1
+    if (args.shard or ooc_multihost) and args.dtype == "float32":
         # sharded float32 runs read per-shard blocks lazily (per-host on a
         # pod — no process ever loads the full cube, like the reference's
         # memmap/MPI-IO opens, mpi.py:93-124); peek only at the shape here
@@ -266,15 +267,72 @@ def main(argv=None) -> int:
                   "(Jia-Zhao anisotropic float32)",
                   file=sys.stderr)
             return 2
-        from cytvdn_tpu.solver.outofcore import denoise_outofcore
+        if ooc_multihost:
+            # every host reads ONLY its own axis-0 rows (the reference's
+            # per-rank memmap opens, mpi.py:93-124) and runs the
+            # multihost solver; one boundary-band exchange per sweep
+            from jax.experimental import multihost_utils
 
-        recon, b_norm, delta = denoise_outofcore(
-            data, mu, lam=lam, iterations=iterations, FISTA=bool(args.fista),
-            stopping_relative_change=args.stop, n_slabs=args.out_of_core,
-            temporal_k=args.temporal, shard_w=shard_w, quiet=not verbose,
-            checkpoint_path=args.checkpoint,
-            checkpoint_every=args.checkpoint_every, resume=args.resume,
-        )
+            from cytvdn_tpu.api import _validate_and_derive
+            from cytvdn_tpu.config import (
+                SolverOptions,
+                normalize_iterations,
+            )
+            from cytvdn_tpu.solver.outofcore import (
+                process_row_range,
+                solve_outofcore_multihost,
+            )
+
+            g0, g1 = process_row_range(shape[0], n_proc, proc)
+            with open_input(args.input) as h:
+                local = np.ascontiguousarray(h.read_block(
+                    (slice(g0, g1),) + (slice(None),) * (ndim - 1)),
+                    dtype=np.float32)
+            log(f"multihost out-of-core: rows [{g0}, {g1}) of "
+                f"{shape[0]}, {n_proc} processes")
+            local, _, _, lambda_inv, lam_mu = _validate_and_derive(
+                local, mu, lam, ndim, 32.0 if ndim == 4 else 16.0)
+            n_f, n_u = normalize_iterations(iterations, bool(args.fista))
+            out_mh = solve_outofcore_multihost(
+                local, lambda_inv, lam_mu,
+                SolverOptions(ndim=ndim, iterations_fista=n_f,
+                              iterations_unacc=n_u,
+                              stopping_relative_change=args.stop),
+                args.out_of_core, max(args.temporal, 1),
+                global_rows=(g0, g1, shape[0]),
+                shard_w=(shard_w if shard_w > 0 else 0),
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                resume=bool(args.resume),
+            )
+            b_norm, delta = out_mh["b_norm"], out_mh["delta"]
+            # gather rows over DCN (row counts padded to the max so the
+            # allgather shapes agree) and write ONE file from process 0
+            max_m = -(-shape[0] // n_proc)
+            pad = np.zeros((max_m,) + tuple(shape[1:]), np.float32)
+            pad[:g1 - g0] = out_mh["recon"]
+            got = np.asarray(multihost_utils.process_allgather(pad))
+            recon = None
+            if proc == 0:
+                rows = []
+                for q in range(n_proc):
+                    q0, q1 = process_row_range(shape[0], n_proc, q)
+                    rows.append(got[q][:q1 - q0])
+                recon = np.concatenate(rows)
+        else:
+            from cytvdn_tpu.solver.outofcore import denoise_outofcore
+
+            recon, b_norm, delta = denoise_outofcore(
+                data, mu, lam=lam, iterations=iterations,
+                FISTA=bool(args.fista),
+                stopping_relative_change=args.stop,
+                n_slabs=args.out_of_core,
+                temporal_k=args.temporal, shard_w=shard_w,
+                quiet=not verbose,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every,
+                resume=args.resume,
+            )
     elif args.shard:
         from cytvdn_tpu.parallel.api import denoise_sharded
 
@@ -312,6 +370,10 @@ def main(argv=None) -> int:
         f"final delta {delta[np.nonzero(delta)][-1] if np.any(delta) else 0:.5f}")
 
     t0 = time.time()
+    if recon is None:
+        # multihost out-of-core non-head process: process 0 wrote the file
+        log("output written by process 0")
+        return 0
     if isinstance(recon, np.ndarray):
         out = write_emd(args.output, recon)
     else:

@@ -32,7 +32,7 @@ not.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -204,6 +204,15 @@ def _host_sse(a: np.ndarray, b: np.ndarray) -> float:
              - b[lo:lo + 8].astype(np.float64)).ravel()
         tot += float(np.dot(d, d))
     return tot
+
+
+def process_row_range(n0: int, nproc: int, pid: int) -> Tuple[int, int]:
+    """Balanced axis-0 row range owned by process ``pid`` in a
+    multi-host out-of-core run (sizes differ by at most one; the same
+    policy as :func:`_slab_bounds`)."""
+    base, extra = divmod(n0, nproc)
+    g0 = pid * base + min(pid, extra)
+    return g0, g0 + base + (1 if pid < extra else 0)
 
 
 def _slab_bounds(n0: int, n_slabs: int):

@@ -94,6 +94,16 @@ def test_multihost_outofcore_bit_identical():
 
 
 @pytest.mark.slow
+def test_multihost_outofcore_cli():
+    """`cytv --out-of-core` across two real processes: lazy per-host row
+    reads from the EMD, the multihost solver, and the single proc-0
+    output file — all through the console entry."""
+    out = _run_ooc(["--cli"], 27000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_cli_e2e"] == "ok"
+    assert out["recon_rel_err_vs_incore"] == 0.0
+
+
+@pytest.mark.slow
 def test_multihost_outofcore_kill_resume():
     """Every process killed (os._exit) right after the first checkpoint
     generation lands; the resume pass must reproduce the uninterrupted

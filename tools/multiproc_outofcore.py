@@ -57,6 +57,23 @@ def child(args) -> int:
     _force_cpu(args.local_devices)
     import jax
 
+    if args.cli:
+        # the CLI joins the runtime itself (init_distributed), reads only
+        # its own rows lazily from the EMD, and process 0 writes the one
+        # output file — the full `cytv --out-of-core` pod launch
+        os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{args.port}"
+        os.environ["JAX_NUM_PROCESSES"] = str(args.nproc)
+        os.environ["JAX_PROCESS_ID"] = str(args.pid)
+        from cytvdn_tpu.cli import main
+
+        work = args.workdir
+        return main([
+            "-i", f"{work}/noisy.emd", "-o", f"{work}/denoised.emd",
+            "-d", "3", "-f", "1", "-n", str(ITERS[0]), str(ITERS[1]),
+            "-m", str(MU), "--out-of-core", str(N_SLABS),
+            "--temporal", str(K), "--shard", str(args.local_devices),
+        ])
+
     jax.distributed.initialize(
         coordinator_address=f"localhost:{args.port}",
         num_processes=args.nproc, process_id=args.pid)
@@ -119,6 +136,11 @@ def parent(args) -> int:
     env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
 
+    if args.cli:
+        from cytvdn_tpu.io.emd import write_emd
+
+        write_emd(f"{work}/noisy.emd", noisy)
+
     def spawn(port, die=False):
         return [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
@@ -126,6 +148,7 @@ def parent(args) -> int:
              "--port", str(port), "--workdir", work,
              "--local-devices", str(args.local_devices)]
             + (["--checkpoint"] if args.checkpoint else [])
+            + (["--cli"] if args.cli else [])
             + (["--die-after-save"] if die else []),
             env=env,
         ) for pid in range(args.nproc)]
@@ -147,6 +170,23 @@ def parent(args) -> int:
     if any(rcs):
         print(f"FAIL: child exit codes {rcs}")
         return 1
+
+    if args.cli:
+        from cytvdn_tpu.io.emd import read_emd
+
+        got = read_emd(f"{work}/denoised.emd")
+        err = float(np.max(np.abs(got - expected[0])))
+        rel = err / float(np.max(np.abs(expected[0])))
+        result = {
+            "multiproc_outofcore_cli_e2e": "ok" if rel < 1e-6 else "FAIL",
+            "nproc": args.nproc,
+            "local_devices": args.local_devices,
+            "recon_rel_err_vs_incore": rel,
+        }
+        print(json.dumps(result))
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return 0 if rel < 1e-6 else 1
 
     got = np.concatenate([np.load(f"{work}/rows{p}.npy")
                           for p in range(args.nproc)])
@@ -207,6 +247,9 @@ def build_parser():
                    help="kill every process after the first checkpoint "
                         "generation, then resume")
     p.add_argument("--die-after-save", action="store_true")
+    p.add_argument("--cli", action="store_true",
+                   help="drive the whole flow through the cytv CLI "
+                        "(lazy per-host row reads, proc-0 EMD output)")
     p.add_argument("--keep", default=None, metavar="WORKDIR")
     p.add_argument("--artifact", default=None, metavar="JSON")
     return p
