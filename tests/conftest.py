@@ -18,6 +18,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compile_cache():
+    """Drop JAX's executable caches between test modules.
+
+    XLA:CPU's in-process compiler state grows over the suite's hundreds
+    of distinct programs and has segfaulted (inside
+    ``backend_compile_and_load``, reproducibly ~57 tests into
+    test_temporal.py but only when the full suite ran first — the same
+    compile passes in a fresh process). Clearing between modules keeps
+    the compiler's working set bounded; per-module recompiles are cheap
+    on CPU."""
+    yield
+    jax.clear_caches()
+
 
 def pytest_configure(config):
     config.addinivalue_line(
