@@ -184,6 +184,7 @@ def parent(args) -> int:
             "recon_rel_err_vs_incore": rel,
         }
         print(json.dumps(result))
+        _append_artifact(args.artifact, result)
         if not args.keep:
             shutil.rmtree(work, ignore_errors=True)
         return 0 if rel < 1e-6 else 1
@@ -221,17 +222,22 @@ def parent(args) -> int:
         "killed_after_first_generation": interrupted,
     }
     print(json.dumps(result))
-    if args.artifact:
-        existing = []
-        if os.path.exists(args.artifact):
-            with open(args.artifact) as f:
-                existing = json.load(f)
-        existing.append(result)
-        with open(args.artifact, "w") as f:
-            json.dump(existing, f, indent=2)
+    _append_artifact(args.artifact, result)
     if not args.keep:
         shutil.rmtree(work, ignore_errors=True)
     return 0 if result["multiproc_outofcore_e2e"] == "ok" else 1
+
+
+def _append_artifact(path, result):
+    if not path:
+        return
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.append(result)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
 
 
 def build_parser():
