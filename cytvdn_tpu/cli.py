@@ -180,7 +180,10 @@ def main(argv=None) -> int:
     t0 = time.time()
     data_path = None
     ooc_multihost = bool(args.out_of_core) and n_proc > 1
-    if (args.shard or ooc_multihost) and args.dtype == "float32":
+    # single-host out-of-core needs the full cube host-resident (that is
+    # the mode), so only mesh runs and MULTIHOST out-of-core open lazily
+    lazy = ((args.shard and not args.out_of_core) or ooc_multihost)
+    if lazy and args.dtype == "float32":
         # sharded float32 runs read per-shard blocks lazily (per-host on a
         # pod — no process ever loads the full cube, like the reference's
         # memmap/MPI-IO opens, mpi.py:93-124); peek only at the shape here
@@ -306,19 +309,45 @@ def main(argv=None) -> int:
                 resume=bool(args.resume),
             )
             b_norm, delta = out_mh["b_norm"], out_mh["delta"]
-            # gather rows over DCN (row counts padded to the max so the
-            # allgather shapes agree) and write ONE file from process 0
-            max_m = -(-shape[0] // n_proc)
-            pad = np.zeros((max_m,) + tuple(shape[1:]), np.float32)
-            pad[:g1 - g0] = out_mh["recon"]
-            got = np.asarray(multihost_utils.process_allgather(pad))
-            recon = None
+            # stream the output rows to process 0 in SLAB-SIZED chunks
+            # (each padded to a fixed row count so the allgather shapes
+            # agree) and region-write them into ONE EMD file as they
+            # arrive — no process ever materializes the full cube (the
+            # config-5 recon alone is ~64 GiB)
+            from cytvdn_tpu.io.emd import write_emd_regions
+
+            ch = max(1, -(-shape[0] // (n_proc * args.out_of_core)))
+            rest = tuple(shape[1:])
+
+            def gathered_chunks():
+                for c0 in range(0, shape[0], ch):
+                    c1 = min(c0 + ch, shape[0])
+                    pad = np.zeros((ch,) + rest, np.float32)
+                    o0, o1 = max(c0, g0), min(c1, g1)
+                    if o1 > o0:
+                        pad[o0 - c0:o1 - c0] = \
+                            out_mh["recon"][o0 - g0:o1 - g0]
+                    got = np.asarray(
+                        multihost_utils.process_allgather(pad))
+                    if proc != 0:
+                        continue
+                    block = np.zeros((c1 - c0,) + rest, np.float32)
+                    for q in range(n_proc):
+                        q0, q1 = process_row_range(shape[0], n_proc, q)
+                        a0, a1 = max(c0, q0), min(c1, q1)
+                        if a1 > a0:
+                            block[a0 - c0:a1 - c0] = got[q][a0 - c0:a1 - c0]
+                    yield ((slice(c0, c1),)
+                           + (slice(None),) * (ndim - 1)), block
+
             if proc == 0:
-                rows = []
-                for q in range(n_proc):
-                    q0, q1 = process_row_range(shape[0], n_proc, q)
-                    rows.append(got[q][:q1 - q0])
-                recon = np.concatenate(rows)
+                out_p = write_emd_regions(args.output, shape, np.float32,
+                                          gathered_chunks())
+                log(f"wrote {out_p} (chunked multihost gather)")
+            else:
+                for _ in gathered_chunks():
+                    pass
+            recon = None
         else:
             from cytvdn_tpu.solver.outofcore import denoise_outofcore
 
@@ -371,8 +400,8 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     if recon is None:
-        # multihost out-of-core non-head process: process 0 wrote the file
-        log("output written by process 0")
+        # multihost out-of-core: the chunked gather already wrote the
+        # file from process 0
         return 0
     if isinstance(recon, np.ndarray):
         out = write_emd(args.output, recon)

@@ -177,6 +177,25 @@ def _ckpt_resume(path, resume: bool, meta: Dict, shape):
     return state
 
 
+def _restore_state(st, sl, recon, accs, ds, b_norm, delta, mse):
+    """Restore a loaded checkpoint into the run's host arrays in place
+    (``sl`` targets the owned rows — the whole array single-process, the
+    ghost-framed own range multihost). Returns ``(start, resumed_stop)``.
+    Shared by all four out-of-core modes so the restore logic cannot
+    drift between them."""
+    recon[sl] = np.asarray(st["recon"], np.float32)
+    for k, a in enumerate(accs):
+        a[sl] = np.asarray(st["accs"][k], np.float32)
+    if ds:
+        for k, d in enumerate(ds):
+            d[sl] = np.asarray(st["ds"][k], np.float32)
+    b_norm[:] = st["b_norm"]
+    delta[:] = st["delta"]
+    if mse is not None and np.asarray(st["mse"]).size == mse.size:
+        mse[:] = st["mse"]
+    return int(st["i"]), bool(st.get("early_stopped", False))
+
+
 def _ckpt_save(path, meta, it_run, recon, accs, ds, b_norm, delta, mse,
                stopped: bool):
     """Atomic full-state save of a host-resident out-of-core run."""
@@ -301,18 +320,9 @@ def solve_outofcore(
     if checkpoint_path:
         st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
         if st is not None:
-            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
-            accs = [np.ascontiguousarray(a, dtype=np.float32)
-                    for a in st["accs"]]
-            if n_f:
-                ds = [np.ascontiguousarray(d, dtype=np.float32)
-                      for d in st["ds"]]
-            b_norm[:] = st["b_norm"]
-            delta[:] = st["delta"]
-            if with_mse and np.asarray(st["mse"]).size == mse.size:
-                mse[:] = st["mse"]
-            start = int(st["i"])
-            resumed_stop = bool(st.get("early_stopped", False))
+            start, resumed_stop = _restore_state(
+                st, slice(None), recon, accs, ds if n_f else (),
+                b_norm, delta, mse)
 
     li = jnp.asarray(lambda_inv.astype(np.float32))
     lm = jnp.asarray(lam_mu.astype(np.float32))
@@ -558,18 +568,9 @@ def solve_outofcore_temporal(
     if checkpoint_path:
         st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
         if st is not None:
-            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
-            accs = [np.ascontiguousarray(a, dtype=np.float32)
-                    for a in st["accs"]]
-            if n_f:
-                ds = [np.ascontiguousarray(d, dtype=np.float32)
-                      for d in st["ds"]]
-            b_norm[:] = st["b_norm"]
-            delta[:] = st["delta"]
-            if with_mse and np.asarray(st["mse"]).size == mse.size:
-                mse[:] = st["mse"]
-            start = int(st["i"])
-            resumed_stop = bool(st.get("early_stopped", False))
+            start, resumed_stop = _restore_state(
+                st, slice(None), recon, accs, ds if n_f else (),
+                b_norm, delta, mse)
 
     import jax.numpy as jnp
 
@@ -634,9 +635,13 @@ def solve_outofcore_temporal(
     stopped = resumed_stop
     next_save = ((start // checkpoint_every + 1) * checkpoint_every
                  if checkpoint_path and checkpoint_every > 0 else None)
-    base = 0
-    for fista, count, tks_phase in (
-        (True, n_f, tk_all), (False, n_u, np.zeros(n_u, np.float32))
+    # absolute iteration positions per phase: the unaccelerated phase's
+    # trace slots start at n_f regardless of a phase-1 early stop
+    # (reference cyTVDN.py:205 `i = j + iterations_FISTA`; the streaming
+    # mode and the in-core engine index the same way)
+    for fista, count, base_t, tks_phase in (
+        (True, n_f, 0, tk_all),
+        (False, n_u, n_f, np.zeros(n_u, np.float32)),
     ):
         if resumed_stop or start >= n_total:
             break
@@ -644,13 +649,12 @@ def solve_outofcore_temporal(
             continue
         if not fista:
             stopped = False  # second phase runs regardless (reference)
-        t = min(max(start - base, 0), count)
-        base += count
+        t = min(max(start - base_t, 0), count)
         while t < count and not stopped:
             k_t = min(K, count - t)
             bn, dl = sweep(fista, tks_phase[t:t + k_t])
             t += k_t
-            it_run += k_t
+            it_run = base_t + t
             b_norm[it_run - 1] = bn
             delta[it_run - 1] = dl
             if with_mse:
@@ -772,18 +776,9 @@ def solve_outofcore_sharded_temporal(
     if checkpoint_path:
         st = _ckpt_resume(checkpoint_path, resume, ck_meta, orig.shape)
         if st is not None:
-            recon = np.ascontiguousarray(st["recon"], dtype=np.float32)
-            accs = [np.ascontiguousarray(a, dtype=np.float32)
-                    for a in st["accs"]]
-            if n_f:
-                ds = [np.ascontiguousarray(d, dtype=np.float32)
-                      for d in st["ds"]]
-            b_norm[:] = st["b_norm"]
-            delta[:] = st["delta"]
-            if with_mse and np.asarray(st["mse"]).size == mse.size:
-                mse[:] = st["mse"]
-            start = int(st["i"])
-            resumed_stop = bool(st.get("early_stopped", False))
+            start, resumed_stop = _restore_state(
+                st, slice(None), recon, accs, ds if n_f else (),
+                b_norm, delta, mse)
 
     @functools.partial(jax.jit, static_argnames=("off", "clen"))
     def core_stats(r, a_list, r_prev, off, clen):
@@ -1085,20 +1080,24 @@ def solve_outofcore_multihost(
     state_arrays = [recon] + accs + (ds if has_ds else [])
 
     def exchange(arrays):
-        """Refresh ghost rows from the neighbors' pre-sweep bands: ONE
-        allgather of every array's head+tail K rows."""
+        """Refresh ghost rows from the neighbors' pre-sweep bands: one
+        allgather of each array's head+tail K rows, sliced and dropped
+        immediately so the transient never exceeds ``nproc * 2K`` rows
+        of ONE array. The allgather moves every band to every process —
+        O(nproc) DCN traffic where only the two neighbors' bands are
+        needed; fine at the 2-8 host scale this mode targets, and the
+        upgrade path (a ``ppermute`` pair over a process-spanning mesh)
+        is mechanical if wider slices ever need it."""
         if nproc == 1:
             return
-        send = np.stack([np.concatenate([x[tg:tg + K],
-                                         x[tg + m - K:tg + m]])
-                         for x in arrays])          # (n_arr, 2K, *rest)
-        got = np.asarray(multihost_utils.process_allgather(send))
-        if tg:
-            for i, x in enumerate(arrays):
-                x[:tg] = got[pid - 1, i, K:]        # left neighbor's tail
-        if bg:
-            for i, x in enumerate(arrays):
-                x[tg + m:] = got[pid + 1, i, :K]    # right neighbor's head
+        for x in arrays:
+            send = np.concatenate([x[tg:tg + K], x[tg + m - K:tg + m]])
+            got = np.asarray(multihost_utils.process_allgather(send))
+            if tg:
+                x[:tg] = got[pid - 1, K:]       # left neighbor's tail
+            if bg:
+                x[tg + m:] = got[pid + 1, :K]   # right neighbor's head
+            del got
 
     exchange([orig_p])  # orig is constant: ghost rows fetched once
 
@@ -1111,27 +1110,37 @@ def solve_outofcore_multihost(
                                 f"multihost_temporal{K}"),
                    "proc": pid, "nproc": nproc,
                    "grows": [g0, g1, n0]}
-        st = _ckpt_resume(ck_path_p, resume, ck_meta, orig_local.shape)
-        have = np.asarray([1 if st is not None else 0,
-                           int(st["i"]) if st is not None else -1],
-                          np.int64)
+        # a per-process meta mismatch must fail COLLECTIVELY: raising on
+        # one process while its peers enter the allgather would hang the
+        # job (the multi-host control-flow invariant, CLAUDE.md) — so
+        # the local verdict (0 = no part, 1 = part found, 2 = meta
+        # mismatch) rides the agreement allgather and every process
+        # takes the same branch
+        err: Optional[Exception] = None
+        st = None
+        try:
+            st = _ckpt_resume(ck_path_p, resume, ck_meta,
+                              orig_local.shape)
+        except ValueError as e:
+            err = e
+        have = np.asarray([
+            2 if err is not None else (1 if st is not None else 0),
+            int(st["i"]) if st is not None else -1], np.int64)
         allst = np.asarray(multihost_utils.process_allgather(have))
+        if int(allst[:, 0].max()) == 2:
+            raise ValueError(
+                "multihost out-of-core resume rejected on at least one "
+                "process: " + (str(err) if err is not None
+                               else "a peer's checkpoint meta does not "
+                                    "match this run"))
         # all processes must hold the SAME generation; otherwise discard
         # collectively (every process sees the same allgather and takes
         # the same branch)
         if int(allst[:, 0].min()) == 1 \
                 and int(allst[:, 1].min()) == int(allst[:, 1].max()):
-            recon[own] = np.asarray(st["recon"], np.float32)
-            for k in range(ndim):
-                accs[k][own] = np.asarray(st["accs"][k], np.float32)
-                if has_ds:
-                    ds[k][own] = np.asarray(st["ds"][k], np.float32)
-            b_norm[:] = st["b_norm"]
-            delta[:] = st["delta"]
-            if with_mse and np.asarray(st["mse"]).size == mse.size:
-                mse[:] = st["mse"]
-            start = int(st["i"])
-            resumed_stop = bool(st.get("early_stopped", False))
+            start, resumed_stop = _restore_state(
+                st, own, recon, accs, ds if has_ds else (),
+                b_norm, delta, mse)
         elif int(allst[:, 0].max()) == 1 and st is not None:
             import warnings
 

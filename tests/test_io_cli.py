@@ -99,6 +99,28 @@ def test_cli_sharded(tmp_path):
     assert read_emd(out).shape == data.shape
 
 
+def test_cli_outofcore_sharded_single_host(tmp_path):
+    """`cytv --out-of-core N --shard W` on ONE host (the documented
+    config-5 launch, examples/tpu_pod_launch.md) must load the cube and
+    run the slab-sharded solver — a review-caught regression left
+    `data=None` via the lazy-open branch and crashed."""
+    from cytvdn_tpu.cli import main
+
+    data = (RNG.standard_normal((12, 8, 16)) * 0.3 + 1.0).astype(np.float32)
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, data)
+    out = str(tmp_path / "out.emd")
+    rc = main([
+        "-i", inp, "-o", out, "-m", "1.0", "-n", "4", "-f", "1",
+        "-v", "0", "--out-of-core", "2", "--temporal", "2",
+        "--shard", "2",
+    ])
+    assert rc == 0
+    recon = read_emd(out)
+    assert recon.shape == data.shape
+    assert not np.array_equal(recon, data)
+
+
 def test_cli_preset(tmp_path):
     """--preset fills iterations/FISTA/stop; explicit flags override."""
     from cytvdn_tpu.cli import _apply_preset, build_parser, main

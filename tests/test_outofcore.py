@@ -172,6 +172,72 @@ class TestOutOfCoreCheckpoint:
         for g, a in zip(got, again):
             np.testing.assert_array_equal(g, a)
 
+    def test_temporal_hybrid_kill_in_phase2_resume(self, tmp_path,
+                                                   monkeypatch):
+        """Kill after a PHASE-2 checkpoint save: the resume mapping must
+        land in the unaccelerated phase at the right absolute position
+        (the review-caught phase-mapping bug: a cumulative iteration
+        counter would replay FISTA sweeps onto unaccelerated state)."""
+        import cytvdn_tpu.solver.outofcore as O
+
+        cube = _cube((12, 8, 16))
+        mu = np.full(3, 1.0, np.float32)
+        want = denoise_outofcore(cube, mu, iterations=(4, 4), n_slabs=2,
+                                 temporal_k=2)
+        ck = str(tmp_path / "ooch2.npz")
+        real = O._ckpt_save
+        calls = []
+
+        def killing(*a, **kw):
+            real(*a, **kw)
+            calls.append(a[2])  # it_run
+            if len(calls) == 2:  # second save: it_run=6, inside phase 2
+                raise KeyboardInterrupt
+
+        monkeypatch.setattr(O, "_ckpt_save", killing)
+        with pytest.raises(KeyboardInterrupt):
+            denoise_outofcore(cube, mu, iterations=(4, 4), n_slabs=2,
+                              temporal_k=2, checkpoint_path=ck,
+                              checkpoint_every=3)
+        assert calls == [4, 6], calls  # 2nd save: abs iter 6 = phase 2
+        monkeypatch.setattr(O, "_ckpt_save", real)
+        got = denoise_outofcore(cube, mu, iterations=(4, 4), n_slabs=2,
+                                temporal_k=2, checkpoint_path=ck,
+                                checkpoint_every=3, resume=True)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_temporal_phase2_trace_slots_absolute(self):
+        """A phase-1 early stop must not shift the unaccelerated phase's
+        trace slots: phase 2 records at absolute indices n_f + j
+        (reference cyTVDN.py:205) and runs exactly n_u iterations."""
+        from cytvdn_tpu.config import SolverOptions
+        from cytvdn_tpu.solver.outofcore import solve_outofcore_temporal
+
+        cube = _cube((12, 8, 16))
+        li = np.full(3, 16.0, np.float32)
+        lm = np.full(3, 1 / 16.0, np.float32)
+        probe = solve_outofcore_temporal(
+            cube, li, lm,
+            SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=4),
+            2, 2)
+        stop_at = float(probe["delta"][1]) * 1.01  # first sweep crosses
+        out = solve_outofcore_temporal(
+            cube, li, lm,
+            SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=4,
+                          stopping_relative_change=stop_at),
+            2, 2)
+        d = np.asarray(out["delta"])
+        assert d[1] > 0 and d[1] < stop_at          # phase-1 sweep 1
+        assert d[2] == 0 and d[3] == 0              # phase-1 tail skipped
+        # phase 2 records at ABSOLUTE slot n_f + j (not cumulative);
+        # its first sweep's delta also crosses the threshold, so it
+        # stops there — the stop check applies in the unaccelerated
+        # loop too (reference cyTVDN.py:235-241)
+        assert d[4] == 0 and d[5] > 0
+        assert int(out["iterations_run"]) == 6
+        assert bool(out["early_stopped"])
+
     def test_schedule_mismatch_rejected(self, tmp_path):
         cube = _cube((10, 6, 16))
         mu = np.full(3, 1.0, np.float32)

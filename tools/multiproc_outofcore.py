@@ -48,9 +48,13 @@ def _force_cpu(n_local_devices: int):
 
 
 def _rows(n0: int, nproc: int, pid: int):
-    base, extra = divmod(n0, nproc)
-    g0 = pid * base + min(pid, extra)
-    return g0, g0 + base + (1 if pid < extra else 0)
+    # the PRODUCTION partition policy — the same function the CLI uses,
+    # so the e2e's stitch always matches the run under test
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cytvdn_tpu.solver.outofcore import process_row_range
+
+    return process_row_range(n0, nproc, pid)
 
 
 def child(args) -> int:
@@ -263,4 +267,9 @@ def build_parser():
 
 if __name__ == "__main__":
     a = build_parser().parse_args()
+    if a.cli and a.checkpoint:
+        print("error: --cli does not drive the checkpoint/kill cycle "
+              "(use the library mode for kill-resume; the CLI flags are "
+              "covered by the single-host CLI tests)", file=sys.stderr)
+        sys.exit(2)
     sys.exit(child(a) if a.child else parent(a))
