@@ -27,7 +27,7 @@ import tempfile
 
 import numpy as np
 
-SHAPE = (16, 8, 32)
+SHAPE = (17, 8, 32)  # odd rows: uneven per-process ranges
 ITERS = (4, 2)
 K = 2
 N_SLABS = 2
@@ -87,9 +87,10 @@ def child(args) -> int:
 
     work = args.workdir
     cube = np.load(f"{work}/noisy.npy")
+    ref = np.load(f"{work}/ref.npy")
     g0, g1 = _rows(cube.shape[0], args.nproc, args.pid)
     opts = SolverOptions(ndim=3, iterations_fista=ITERS[0],
-                         iterations_unacc=ITERS[1])
+                         iterations_unacc=ITERS[1], calculate_mse=True)
     kw = {}
     if args.checkpoint:
         kw = dict(checkpoint_path=f"{work}/ooc.ck", checkpoint_every=2,
@@ -104,22 +105,25 @@ def child(args) -> int:
         np.full(3, 1.0 / (MU / 16.0), np.float32),
         np.full(3, 1 / 16.0, np.float32),
         opts, N_SLABS, K, global_rows=(g0, g1, cube.shape[0]),
-        shard_w=args.local_devices, **kw)
+        shard_w=args.local_devices,
+        reference_local=np.ascontiguousarray(ref[g0:g1]), **kw)
     np.save(f"{work}/rows{args.pid}.npy", out["recon"])
     if args.pid == 0:
         np.save(f"{work}/traces.npy",
                 np.stack([out["b_norm"], out["delta"]]))
+        np.save(f"{work}/mse.npy", out["mse"])
     return 0
 
 
-def _expected(noisy: np.ndarray):
+def _expected(noisy: np.ndarray, ref: np.ndarray):
     """Single-process in-core run (same schedule, sweep-final trace
     indices will be compared)."""
     _force_cpu(1)
     from cytvdn_tpu import denoise3D
 
     mu = np.full(3, MU, np.float32)
-    return denoise3D(noisy, mu, iterations=ITERS, FISTA=True, quiet=True)
+    return denoise3D(noisy, mu, iterations=ITERS, FISTA=True, quiet=True,
+                     reference_data=ref)
 
 
 def parent(args) -> int:
@@ -127,11 +131,13 @@ def parent(args) -> int:
     os.makedirs(work, exist_ok=True)
     rng = np.random.default_rng(11)
     noisy = (rng.standard_normal(SHAPE) * 0.4 + 1.5).astype(np.float32)
+    ref = (rng.standard_normal(SHAPE) * 0.2 + 1.5).astype(np.float32)
     np.save(f"{work}/noisy.npy", noisy)
+    np.save(f"{work}/ref.npy", ref)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    expected = _expected(noisy)
+    expected = _expected(noisy, ref)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -213,15 +219,23 @@ def parent(args) -> int:
         float(np.max(np.abs(traces[1][finals] - expected[2][finals])
                      / np.maximum(np.abs(expected[2][finals]), 1e-30))),
     )
+    # per-sweep SSE vs the in-core per-iteration trace (mse[i+1] records
+    # the SSE after iteration i in both layouts)
+    mse = np.load(f"{work}/mse.npy")
+    mslots = [0] + [f + 1 for f in finals]
+    mse_rel = float(np.max(
+        np.abs(mse[mslots] - expected[3][mslots])
+        / np.maximum(np.abs(expected[3][mslots]), 1e-30)))
     result = {
         "multiproc_outofcore_e2e": "ok"
-        if rel < 1e-6 and tr_rel < 1e-4 else "FAIL",
+        if rel < 1e-6 and tr_rel < 1e-4 and mse_rel < 1e-4 else "FAIL",
         "nproc": args.nproc,
         "local_devices": args.local_devices,
         "temporal_k": K,
         "n_slabs_per_process": N_SLABS,
         "recon_rel_err_vs_incore": rel,
         "trace_rel_err_vs_incore": tr_rel,
+        "mse_rel_err_vs_incore": mse_rel,
         "checkpoint_cycle": bool(args.checkpoint),
         "killed_after_first_generation": interrupted,
     }
