@@ -1057,6 +1057,14 @@ def run_solver(
     """
     comm = comm or NullComm()
     dtype = orig.dtype
+    if reference_data is not None and reference_data.dtype != dtype:
+        # normalize ONCE at entry: the reference enters Pallas kernels
+        # (the resident MSE window, the pair kernel's SSE operand) whose
+        # gates check only the datacube dtype — an f64 reference next to
+        # an f32 cube (numpy's default under x64) would otherwise reach
+        # Mosaic, which cannot lower f64 on TPU (kernels/fused.py).
+        # The reference computes SSE in the cube's dtype (utils.pyx).
+        reference_data = reference_data.astype(dtype)
     n_f, n_u = opts.iterations_fista, opts.iterations_unacc
     n_total = n_f + n_u
     if i_stop is None:

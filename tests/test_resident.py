@@ -343,6 +343,26 @@ def test_resident_iso_matches_streaming(iso_kw, iters):
                                np.asarray(want["delta"]), rtol=1e-4)
 
 
+@pytest.mark.parametrize("pairs,res", [(True, False), (False, True)])
+def test_mse_float64_reference_normalized(pairs, res):
+    """A float64 reference (numpy's default under x64) next to a float32
+    cube must be cast at run_solver entry — the MSE kernels' gates check
+    only the datacube dtype, and Mosaic cannot lower f64 on TPU
+    (review-caught; previously a hard crash where the old gates fell
+    back to streaming)."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    orig, li, lm = _state((8, 6, 64), seed=47)
+    rng = np.random.default_rng(48)
+    ref64 = jnp.asarray(rng.standard_normal((8, 6, 64)))  # float64
+    opts = SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS, calculate_mse=True,
+                         temporal_pairs=pairs, vmem_resident=res)
+    out = run_solver(orig, li, lm, opts, reference_data=ref64)
+    assert out["mse"].dtype == jnp.float32
+    assert np.all(np.asarray(out["mse"]) > 0)
+
+
 def test_resident_iso_gates():
     """Iso configs resolve on only for 4D Jia-Zhao (the fused kernel's
     envelope, reference halfisotropic.pyx:70-82)."""
