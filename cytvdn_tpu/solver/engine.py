@@ -557,6 +557,12 @@ def _resolve_resident(opts: SolverOptions, shape, dtype,
 #: lookahead stays sharp
 _RESIDENT_CHUNK = 16
 
+#: pairs per block in the stop-aware paired loop's checkpointed outer
+#: loop: the block-start state copy (the only defensive copy the aliased
+#: kernel chain pays) amortizes 1/_STOP_CKPT_PAIRS, and a guard beat
+#: replays ≤ 2x this many iterations through the exact K=1 finisher
+_STOP_CKPT_PAIRS = 16
+
 
 def _resolve_resident_chunks(opts: SolverOptions, shape, dtype,
                              comm) -> Tuple[bool, bool]:
@@ -765,11 +771,6 @@ def _run_phase_paired(
         return ok
 
     run_blocked = stopping is not None
-
-    # block length for the stop-aware checkpointed outer loop (pairs);
-    # copy overhead ~1/_STOP_CKPT_PAIRS, beat replay ≤ 2x this many
-    # iterations through the K=1 finisher
-    _STOP_CKPT_PAIRS = 16
 
     def body(cb):
         c, _ = cb

@@ -442,6 +442,67 @@ def test_guard_beat_end_to_end_matches_unpaired():
                                   np.asarray(want["b_norm"]))
 
 
+@pytest.mark.parametrize("block", [1, 3])
+def test_guard_beat_any_block_length(monkeypatch, block):
+    """The blocked stop loop's exactness must not depend on the block
+    length: with _STOP_CKPT_PAIRS patched to 1 and 3 the fabricated
+    guard-beat scenario still stops at the identical iteration with a
+    bit-identical recon (block=1 reproduces the old per-pair-checkpoint
+    semantics; block=3 discards a partial block)."""
+    import cytvdn_tpu.solver.engine as E
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(E, "_STOP_CKPT_PAIRS", block)
+    shape = (8, 6, 64)
+    orig, _, _, li, lm = _state(shape, False, seed=9)
+    n = 12
+    base = dict(ndim=3, iterations_fista=0, iterations_unacc=n,
+                backend=Backend.PALLAS, stopping_relative_change=0.5,
+                vmem_resident=False)
+    state = {
+        "recon": orig + 0.0,
+        "accs": tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)),
+        "ds": (),
+        "b_norm": jnp.zeros((n,), jnp.float32),
+        "delta": jnp.zeros((n,), jnp.float32).at[0].set(1.0).at[1]
+        .set(1.0),
+        "i": 2,
+    }
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      state=dict(state))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True),
+                     state=dict(state))
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_array_equal(np.asarray(got["delta"]),
+                                  np.asarray(want["delta"]))
+
+
+@pytest.mark.parametrize("block", [2, 5])
+def test_stop_block_boundaries_exact(monkeypatch, block):
+    """Natural converging runs crossing multiple checkpoint blocks
+    (block lengths 2 and 5 force many refreshes) must stop at the same
+    iteration as the unpaired run with bit-identical state."""
+    import cytvdn_tpu.solver.engine as E
+    from cytvdn_tpu.solver.engine import run_solver
+
+    monkeypatch.setattr(E, "_STOP_CKPT_PAIRS", block)
+    orig, li, lm, base, stopping = _stop_case(
+        (8, 6, 64), (0, 60), 21, 40, vmem_resident=False)
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False,
+                                    stopping_relative_change=stopping))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_pairs=True,
+                                   stopping_relative_change=stopping))
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+
+
 def test_stop_aware_sharded_pairs():
     """Stop-aware pairing on an axis-0 mesh: same stop iteration and
     ulp-level recon agreement with the unsharded unpaired run."""
