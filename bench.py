@@ -18,11 +18,21 @@ Methodology notes:
   baseline is that number scaled by 64 — an *upper bound* on the real
   64-thread reference (memory-bandwidth-bound workloads scale sublinearly),
   making ``vs_baseline`` conservative.
+
+Wedge hardening (round 4): the axon dev tunnel occasionally wedges (every
+fetch hangs for an hour+). The full matrix therefore (a) measures cheap
+rows first, (b) runs every row under a watchdog, (c) FLUSHES the artifact
+after each row so a mid-run wedge keeps everything measured before it, and
+(d) after an in-process wedge, retries the remaining rows in child
+processes (a fresh process opens a fresh tunnel channel) with bounded
+attempts, recording honest per-row failure notes when those also hang.
 """
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -94,13 +104,15 @@ def _measure(shape, iters, fista=True, stopping=None):
     return int(np.prod(shape)) * iters / dt
 
 
-# BASELINE.json's five configs. Config 5 (512²×256², v5e-16 mesh) needs 16
-# chips — on a single-chip host its evidence is the committed AOT compile
-# artifact (COMPILE_512.json). Config 4 (256²×128², ~44 GiB FISTA state)
-# exceeds one chip's HBM, so it runs through the out-of-core slab solver
-# (solver/outofcore.py, bit-identical to in-core) — a real measured number
-# for the north-star cube, plus the largest in-core cube as the chip's
-# in-HBM proxy.
+# BASELINE.json's five configs, ordered CHEAP FIRST (small cubes, then the
+# big streaming cubes, then the out-of-core monster) so a mid-run tunnel
+# wedge costs the least measurement. Config 5 (512²×256², v5e-16 mesh)
+# needs 16 chips — on a single-chip host its evidence is the committed AOT
+# compile artifact (COMPILE_512.json). Config 4 (256²×128², ~44 GiB FISTA
+# state) exceeds one chip's HBM, so it runs through the out-of-core slab
+# solver (solver/outofcore.py, bit-identical to in-core) — a real measured
+# number for the north-star cube, plus the largest in-core cube as the
+# chip's in-HBM proxy.
 FULL_CONFIGS = [
     ("cfg1_3d_unacc_64x64x512", (64, 64, 512), False, None),
     ("cfg1_full_3d_unacc_64x64x512_7500it", (64, 64, 512), False, None),
@@ -109,6 +121,7 @@ FULL_CONFIGS = [
     # CHUNK serving mode (engine._run_phase_resident under a dynamic cap)
     # that live-progress and checkpointed runs ride since round 3
     ("cfg1_chunked_3d_unacc_64x64x512_7500it", (64, 64, 512), False, None),
+    ("cfg3_4d_unacc_128x128x64x64", (128, 128, 64, 64), False, None),
     ("cfg2_3d_fista_256x256x2048", (256, 256, 2048), True, None),
     # the reference's canonical converged workflow sets
     # stopping_relative_change (reference cyTVDN.py:44,253); the bench
@@ -118,9 +131,8 @@ FULL_CONFIGS = [
     # 25 iterations — this row must land within ~10% of the unstopped
     # cfg2 row (VERDICT r2 item 1)
     ("cfg2_stop_3d_fista_256x256x2048", (256, 256, 2048), True, 1e-9),
-    ("cfg3_4d_unacc_128x128x64x64", (128, 128, 64, 64), False, None),
-    ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True, None),
     ("cfg4_proxy_4d_fista_256x256x72x72", (256, 256, 72, 72), True, None),
+    ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True, None),
 ]
 
 # Per-config iteration budgets. The default 25 amortizes dispatch the way
@@ -136,6 +148,18 @@ ITERS_OVERRIDE = {
     "cfg1_full_3d_unacc_64x64x512_7500it": 7500,
     "cfg1_chunked_3d_unacc_64x64x512_7500it": 7500,
 }
+
+#: per-row watchdog budgets (seconds). Rows pay first-compile (~20-40 s
+#: through the tunnel) plus the measurement; the out-of-core row moves
+#: tens of GB through the dev tunnel.
+ROW_TIMEOUT = {
+    "cfg4_4d_fista_256x256x128x128": 3600,
+    "cfg1_chunked_3d_unacc_64x64x512_7500it": 1200,
+}
+ROW_TIMEOUT_DEFAULT = 900
+#: attempts per row once running in child processes (fresh tunnel channel
+#: per attempt); a wedge outlasts any sane retry budget, so keep it small
+CHILD_ATTEMPTS = 2
 
 #: checkpoint/progress cadence for the chunked row (15 host dispatches
 #: over the 7500-iteration schedule — each pays this dev host's ~30 ms
@@ -199,8 +223,6 @@ def _measure_device_chunk(shape, core, temporal_k, reps=6):
     the compute leg of the out-of-core pipeline from the host↔device
     transfers so the bench artifact records a measured split, not an
     assertion."""
-    import time
-
     import jax
     import jax.numpy as jnp
 
@@ -241,8 +263,6 @@ def _measure_outofcore(shape, temporal_k=5):
     separately (``_measure_device_chunk``) so the artifact records the
     compute/transfer split and a projected throughput for a PCIe-attached
     host (this dev host's tunnel moves ~70 MB/s)."""
-    import time
-
     from cytvdn_tpu.config import SolverOptions
     from cytvdn_tpu.solver.outofcore import solve_outofcore_temporal
 
@@ -295,98 +315,269 @@ def _measure_outofcore(shape, temporal_k=5):
     return int(np.prod(shape)) * temporal_k / dt, n_slabs, split
 
 
+def _measure_row(name, shape, fista, stopping):
+    """Measure one FULL_CONFIGS row and return its artifact record."""
+    from cytvdn_tpu.utils.perf import practical_speed_of_light
+
+    if len(shape) == 4 and fista and not _fits(shape):
+        v, n_slabs, split = _measure_outofcore(shape)
+        return {
+            "voxel_updates_per_sec": round(v, 1),
+            "shape": list(shape), "fista": fista,
+            "mode": f"out-of-core, temporal-blocked K=5 "
+                    f"({n_slabs} slabs, host-resident state)",
+            **split,
+        }
+    if name.startswith("cfg1_chunked"):
+        iters = ITERS_OVERRIDE.get(name, ITERS)
+        v = _measure_chunked(shape, iters, _CHUNK_EVERY)
+        return {
+            "voxel_updates_per_sec": round(v, 1),
+            "shape": list(shape), "fista": fista,
+            "iterations": iters,
+            "mode": f"run_chunked every {_CHUNK_EVERY} "
+                    f"(resident chunks under dynamic caps; "
+                    f"{iters // _CHUNK_EVERY} host dispatches x "
+                    f"~30 ms dev-tunnel RTT included)",
+        }
+    iters = ITERS_OVERRIDE.get(name, ITERS)
+    v = _measure(shape, iters, fista, stopping)
+    rec = {"voxel_updates_per_sec": round(v, 1),
+           "shape": list(shape), "fista": fista,
+           "iterations": iters}
+    if stopping is not None:
+        rec["stopping_relative_change"] = stopping
+    frac = FLOOR_FRACTIONS.get(name)
+    if frac is not None:
+        model = practical_speed_of_light(shape, fista, "pair")
+        rec["model_pair_vox_per_sec"] = round(model, 1)
+        rec["fraction_of_model"] = round(v / model, 3)
+        rec["floor_fraction"] = frac
+        rec["floor_ok"] = bool(v >= frac * model)
+        if not rec["floor_ok"]:
+            print(f"# {name}: PERF REGRESSION — "
+                  f"{v/model:.2f} of model < floor {frac}",
+                  file=sys.stderr)
+    return rec
+
+
+def _reference_baseline():
+    """Measured reference single-thread rate (vox-upd/s) + provenance.
+    Prefers the ACTUAL reference build (tools/reference_parity.py builds
+    the real cyTVDN Cython kernels); falls back to the C++ proxy, then a
+    placeholder."""
+    here = os.path.dirname(__file__)
+    ref_path = os.path.join(here, "REFERENCE_PARITY.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            rp = json.load(f)
+        st = rp.get("reference_measured", {}).get(
+            "vox_updates_per_sec_1thread_4d_fista_48x48x48x48")
+        if st:
+            return st, "actual cyTVDN Cython build, 1 thread (REFERENCE_PARITY.json)"
+    path = os.path.join(here, "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            measured = json.load(f)
+        st = measured.get("reference_voxel_updates_per_sec_1thread")
+        if st:
+            return st, "C++ proxy of the reference kernels, 1 thread"
+    return 1e6, "placeholder (no reference measurement found)"
+
+
+def _north_star_block(detail):
+    """Adjudicate BASELINE.json's '>50x the 64-thread Cython throughput
+    per chip' target explicitly, per config, with the HBM-roofline
+    reconciliation (VERDICT r3 item 3a)."""
+    from cytvdn_tpu.utils.perf import (PRACTICAL_BW,
+                                       practical_speed_of_light)
+
+    ref_1t, prov = _reference_baseline()
+    bound_64t = ref_1t * 64.0
+    target = 50.0
+    configs = {}
+    for name, row in detail.items():
+        v = row.get("voxel_updates_per_sec")
+        if not v:
+            continue
+        ratio = v / bound_64t
+        configs[name] = {
+            "ratio_vs_64thread_bound": round(ratio, 2),
+            "meets_50x": bool(ratio >= target),
+        }
+        proj = row.get("projected_vox_per_sec_pcie4_host")
+        if proj:
+            configs[name]["ratio_vs_64thread_bound_pcie4_projection"] = \
+                round(proj / bound_64t, 2)
+    # roofline reconciliation: what ratio CAN a streaming config reach?
+    pair_4d = practical_speed_of_light((2, 2, 2, 2), True, "pair")
+    max_stream_ratio = pair_4d / bound_64t
+    return {
+        "reference_1thread_vox_per_sec": round(ref_1t, 1),
+        "reference_provenance": prov,
+        "linear_64thread_bound_vox_per_sec": round(bound_64t, 1),
+        "bound_note": "perfectly-linear 64-thread extrapolation — an "
+                      "upper bound no memory-bandwidth-bound code reaches "
+                      "(the reference caps at ~6.7 G on a 400 GB/s "
+                      "dual-socket server at its ~60 B/voxel-update "
+                      "traffic)",
+        "target_ratio": target,
+        "configs": configs,
+        "hbm_roofline_reconciliation": {
+            "pair_kernel_model_4d_fista_vox_per_sec": round(pair_4d, 1),
+            "practical_hbm_bw_bytes_per_sec": PRACTICAL_BW["v5e"],
+            "max_achievable_streaming_ratio": round(max_stream_ratio, 2),
+            "note": "a 4D FISTA iteration at f32 moves >=42 B/voxel-update "
+                    "through HBM even with K=2 temporal pairing, so ONE "
+                    "chip's measured ~600 GB/s caps ANY streaming config "
+                    f"at ~{max_stream_ratio:.1f}x the 64-thread linear "
+                    "bound; >=50x is reachable only when HBM leaves the "
+                    "loop (VMEM-resident kernel: cfg1_full) or across a "
+                    "mesh (cfg5: 16 chips). bf16 lossy-duals (opt-in, "
+                    "--lossy-duals) buys ~19% traffic, not 10x; K=3 "
+                    "pairing measured slower (round 2). The per-chip 50x "
+                    "target is therefore PHYSICALLY unreachable for "
+                    "streaming f32 configs on v5e HBM and is adjudicated "
+                    "as met only where shown above.",
+        },
+    }
+
+
+def _flush(detail, out):
+    with open(out, "w") as f:
+        json.dump(detail, f, indent=2)
+
+
+def _run_row_child(name, out, timeout):
+    """Measure one row in a child process (fresh tunnel channel) with
+    bounded attempts. Returns the row dict read back from the artifact,
+    or an honest error record."""
+    env = dict(os.environ, CYTV_BENCH_NO_FORK="1")
+    for attempt in range(1, CHILD_ATTEMPTS + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--full", "--only", name, "--no-headline"],
+                env=env, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: child attempt {attempt} timed out after "
+                  f"{timeout}s", file=sys.stderr)
+            continue
+        with open(out) as f:
+            got = json.load(f).get(name)
+        if got and "voxel_updates_per_sec" in got:
+            return got
+        if r.returncode:
+            print(f"# {name}: child attempt {attempt} exit "
+                  f"{r.returncode}", file=sys.stderr)
+    return {"error": "tunnel_wedge",
+            "detail": f"row unmeasurable after {CHILD_ATTEMPTS} child "
+                      f"attempts x {timeout}s (known axon wedge); "
+                      "earlier rows in this artifact ARE from this run"}
+
+
 def run_full(only=None):
     """Measure FULL_CONFIGS into BENCH_DETAIL.json. With ``only`` (a name
     prefix, from ``--only <prefix>``), measure just the matching configs
     and merge into the existing artifact — refreshing one new/changed row
-    without re-paying the whole matrix through the dev tunnel."""
-    from cytvdn_tpu.utils.perf import practical_speed_of_light
+    without re-paying the whole matrix through the dev tunnel.
 
+    Every row: (1) runs under a watchdog thread sized by ROW_TIMEOUT,
+    (2) flushes the artifact immediately after measuring. After the first
+    in-process watchdog timeout the backend channel is presumed wedged and
+    the remaining rows run in child processes (fresh channel per attempt,
+    CHILD_ATTEMPTS bounded)."""
     out = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
     detail = {}
-    if only and os.path.exists(out):
+    if os.path.exists(out):
         with open(out) as f:
             detail = json.load(f)
+    run_stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    in_child = bool(os.environ.get("CYTV_BENCH_NO_FORK"))
+    wedged = False
     for name, shape, fista, stopping in FULL_CONFIGS:
         if only and not name.startswith(only):
             continue
+        timeout = ROW_TIMEOUT.get(name, ROW_TIMEOUT_DEFAULT)
+        # rows that must not share a parent process with the rest of the
+        # matrix: the out-of-core row holds ~50 GB of host RAM and a
+        # failure mid-row has been observed to poison the process's
+        # backend channel, killing every LATER config in the run
+        needs_quarantine = (len(shape) == 4 and fista and not _fits(shape))
         try:
-            if len(shape) == 4 and fista and not _fits(shape):
-                # QUARANTINE: the out-of-core row moves tens of GB
-                # through the dev tunnel and holds ~50 GB of host RAM —
-                # a failure mid-row has been observed to poison the
-                # process's backend channel, killing every LATER config
-                # in the run. Measure it in a child process so any
-                # damage dies with the child; merge its row via the
-                # artifact file.
-                if not os.environ.get("CYTV_BENCH_NO_FORK"):
-                    import subprocess
-
-                    with open(out, "w") as f:
-                        json.dump(detail, f, indent=2)
-                    env = dict(os.environ, CYTV_BENCH_NO_FORK="1")
-                    r = subprocess.run(
-                        [sys.executable, os.path.abspath(__file__),
-                         "--full", "--only", name, "--no-headline"],
-                        env=env, timeout=3600)
-                    with open(out) as f:
-                        detail = json.load(f)
-                    if r.returncode:
-                        detail.setdefault(name, {
-                            "error": "child process failed",
-                            "detail": f"exit code {r.returncode}"})
-                    v = detail.get(name, {}).get(
-                        "voxel_updates_per_sec", float("nan"))
-                else:
-                    v, n_slabs, split = _measure_outofcore(shape)
-                    detail[name] = {
-                        "voxel_updates_per_sec": round(v, 1),
-                        "shape": list(shape), "fista": fista,
-                        "mode": f"out-of-core, temporal-blocked K=5 "
-                                f"({n_slabs} slabs, host-resident state)",
-                        **split,
-                    }
-            elif name.startswith("cfg1_chunked"):
-                iters = ITERS_OVERRIDE.get(name, ITERS)
-                v = _measure_chunked(shape, iters, _CHUNK_EVERY)
-                detail[name] = {
-                    "voxel_updates_per_sec": round(v, 1),
-                    "shape": list(shape), "fista": fista,
-                    "iterations": iters,
-                    "mode": f"run_chunked every {_CHUNK_EVERY} "
-                            f"(resident chunks under dynamic caps; "
-                            f"{iters // _CHUNK_EVERY} host dispatches x "
-                            f"~30 ms dev-tunnel RTT included)",
-                }
-            else:
-                iters = ITERS_OVERRIDE.get(name, ITERS)
-                v = _measure(shape, iters, fista, stopping)
-                rec = {"voxel_updates_per_sec": round(v, 1),
-                       "shape": list(shape), "fista": fista,
-                       "iterations": iters}
-                if stopping is not None:
-                    rec["stopping_relative_change"] = stopping
-                frac = FLOOR_FRACTIONS.get(name)
-                if frac is not None:
-                    model = practical_speed_of_light(shape, fista, "pair")
-                    rec["model_pair_vox_per_sec"] = round(model, 1)
-                    rec["fraction_of_model"] = round(v / model, 3)
-                    rec["floor_fraction"] = frac
-                    rec["floor_ok"] = bool(v >= frac * model)
-                    if not rec["floor_ok"]:
-                        print(f"# {name}: PERF REGRESSION — "
-                              f"{v/model:.2f} of model < floor {frac}",
-                              file=sys.stderr)
+            if (wedged or needs_quarantine) and not in_child:
+                _flush(detail, out)
+                detail[name] = _run_row_child(name, out, timeout)
+            elif in_child:
+                rec = _measure_row(name, shape, fista, stopping)
+                rec["measured_utc"] = run_stamp
                 detail[name] = rec
-            print(f"# {name}: {v/1e9:.2f} Gvox-upd/s", file=sys.stderr)
+            else:
+                box, done = {}, threading.Event()
+
+                def work(nm=name, sh=shape, fi=fista, st=stopping):
+                    try:
+                        box["rec"] = _measure_row(nm, sh, fi, st)
+                    except Exception as e:  # recorded below
+                        box["exc"] = e
+                    done.set()
+
+                t = threading.Thread(target=work, daemon=True)
+                t.start()
+                if not done.wait(timeout):
+                    wedged = True
+                    print(f"# {name}: watchdog timeout after {timeout}s "
+                          "— presuming tunnel wedge; remaining rows go "
+                          "through child processes", file=sys.stderr)
+                    _flush(detail, out)
+                    detail[name] = _run_row_child(name, out, timeout)
+                elif "exc" in box:
+                    raise box["exc"]
+                else:
+                    box["rec"]["measured_utc"] = run_stamp
+                    detail[name] = box["rec"]
+            v = detail.get(name, {}).get("voxel_updates_per_sec")
+            if v:
+                print(f"# {name}: {v/1e9:.2f} Gvox-upd/s", file=sys.stderr)
         except Exception as e:
             detail[name] = {"error": type(e).__name__,
                             "detail": str(e)[:300]}
             print(f"# {name}: {type(e).__name__}: {str(e)[:120]}",
                   file=sys.stderr)
-    with open(out, "w") as f:
-        json.dump(detail, f, indent=2)
+        _flush(detail, out)
+    if not in_child:
+        try:
+            detail["north_star"] = _north_star_block(detail)
+        except Exception as e:
+            detail["north_star"] = {"error": str(e)[:200]}
+        _flush(detail, out)
     print(f"# detail written to {out}", file=sys.stderr)
+
+
+def _emit_headline(value, used, note=None):
+    baseline, _prov = _reference_baseline()
+    baseline *= 64.0  # conservative linear 64-thread bound
+    # metric name is intentionally shape-free and stable across rounds
+    # (round-over-round comparability); the shape rides along as a label
+    # and the full matrix lives in BENCH_DETAIL.json under --full
+    line = {
+        "metric": "voxel_updates_per_sec_4d_fista",
+        "value": round(value, 1),
+        "unit": "voxel-updates/s",
+        "vs_baseline": round(value / baseline, 3),
+    }
+    if used is not None:
+        line["headline_shape"] = "x".join(map(str, used))
+        if tuple(used) != (256, 256, 128, 128):
+            line["shape_note"] = (
+                "largest single-chip in-core cube (HBM proxy for the "
+                "256x256x128x128 config-4 target, whose 43 GB FISTA "
+                "state exceeds one v5e's 16 GB — its out-of-core "
+                "measurement and PCIe-host projection are "
+                "BENCH_DETAIL.json:cfg4_4d_fista_256x256x128x128)")
+    if note:
+        line["note"] = note
+    print(json.dumps(line))
 
 
 def main():
@@ -402,9 +593,9 @@ def main():
     # tunnel warmup fetch, with a watchdog: the axon dev tunnel
     # occasionally wedges for an hour+ (every fetch hangs) — without a
     # bound the whole bench would hang and record NOTHING. On timeout,
-    # emit the stable-metric line with an honest failure marker instead.
-    import threading
-
+    # retry once in a fresh child process (fresh tunnel channel); if that
+    # also hangs, emit the stable-metric line with an honest failure
+    # marker instead.
     ok = []
     t = threading.Thread(
         target=lambda: (np.asarray(jax.numpy.ones((8,))),
@@ -413,6 +604,17 @@ def main():
     t.start()
     t.join(300)
     if not ok:
+        if not os.environ.get("CYTV_BENCH_NO_FORK"):
+            print("# warmup fetch hung 300s — retrying once in a fresh "
+                  "child process (fresh tunnel channel)", file=sys.stderr)
+            env = dict(os.environ, CYTV_BENCH_NO_FORK="1")
+            try:
+                r = subprocess.run([sys.executable,
+                                    os.path.abspath(__file__),
+                                    *sys.argv[1:]], env=env, timeout=7200)
+                sys.exit(r.returncode)
+            except subprocess.TimeoutExpired:
+                pass
         print("# device tunnel unresponsive after 300s (known axon "
               "wedge) — no measurement possible this run", file=sys.stderr)
         print(json.dumps({
@@ -439,51 +641,51 @@ def main():
                   f"{_IN_CORE_BUFFERS}-buffer model", file=sys.stderr)
             continue
         try:
-            value = _measure(shape, ITERS)
-            used = shape
+            # watchdog: a wedge during --full must not hang the headline
+            box, done = {}, threading.Event()
+
+            def work(sh=shape):
+                try:
+                    box["v"] = _measure(sh, ITERS)
+                except Exception as e:
+                    box["exc"] = e
+                done.set()
+
+            t = threading.Thread(target=work, daemon=True)
+            t.start()
+            if not done.wait(ROW_TIMEOUT_DEFAULT):
+                raise TimeoutError(
+                    f"headline measure hung {ROW_TIMEOUT_DEFAULT}s")
+            if "exc" in box:
+                raise box["exc"]
+            value, used = box["v"], shape
             break
         except Exception as e:  # OOM etc. — try the next size down
             print(f"# config {shape} failed: {type(e).__name__}",
                   file=sys.stderr)
+            if isinstance(e, TimeoutError):
+                break  # wedged: smaller shapes would hang too
     if value is None:
+        # last resort: the proxy row measured THIS run under --full
+        detail_path = os.path.join(os.path.dirname(__file__),
+                                   "BENCH_DETAIL.json")
+        if "--full" in sys.argv and os.path.exists(detail_path):
+            with open(detail_path) as f:
+                row = json.load(f).get(
+                    "cfg4_proxy_4d_fista_256x256x72x72", {})
+            v = row.get("voxel_updates_per_sec")
+            if v and row.get("measured_utc"):
+                _emit_headline(
+                    v, tuple(row["shape"]),
+                    note="headline re-measure hung (tunnel wedge); value "
+                         f"is the cfg4_proxy row measured earlier in "
+                         f"THIS run ({row['measured_utc']})")
+                return
         print(json.dumps({"metric": "voxel_updates_per_sec_4d_fista",
                           "value": 0, "unit": "voxel-updates/s",
                           "vs_baseline": 0}))
         return
-
-    baseline = None
-    # prefer the ACTUAL reference build's measured single-thread throughput
-    # (tools/reference_parity.py builds the real cyTVDN Cython kernels);
-    # fall back to the C++ proxy measurement
-    ref_path = os.path.join(os.path.dirname(__file__),
-                            "REFERENCE_PARITY.json")
-    if os.path.exists(ref_path):
-        with open(ref_path) as f:
-            rp = json.load(f)
-        st = rp.get("reference_measured", {}).get(
-            "vox_updates_per_sec_1thread_4d_fista_48x48x48x48")
-        if st:
-            baseline = st * 64.0  # conservative linear 64-thread bound
-    path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
-    if baseline is None and os.path.exists(path):
-        with open(path) as f:
-            measured = json.load(f)
-        st = measured.get("reference_voxel_updates_per_sec_1thread")
-        if st:
-            baseline = st * 64.0
-    if baseline is None:
-        baseline = 64e6  # placeholder
-
-    # metric name is intentionally shape-free and stable across rounds
-    # (round-over-round comparability); the shape goes to stderr and to
-    # BENCH_DETAIL.json under --full
-    print(f"# headline config: {'x'.join(map(str, used))}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "voxel_updates_per_sec_4d_fista",
-        "value": round(value, 1),
-        "unit": "voxel-updates/s",
-        "vs_baseline": round(value / baseline, 3),
-    }))
+    _emit_headline(value, used)
 
 
 if __name__ == "__main__":
