@@ -234,6 +234,65 @@ def process_row_range(n0: int, nproc: int, pid: int) -> Tuple[int, int]:
     return g0, g0 + base + (1 if pid < extra else 0)
 
 
+@functools.lru_cache(maxsize=8)
+def _neighbor_band_exchange(nproc: int, n_arrays: int, k: int,
+                            rest: Tuple[int, ...]):
+    """Point-to-point K-row band exchange between axis-0 neighbor
+    processes, as one packed ``ppermute`` pair over a process-spanning
+    1-device-per-process mesh.
+
+    Each process contributes a ``(n_arrays, 2k, *rest)`` block — its
+    arrays' head K rows then tail K rows — and receives the same-shape
+    block holding ``[:, :k]`` = its LEFT neighbor's tail band and
+    ``[:, k:]`` = its RIGHT neighbor's head band (edge processes receive
+    ``ppermute``'s zero fill in the missing slot; their ghost rows don't
+    exist, so it is never read). Unlike an allgather this moves each
+    band only to the one process that needs it — on a pod the transfers
+    ride the same XLA collective machinery as the in-core halos (ICI
+    where neighbors share it, DCN otherwise), and wire bytes per process
+    per sweep are O(1) in nproc.
+
+    Reference analog: the MPI ranks' point-to-point boundary sends
+    (reference cyTVDN/mpi.py:186-214) — which exchange per-iteration;
+    here temporal blocking makes it per-sweep (K iterations).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    by_proc: Dict[int, object] = {}
+    for d in jax.devices():
+        prev = by_proc.get(d.process_index)
+        if prev is None or d.id < prev.id:  # type: ignore[attr-defined]
+            by_proc[d.process_index] = d
+    devs = np.array([by_proc[p] for p in range(nproc)])
+    mesh = Mesh(devs, ("p",))
+    sharding = NamedSharding(mesh, P("p"))
+    gshape = (nproc, n_arrays, 2 * k) + rest
+
+    def body(b):  # local block: (1, n_arrays, 2k, *rest)
+        head, tail = b[:, :, :k], b[:, :, k:]
+        from_left = lax.ppermute(
+            tail, "p", [(i, i + 1) for i in range(nproc - 1)])
+        from_right = lax.ppermute(
+            head, "p", [(i + 1, i) for i in range(nproc - 1)])
+        return jnp.concatenate([from_left, from_right], axis=2)
+
+    fx = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("p"), out_specs=P("p")))
+
+    def exchange(local_block: np.ndarray, pid: int) -> np.ndarray:
+        arr = jax.make_array_from_single_device_arrays(
+            gshape, sharding,
+            [jax.device_put(local_block[None], devs[pid])])
+        out = fx(arr)
+        return np.asarray(out.addressable_shards[0].data)[0]
+
+    return exchange
+
+
 def _slab_bounds(n0: int, n_slabs: int):
     """Balanced split of ``n0`` rows into ``n_slabs`` contiguous slabs
     (sizes differ by at most one — a greedy ceil split can leave an
@@ -1080,24 +1139,30 @@ def solve_outofcore_multihost(
     state_arrays = [recon] + accs + (ds if has_ds else [])
 
     def exchange(arrays):
-        """Refresh ghost rows from the neighbors' pre-sweep bands: one
-        allgather of each array's head+tail K rows, sliced and dropped
-        immediately so the transient never exceeds ``nproc * 2K`` rows
-        of ONE array. The allgather moves every band to every process —
-        O(nproc) DCN traffic where only the two neighbors' bands are
-        needed; fine at the 2-8 host scale this mode targets, and the
-        upgrade path (a ``ppermute`` pair over a process-spanning mesh)
-        is mechanical if wider slices ever need it."""
+        """Refresh ghost rows from the neighbors' pre-sweep bands:
+        ONE packed neighbor-only ``ppermute`` pair over a
+        process-spanning mesh (``_neighbor_band_exchange``). All arrays'
+        head+tail K-row bands ride a single collective, and each
+        process's bands travel only to its two axis-0 neighbors — O(1)
+        DCN traffic per process per sweep, vs the O(nproc) an allgather
+        would move (at the config-5 geometry, 2K rows of a 512²×256²
+        cube are ~1.3 GB/process: neighbor-only halves the wire bytes at
+        nproc=2 and wins linearly from there). Host transient is
+        ~3 × n_arrays × 2K rows (send block + device shard + result) —
+        independent of nproc, and small next to a slab."""
         if nproc == 1:
             return
-        for x in arrays:
-            send = np.concatenate([x[tg:tg + K], x[tg + m - K:tg + m]])
-            got = np.asarray(multihost_utils.process_allgather(send))
+        send = np.stack(
+            [np.concatenate([x[tg:tg + K], x[tg + m - K:tg + m]])
+             for x in arrays])
+        fx = _neighbor_band_exchange(nproc, len(arrays), K, rest)
+        got = fx(send, pid)
+        for j, x in enumerate(arrays):
             if tg:
-                x[:tg] = got[pid - 1, K:]       # left neighbor's tail
+                x[:tg] = got[j, :K]       # left neighbor's tail
             if bg:
-                x[tg + m:] = got[pid + 1, :K]   # right neighbor's head
-            del got
+                x[tg + m:] = got[j, K:]   # right neighbor's head
+        del got
 
     exchange([orig_p])  # orig is constant: ghost rows fetched once
 

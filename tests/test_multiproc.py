@@ -96,11 +96,25 @@ def test_multihost_outofcore_bit_identical():
 @pytest.mark.slow
 def test_multihost_outofcore_cli():
     """`cytv --out-of-core` across two real processes: lazy per-host row
-    reads from the EMD, the multihost solver, and the single proc-0
-    output file — all through the console entry."""
+    reads from the EMD, the multihost solver, and CONCURRENT per-process
+    row writes into one shared-FS EMD output (the reference's MPI-IO
+    analog, mpi.py:444-498) — all through the console entry."""
     out = _run_ooc(["--cli"], 27000 + os.getpid() % 9000)
     assert out["multiproc_outofcore_cli_e2e"] == "ok"
     assert out["recon_rel_err_vs_incore"] == 0.0
+    assert out["output_path_mode"] == "concurrent_row_writes"
+
+
+@pytest.mark.slow
+def test_multihost_outofcore_cli_gather_fallback():
+    """CYTV_NO_SHARED_FS forces the no-shared-filesystem fallback: rows
+    stream to process 0 in slab chunks and it writes the one EMD file.
+    Same bytes on disk as the concurrent path."""
+    out = _run_ooc(["--cli", "--no-shared-fs"],
+                   30000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_cli_e2e"] == "ok"
+    assert out["recon_rel_err_vs_incore"] == 0.0
+    assert out["output_path_mode"] == "proc0_gather"
 
 
 @pytest.mark.slow
@@ -112,3 +126,30 @@ def test_multihost_outofcore_kill_resume():
     assert out["multiproc_outofcore_e2e"] == "ok"
     assert out["recon_rel_err_vs_incore"] == 0.0
     assert out["killed_after_first_generation"] is True
+
+
+@pytest.mark.slow
+def test_multihost_outofcore_three_process_interior():
+    """nproc=3 exercises the INTERIOR process branch of the band
+    exchange (both ``got`` neighbors applied in one refresh) with
+    uneven row ranges (17 rows over 3 processes), full-sweep parity
+    vs the single-process in-core run."""
+    out = _run_ooc(["--nproc", "3"], 28000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_e2e"] == "ok"
+    assert out["nproc"] == 3
+    assert out["recon_rel_err_vs_incore"] == 0.0
+
+
+@pytest.mark.slow
+def test_multihost_outofcore_interior_kill_resume():
+    """The INTERIOR process (pid 1 of 3) crashes (os._exit) right after
+    the first checkpoint generation; the other ranks are torn down at
+    the same generation (what a launcher does on a rank loss). The
+    resume pass — with the interior's both-neighbor band refresh live —
+    must reproduce the uninterrupted in-core result bit-for-bit."""
+    out = _run_ooc(["--nproc", "3", "--checkpoint", "--die-pid", "1"],
+                   29000 + os.getpid() % 9000)
+    assert out["multiproc_outofcore_e2e"] == "ok"
+    assert out["recon_rel_err_vs_incore"] == 0.0
+    assert out["killed_after_first_generation"] is True
+    assert out["interior_kill"] is True

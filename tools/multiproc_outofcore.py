@@ -100,6 +100,12 @@ def child(args) -> int:
             # exists everywhere (the hook runs post-barrier) — a real
             # crashed-pod cycle, not a simulated one
             O._POST_CKPT_HOOK = lambda it: os._exit(17)
+        elif args.stop_after_save:
+            # this process is NOT the crash victim: it exits at the same
+            # generation with a distinct code, simulating the launcher
+            # tearing down the surviving ranks after a rank loss (what
+            # SLURM/mpirun do when one rank dies)
+            O._POST_CKPT_HOOK = lambda it: os._exit(18)
     out = O.solve_outofcore_multihost(
         np.ascontiguousarray(cube[g0:g1]),
         np.full(3, 1.0 / (MU / 16.0), np.float32),
@@ -145,6 +151,10 @@ def parent(args) -> int:
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    if args.no_shared_fs:
+        # force the CLI's chunked proc-0 gather output (the non-shared-FS
+        # fallback) instead of the concurrent per-process row writes
+        env["CYTV_NO_SHARED_FS"] = "1"
 
     if args.cli:
         from cytvdn_tpu.io.emd import write_emd
@@ -152,6 +162,13 @@ def parent(args) -> int:
         write_emd(f"{work}/noisy.emd", noisy)
 
     def spawn(port, die=False):
+        def kill_flags(pid):
+            if not die:
+                return []
+            if args.die_pid is None or pid == args.die_pid:
+                return ["--die-after-save"]
+            return ["--stop-after-save"]
+
         return [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
              "--pid", str(pid), "--nproc", str(args.nproc),
@@ -159,17 +176,24 @@ def parent(args) -> int:
              "--local-devices", str(args.local_devices)]
             + (["--checkpoint"] if args.checkpoint else [])
             + (["--cli"] if args.cli else [])
-            + (["--die-after-save"] if die else []),
+            + kill_flags(pid),
             env=env,
         ) for pid in range(args.nproc)]
 
     interrupted = False
     if args.checkpoint:
-        # pass 1: every process kills itself (os._exit) right after the
-        # first complete checkpoint generation is on disk
+        # pass 1: the victim process(es) kill themselves (os._exit 17)
+        # right after the first complete checkpoint generation is on
+        # disk; with --die-pid, the OTHER ranks exit 18 at the same
+        # generation (launcher teardown after a rank loss)
         procs = spawn(args.port, die=True)
         rcs = [p.wait(timeout=600) for p in procs]
-        interrupted = all(rc == 17 for rc in rcs)
+        if args.die_pid is None:
+            interrupted = all(rc == 17 for rc in rcs)
+        else:
+            interrupted = all(
+                rc == (17 if pid == args.die_pid else 18)
+                for pid, rc in enumerate(rcs))
         if not interrupted:
             print(f"FAIL: kill pass exit codes {rcs}")
             return 1
@@ -192,6 +216,8 @@ def parent(args) -> int:
             "nproc": args.nproc,
             "local_devices": args.local_devices,
             "recon_rel_err_vs_incore": rel,
+            "output_path_mode": ("proc0_gather" if args.no_shared_fs
+                                 else "concurrent_row_writes"),
         }
         print(json.dumps(result))
         _append_artifact(args.artifact, result)
@@ -238,7 +264,11 @@ def parent(args) -> int:
         "mse_rel_err_vs_incore": mse_rel,
         "checkpoint_cycle": bool(args.checkpoint),
         "killed_after_first_generation": interrupted,
+        "band_exchange": "neighbor_ppermute",
     }
+    if args.checkpoint and args.die_pid is not None:
+        result["killed_pid"] = args.die_pid
+        result["interior_kill"] = 0 < args.die_pid < args.nproc - 1
     print(json.dumps(result))
     _append_artifact(args.artifact, result)
     if not args.keep:
@@ -271,9 +301,19 @@ def build_parser():
                    help="kill every process after the first checkpoint "
                         "generation, then resume")
     p.add_argument("--die-after-save", action="store_true")
+    p.add_argument("--stop-after-save", action="store_true")
+    p.add_argument("--die-pid", type=int, default=None,
+                   help="with --checkpoint: only this pid crashes "
+                        "(os._exit 17); the others exit 18 at the same "
+                        "generation (launcher teardown). Default: all "
+                        "pids crash")
     p.add_argument("--cli", action="store_true",
                    help="drive the whole flow through the cytv CLI "
-                        "(lazy per-host row reads, proc-0 EMD output)")
+                        "(lazy per-host row reads; concurrent row-write "
+                        "or proc-0 gather EMD output)")
+    p.add_argument("--no-shared-fs", action="store_true",
+                   help="with --cli: force the proc-0 gather output path "
+                        "(simulate hosts without a shared filesystem)")
     p.add_argument("--keep", default=None, metavar="WORKDIR")
     p.add_argument("--artifact", default=None, metavar="JSON")
     return p
