@@ -187,6 +187,20 @@ def _finish(result, calculate_mse):
     return recon, b_norm, delta
 
 
+def _lossy_note(lossy_duals: bool, n_f: int, quiet: bool) -> None:
+    """Warn once per call that lossy_duals trades exactness for traffic
+    (the mode can never be a default — see SolverOptions.lossy_duals)."""
+    if lossy_duals and n_f and not quiet:
+        import warnings
+
+        warnings.warn(
+            "lossy_duals: FISTA shadow duals stored as bfloat16 — "
+            "reconstruction is NOT bit-exact vs float32 (measured drift "
+            "saturates ~6.8e-4 rel-L2, EXPERIMENT_BF16_DUALS.json) in "
+            "exchange for ~19% less HBM traffic on streaming runs",
+            stacklevel=3)
+
+
 def denoise4D(
     datacube: np.ndarray,
     mu: np.ndarray,
@@ -202,6 +216,7 @@ def denoise4D(
     backend: Union[str, Backend] = Backend.AUTO,
     fista_restart: bool = False,
     progress: Optional[bool] = None,
+    lossy_duals: bool = False,
 ):
     """Proximal anisotropic (or half-isotropic) TV denoising of a 4D datacube.
 
@@ -212,6 +227,11 @@ def denoise4D(
     ``progress``: live per-iteration progress (tqdm when available) via
     chunked execution (state bit-exact; traces to the last ulp);
     defaults to on for long non-quiet runs.
+
+    ``lossy_duals``: opt-in LOSSY mode — store the FISTA shadow duals in
+    bfloat16 in HBM (~19% less streaming traffic; measured recon drift
+    ~6.8e-4 rel-L2 vs exact f32, EXPERIMENT_BF16_DUALS.json). Never the
+    default: the drift is 68x the 1e-5 reference-parity budget.
     """
     datacube, mu, lam, lambda_inv, lam_mu = _validate_and_derive(
         datacube, mu, lam, 4, 32.0
@@ -241,7 +261,9 @@ def denoise4D(
         calculate_mse=calculate_mse,
         backend=Backend(backend),
         fista_restart=fista_restart,
+        lossy_duals=lossy_duals,
     )
+    _lossy_note(lossy_duals, n_f, quiet)
     _memory_note(datacube, n_f > 0, 4, quiet)
 
     result = _run(datacube, lambda_inv, lam_mu, opts, reference_data,
@@ -262,6 +284,7 @@ def denoise3D(
     backend: Union[str, Backend] = Backend.AUTO,
     fista_restart: bool = False,
     progress: Optional[bool] = None,
+    lossy_duals: bool = False,
 ):
     """Proximal anisotropic TV denoising of a 3D cube (EELS SI).
 
@@ -296,7 +319,9 @@ def denoise3D(
         calculate_mse=calculate_mse,
         backend=Backend(backend),
         fista_restart=fista_restart,
+        lossy_duals=lossy_duals,
     )
+    _lossy_note(lossy_duals, n_f, quiet)
     _memory_note(datacube, n_f > 0, 3, quiet)
 
     result = _run(datacube, lambda_inv, lam_mu, opts, reference_data,

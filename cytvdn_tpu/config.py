@@ -94,12 +94,32 @@ class SolverOptions:
     # (reference cyTVDN/mpi.py:130-214); we additionally allow splitting the
     # Q/spectral axes (SURVEY.md §2 parallelism inventory).
     mesh_axes: Tuple[int, ...] = ()
+    # LOSSY opt-in (beyond the reference): store the FISTA shadow duals
+    # (``d``) in bfloat16 in HBM, compute in float32. Cuts streaming
+    # FISTA HBM traffic ~19% (the d arrays' share of the pair kernel's
+    # ~42 B/voxel-iteration). NOT bit-exact: measured reconstruction
+    # drift saturates at ~6.8e-4 rel-L2 (EXPERIMENT_BF16_DUALS.json) —
+    # 68x over the 1e-5 reference-parity budget, which is why this can
+    # never be a default. Single-device streaming float32 Jia-Zhao
+    # anisotropic FISTA runs only.
+    lossy_duals: bool = False
 
     def __post_init__(self):
         if self.ndim not in (3, 4):
             raise ValueError(f"ndim must be 3 or 4, got {self.ndim}")
         if self.ndim == 3 and (self.isotropic_R or self.isotropic_Q):
             raise ValueError("half-isotropic mode is 4D-only (as in reference)")
+        if self.lossy_duals:
+            if self.isotropic_R or self.isotropic_Q:
+                raise ValueError(
+                    "lossy_duals does not cover half-isotropic runs")
+            if self.bc_mode != BCMode.JIA_ZHAO:
+                raise ValueError(
+                    "lossy_duals covers Jia-Zhao anisotropic runs only")
+            if self.mesh_axes:
+                raise ValueError(
+                    "lossy_duals is a single-device streaming mode "
+                    "(sharded runs keep exact float32 duals)")
 
     @property
     def fista(self) -> bool:

@@ -500,7 +500,10 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         for k in range(n_ax):
             clipped = proj[k]
             if fista:
-                bk = clipped + rho * (clipped - ds[k][...])
+                # ds may be stored bf16 in HBM (opt-in lossy-duals mode,
+                # SolverOptions.lossy_duals): compute stays f32 in VMEM
+                bk = clipped + rho * (
+                    clipped - ds[k][...].astype(clipped.dtype))
             else:
                 bk = clipped
             b_new.append(bk)
@@ -511,7 +514,7 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 @pl.when(in_acc_phase)
                 def _(k=k, bk=bk, d_new=d_new):
                     b_outs[k][...] = bk
-                    d_outs[k][...] = d_new
+                    d_outs[k][...] = d_new.astype(d_outs[k].dtype)
             else:
 
                 @pl.when(in_acc_phase)
@@ -859,7 +862,9 @@ def fused_iteration(
         recon_lastcols = col_gather(recon, b1 - 1)  # strip j's last column
         recon_firstcols = col_gather(recon, 0)      # strip j's first column
         acc1_firstcols = col_gather(accs[1], 0)
-        d1_firstcols = col_gather(ds[1], 0) if fista else None
+        # seam operands stay f32 (exact bf16→f32 widening in lossy mode)
+        d1_firstcols = (col_gather(ds[1], 0).astype(orig.dtype)
+                        if fista else None)
         if iso_r:
             # the iso (0,1) seam recompute additionally reads the neighbor
             # column's axis-0 accumulator state
@@ -998,7 +1003,9 @@ def fused_iteration(
     out_shape = [jax.ShapeDtypeStruct(shape, dt)]               # recon_new
     out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim       # b_new
     if fista:
-        out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim   # d_new
+        # d_new keeps ds's storage dtype (bf16 under lossy-duals) so the
+        # HBM alias d_k → d_new_k holds and the traffic saving is real
+        out_shape += [jax.ShapeDtypeStruct(shape, ds[0].dtype)] * ndim
     out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 3
 
     scratch = [pltpu.VMEM(block, dt) for _ in range(1 + ndim)]

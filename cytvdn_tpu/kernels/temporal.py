@@ -426,8 +426,12 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         b1f, d1f = [], []
         bnorm1 = jnp.zeros((), jnp.float32)
         for k in range(n_ax):
+            # d0 may be stored bf16 in HBM (opt-in lossy-duals mode):
+            # compute stays f32 in VMEM; iteration-1 duals live f32 in
+            # the ring carries, so only the per-pair writeback rounds
             bk, dk = dual(diffs1[k], acc0[k][...],
-                          d0[k][...] if fista else None, k, rho1)
+                          d0[k][...].astype(diffs1[k].dtype)
+                          if fista else None, k, rho1)
             b1f.append(bk)
             d1f.append(dk)
             bnorm1 = bnorm1 + jnp.sum(jnp.abs(bk))
@@ -745,7 +749,7 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
             def _(k=k, bk=bk, dk=dk):
                 b2_out[k][...] = bk
                 if fista:
-                    d2_out[k][...] = dk
+                    d2_out[k][...] = dk.astype(d2_out[k].dtype)
 
         @pl.when(in_C)
         def _():
@@ -1083,9 +1087,16 @@ def fused_pair_iteration(
                       for k in range(ndim)]
         band_cols += [add_slot(c1_of(accs_w[1], "n_acc1_c0"), "n_acc1_c1")]
         if fista:
-            band_cols += [add_slot(col_gather(ds_w[k], 0), f"n_d{k}_c0")
+            # the packed band operand is uniform f32; under lossy-duals
+            # the d columns widen bf16→f32 here (exact)
+            def _f32(x):
+                return x.astype(orig.dtype)
+
+            band_cols += [add_slot(_f32(col_gather(ds_w[k], 0)),
+                                   f"n_d{k}_c0")
                           for k in range(ndim)]
-            band_cols += [add_slot(c1_of(ds_w[1], "n_d1_c0"), "n_d1_c1")]
+            band_cols += [add_slot(_f32(c1_of(ds_w[1], "n_d1_c0")),
+                                   "n_d1_c1")]
         band_cols += [add_slot(col_gather(orig_w, 0), "n_orig_c0")]
         n_band = len(band_cols)
         bandpk = jnp.stack(band_cols, axis=2)   # (n0, g1[+1], C)+tail
@@ -1199,7 +1210,9 @@ def fused_pair_iteration(
     out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim
     if fista:
         out_specs += [blk(at_im2) for _ in range(ndim)]  # d2
-        out_shape += [jax.ShapeDtypeStruct(shape, dt)] * ndim
+        # d2 keeps ds's storage dtype (bf16 under lossy-duals) so the
+        # HBM alias d0_k → d2_k holds and the traffic saving is real
+        out_shape += [jax.ShapeDtypeStruct(shape, ds_w[0].dtype)] * ndim
     n_scal_out = 8 if with_mse else 6
     out_specs += [scal_out] * n_scal_out
     out_shape += [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * n_scal_out

@@ -104,7 +104,10 @@ def _accumulator_phase(
                 recon, accs[ax], ds[ax], tk_ratio, ax, lambda_inv[ax],
                 opts.bc_mode, halos[ax],
             )
-            accs_new[ax], ds_new[ax] = b, d
+            # lossy-duals emulation on the XLA ops path: d stores at the
+            # carried dtype (bf16 → rounds every iteration, matching the
+            # K=1 kernel's writeback cadence); no-op when f32
+            accs_new[ax], ds_new[ax] = b, d.astype(ds[ax].dtype)
         else:
             b, n = ops.accumulator_update(
                 recon, accs[ax], ax, lambda_inv[ax], opts.bc_mode, halos[ax]
@@ -515,6 +518,11 @@ def _resident_gates(opts: SolverOptions, shape, dtype, comm,
     ``_resolve_resident*`` wrappers — keep any new option gate HERE so
     both modes stay in lockstep."""
     if not opts.vmem_resident:
+        return False, False
+    if opts.lossy_duals:
+        # the resident kernel holds ds in VMEM for the whole run — there
+        # is no HBM dual traffic to save, and mixing rounding cadences
+        # would change the mode's semantics. Lossy runs stream.
         return False, False
     if opts.backend in (Backend.JAX, Backend.CPP):
         return False, False
@@ -1058,6 +1066,19 @@ def run_solver(
     """
     comm = comm or NullComm()
     dtype = orig.dtype
+    lossy = opts.lossy_duals and opts.iterations_fista > 0
+    if lossy:
+        # opt-in bf16 HBM storage of the FISTA shadow duals (~19% of
+        # streaming FISTA traffic; measured drift ~6.8e-4 rel-L2,
+        # EXPERIMENT_BF16_DUALS.json). Compute stays f32; the kernels
+        # widen on load and round on writeback (K=1: every iteration;
+        # pair kernel: once per pair — iteration-1 duals live f32 in
+        # VMEM ring carries).
+        if dtype != jnp.float32:
+            raise ValueError("lossy_duals requires float32 data")
+        if not isinstance(comm, NullComm):
+            raise ValueError(
+                "lossy_duals is a single-device streaming mode")
     if reference_data is not None and reference_data.dtype != dtype:
         # normalize ONCE at entry: the reference enters Pallas kernels
         # (the resident MSE window, the pair kernel's SSE operand) whose
@@ -1165,10 +1186,11 @@ def run_solver(
                 out["tk"] = jnp.ones((), jnp.float32)
             return _unperm(out)
 
+    d_dt = jnp.bfloat16 if lossy else dtype
     if state is not None:
         recon = state["recon"]
         accs = tuple(state["accs"])
-        ds = tuple(state["ds"]) if n_f else ()
+        ds = tuple(d.astype(d_dt) for d in state["ds"]) if n_f else ()
         b_norm = state["b_norm"]
         delta = state["delta"]
         mse = state["mse"] if opts.calculate_mse else jnp.zeros((0,), dtype)
@@ -1176,8 +1198,8 @@ def run_solver(
         tk0 = jnp.asarray(state.get("tk", 1.0), jnp.float32)
     else:
         accs = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim))
-        ds = tuple(jnp.zeros_like(orig) for _ in range(opts.ndim)) if n_f \
-            else ()
+        ds = tuple(jnp.zeros(orig.shape, d_dt) for _ in range(opts.ndim)) \
+            if n_f else ()
         recon = orig  # functional copy-on-write (reference cyTVDN.py:145)
         b_norm = jnp.zeros((n_total,), dtype=dtype)
         delta = jnp.zeros((n_total,), dtype=dtype)

@@ -421,6 +421,7 @@ def run_with_checkpointing(
     checkpoint_path: str = "",
     checkpoint_every: int = 0,
     resume: bool = False,
+    lossy_duals: bool = False,
 ) -> Dict[str, np.ndarray]:
     """User-level checkpointed run with the ``denoise*`` parameter surface."""
     from cytvdn_tpu.api import _memory_note, _validate_and_derive
@@ -441,6 +442,7 @@ def run_with_checkpointing(
         isotropic_Q=isotropic_Q,
         calculate_mse=reference_data is not None,
         backend=Backend(backend),
+        lossy_duals=lossy_duals,
     )
     return run_chunked(
         datacube, lambda_inv, lam_mu, opts, checkpoint_path,

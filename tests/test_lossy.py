@@ -1,0 +1,188 @@
+"""Opt-in lossy bf16-duals mode (SolverOptions.lossy_duals).
+
+The mode stores the FISTA shadow duals (``d``) in bfloat16 in HBM while
+all compute stays float32 — EXPERIMENT_BF16_DUALS.json measured the
+drift (~6.8e-4 rel-L2) and ruled it out as a default; these tests pin
+the shipped mode's semantics:
+
+- the kernels' rounding cadence is EXACTLY the experiment's simulated
+  boundary: the K=1 fused kernel rounds ``d`` at every iteration
+  writeback, the K=2 pair kernel once per pair (iteration-1 duals live
+  f32 in VMEM ring carries) — each pinned against an explicit ops-path
+  emulation at ulp tolerance (eager emulation vs the jitted engine
+  differ by fma/fusion contraction, so bit-equality is not expected)
+  while the WRONG cadence sits 3 orders of magnitude away;
+- the end-to-end drift envelope stays within the measured saturation
+  (and is nonzero — the mode really is lossy);
+- invalid combinations are rejected loudly (mesh/f64/iso/non-JZ).
+
+All kernel runs use interpret mode (CPU CI); TPU compiled-kernel checks
+live in tests/manual_fused_check.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cytvdn_tpu import ops
+from cytvdn_tpu.config import Backend, BCMode, SolverOptions
+from cytvdn_tpu.solver.engine import fista_tk_ratios, run_solver
+
+
+def _cube(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    ndim = len(shape)
+    orig = jnp.asarray(rng.standard_normal(shape) * 0.4 + 1.0,
+                       dtype=jnp.float32)
+    li = jnp.asarray(np.full(ndim, 32.0, np.float32))
+    lm = jnp.asarray(np.full(ndim, 1 / 32.0, np.float32))
+    return orig, li, lm
+
+
+def _emulate(orig, li, lm, n_iter, round_every):
+    """Explicit ops-path FISTA run with ``d`` rounded to bf16 at every
+    ``round_every``-th iteration writeback — the exact lossy semantics
+    of the K=1 kernel (1) and the pair kernel (2)."""
+    ndim = orig.ndim
+    tks = fista_tk_ratios(n_iter).astype(np.float32)
+    recon = orig
+    accs = [jnp.zeros(orig.shape, jnp.float32) for _ in range(ndim)]
+    ds = [jnp.zeros(orig.shape, jnp.float32) for _ in range(ndim)]
+    for i in range(n_iter):
+        accs_n, ds_n = [], []
+        for ax in range(ndim):
+            b, d, _ = ops.accumulator_update_fista(
+                recon, accs[ax], ds[ax], jnp.float32(tks[i]), ax,
+                li[ax], BCMode.JIA_ZHAO, None)
+            accs_n.append(b)
+            ds_n.append(d)
+        recon, _, _ = ops.datacube_update(
+            orig, recon, accs_n, lm, BCMode.JIA_ZHAO, [None] * ndim)
+        accs = accs_n
+        if (i + 1) % round_every == 0:
+            ds = [d.astype(jnp.bfloat16).astype(jnp.float32)
+                  for d in ds_n]
+        else:
+            ds = ds_n
+    return np.asarray(recon)
+
+
+@pytest.mark.parametrize("shape", [(8, 6, 64), (6, 4, 6, 16)])
+def test_k1_lossy_cadence_vs_emulation(shape):
+    """K=1 fused kernel with bf16 ds == ops emulation rounding every
+    iteration, to ulps — and 3+ orders of magnitude away from the
+    once-per-pair cadence (so the test discriminates the writeback
+    boundary, not just 'roughly lossy')."""
+    orig, li, lm = _cube(shape)
+    n = 5
+    opts = SolverOptions(ndim=len(shape), iterations_fista=n,
+                         iterations_unacc=0, backend=Backend.PALLAS,
+                         temporal_pairs=False, lossy_duals=True)
+    got = np.asarray(run_solver(orig, li, lm, opts)["recon"])
+    want = _emulate(orig, li, lm, n, round_every=1)
+    other = _emulate(orig, li, lm, n, round_every=2)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-7)
+    assert float(np.max(np.abs(got - other))) > 1e-4
+
+
+@pytest.mark.parametrize("shape", [(8, 6, 64), (6, 4, 6, 16)])
+def test_pair_lossy_cadence_vs_emulation(shape):
+    """K=2 pair kernel with bf16 ds == ops emulation rounding once per
+    pair (iteration-1 duals stay f32 in the VMEM ring carries), to ulps
+    — and far from the every-iteration cadence."""
+    orig, li, lm = _cube(shape)
+    n = 6
+    opts = SolverOptions(ndim=len(shape), iterations_fista=n,
+                         iterations_unacc=0, backend=Backend.PALLAS,
+                         temporal_pairs=True, lossy_duals=True)
+    got = np.asarray(run_solver(orig, li, lm, opts)["recon"])
+    want = _emulate(orig, li, lm, n, round_every=2)
+    other = _emulate(orig, li, lm, n, round_every=1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-7)
+    assert float(np.max(np.abs(got - other))) > 1e-4
+
+
+def test_lossy_drift_envelope_and_denoising():
+    """End-to-end: the mode is really lossy (nonzero drift) but the
+    drift stays bounded at the same order as the measured saturation
+    (6.8e-4 rel-L2 at EXPERIMENT_BF16_DUALS.json's config; ~4e-3 on
+    this smaller, noisier cube — drift is problem-dependent), and
+    denoising still denoises."""
+    shape = (16, 12, 10, 10)
+    rng = np.random.default_rng(3)
+    clean = np.zeros(shape, np.float32)
+    clean[:, :, 5:] = 1.0
+    noisy = (clean + rng.standard_normal(shape) * 0.25).astype(np.float32)
+    li = jnp.asarray(np.full(4, 32.0, np.float32))
+    lm = jnp.asarray(np.full(4, 1 / 32.0, np.float32))
+    base = dict(ndim=4, iterations_fista=60, iterations_unacc=0,
+                backend=Backend.PALLAS, calculate_mse=True)
+    exact = run_solver(jnp.asarray(noisy), li, lm,
+                       SolverOptions(**base),
+                       reference_data=jnp.asarray(clean))
+    lossy = run_solver(jnp.asarray(noisy), li, lm,
+                       SolverOptions(**base, lossy_duals=True),
+                       reference_data=jnp.asarray(clean))
+    a = np.asarray(exact["recon"], np.float64)
+    b = np.asarray(lossy["recon"], np.float64)
+    drift = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert 1e-5 < drift < 1e-2
+    mse = np.asarray(lossy["mse"])
+    assert mse[-1] < mse[0] * 0.75  # ~35% MSE cut at this mild mu
+
+
+def test_lossy_stop_aware_runs():
+    """Stop-aware lossy runs go through the guarded pair loop + exact
+    K=1 finisher without error and stop at a sane iteration."""
+    orig, li, lm = _cube((8, 6, 64), seed=5)
+    opts = SolverOptions(ndim=3, iterations_fista=40, iterations_unacc=0,
+                         backend=Backend.PALLAS, lossy_duals=True,
+                         stopping_relative_change=3e-3)
+    out = run_solver(orig, li, lm, opts)
+    it = int(out["iterations_run"])
+    assert 2 < it <= 40
+    assert np.all(np.isfinite(np.asarray(out["recon"])))
+
+
+def test_lossy_validation():
+    with pytest.raises(ValueError, match="half-isotropic"):
+        SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=0,
+                      isotropic_R=True, lossy_duals=True)
+    with pytest.raises(ValueError, match="Jia-Zhao"):
+        SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=0,
+                      bc_mode=BCMode.MIRROR, lossy_duals=True)
+    with pytest.raises(ValueError, match="single-device"):
+        SolverOptions(ndim=3, iterations_fista=4, iterations_unacc=0,
+                      mesh_axes=(0,), lossy_duals=True)
+    # f64 data rejected at run time
+    orig = jnp.asarray(np.ones((4, 4, 8)), jnp.float32)
+    li = jnp.asarray(np.full(3, 32.0, np.float32))
+    lm = jnp.asarray(np.full(3, 1 / 32.0, np.float32))
+    opts = SolverOptions(ndim=3, iterations_fista=2, iterations_unacc=0,
+                         lossy_duals=True)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        with pytest.raises(ValueError, match="float32"):
+            run_solver(orig.astype(jnp.float64),
+                       li.astype(jnp.float64), lm.astype(jnp.float64),
+                       opts)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_lossy_api_surface():
+    """denoise3D grows the lossy_duals kwarg and warns (non-quiet)."""
+    import warnings
+
+    import cytvdn_tpu as tv
+
+    rng = np.random.default_rng(0)
+    noisy = (rng.standard_normal((8, 8, 32)) * 0.2 + 1.0).astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        recon, b_norm, delta = tv.denoise3D(
+            noisy, mu=np.full(3, 2.0, np.float32), iterations=6,
+            FISTA=True, lossy_duals=True, quiet=False)
+    assert any("lossy_duals" in str(x.message) for x in w)
+    assert np.all(np.isfinite(recon))
