@@ -267,6 +267,70 @@ def stitch_emd_solid(path: str, global_shape, dtype, num_parts: int,
     return path
 
 
+def write_emd_rows_multihost(path: str, global_shape, dtype,
+                             rows: np.ndarray, row_range) -> str | None:
+    """Concurrent-writer multihost output: every process region-writes its
+    OWN axis-0 rows into ONE shared EMD file — the functional equivalent
+    of the reference's parallel-HDF5 per-rank ``write_direct`` region
+    writes (reference cyTVDN/mpi.py:444-498, ``driver="mpio"``), built on
+    plain h5py.
+
+    HDF5 without MPI-IO allows one writer at a time, so writes proceed
+    sequentially-by-process (a token ring of global barriers); the DATA
+    never crosses the wire — unlike the chunked proc-0 gather, which
+    moves the full cube through every process's allgather. Requires the
+    output path on a filesystem visible to all processes (the same
+    precondition the reference's MPI-IO writer has, mpi.py:115,447);
+    visibility is probed collectively and the function returns ``None``
+    (caller falls back to the gather) when any process cannot see the
+    file. Set ``CYTV_NO_SHARED_FS=1`` to force the fallback.
+
+    Returns the written path, or ``None`` if the filesystem is not
+    shared.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    _require_h5py()
+    path = emd_path(path)
+    proc = jax.process_index()
+    g0, g1 = int(row_range[0]), int(row_range[1])
+    if proc == 0:
+        with h5py.File(path, "w") as fout:
+            _create_structure(fout, tuple(global_shape), dtype)
+    multihost_utils.sync_global_devices("cytv_emd_mh_created")
+    visible = 0
+    if not os.environ.get("CYTV_NO_SHARED_FS"):
+        try:
+            with h5py.File(path, "r") as f:
+                d = f["4DSTEM_experiment/data/datacubes/datacube_0/data"]
+                visible = int(tuple(d.shape) == tuple(global_shape))
+        except Exception:
+            visible = 0
+    # the verdict must be COLLECTIVE: every process takes the same branch
+    # (the multi-host control-flow invariant) — one process falling back
+    # while others enter the write ring would hang the job
+    allv = np.asarray(multihost_utils.process_allgather(
+        np.asarray([visible], np.int64)))
+    if int(allv.min()) == 0:
+        if proc == 0:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        multihost_utils.sync_global_devices("cytv_emd_mh_fallback")
+        return None
+    nproc = jax.process_count()
+    for p in range(nproc):
+        if p == proc:
+            with h5py.File(path, "r+") as fout:
+                d = fout["4DSTEM_experiment/data/datacubes/datacube_0/data"]
+                d[(slice(g0, g1),) + (slice(None),)
+                  * (len(global_shape) - 1)] = rows
+        multihost_utils.sync_global_devices(f"cytv_emd_mh_row_{p}")
+    return path
+
+
 def read_emd(path: str, lazy: bool = False):
     """Read the datacube from an EMD v0.7 file (layout per the reference
     writer). With ``lazy=True`` returns ``(h5py.File, h5py.Dataset)`` for
