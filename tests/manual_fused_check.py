@@ -239,13 +239,74 @@ def check_resident(shape, iters_f, iters_u, stopping=None, bc=2,
     return ok, err_r, err_t, err_m
 
 
+def check_lossy(shape, n, pairs):
+    """Compiled lossy-duals mode vs an on-device ops emulation rounding
+    ``d`` to bf16 at the kernel's exact writeback cadence (K=1: every
+    iteration; pairs: every 2nd). Also asserts the mode really engaged
+    (drift vs the exact run in the measured envelope)."""
+    import jax
+
+    from cytvdn_tpu import ops
+    from cytvdn_tpu.config import BCMode, SolverOptions
+    from cytvdn_tpu.solver.engine import fista_tk_ratios, run_solver
+
+    ndim = len(shape)
+    cube = jnp.asarray(
+        (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32))
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    li = jnp.asarray(1.0 / lam)
+    lm = jnp.asarray(lam / mu)
+    outs = {}
+    for lossy in (False, True):
+        opts = SolverOptions(ndim=ndim, iterations_fista=n,
+                             iterations_unacc=0, temporal_pairs=pairs,
+                             vmem_resident=False, lossy_duals=lossy)
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        outs[lossy] = np.asarray(fn(cube, li, lm)["recon"], np.float64)
+
+    tks = fista_tk_ratios(n).astype(np.float32)
+    every = 2 if pairs else 1
+
+    @jax.jit
+    def emulate(orig):
+        recon = orig
+        accs = [jnp.zeros(shape, jnp.float32) for _ in range(ndim)]
+        ds = [jnp.zeros(shape, jnp.float32) for _ in range(ndim)]
+        for i in range(n):
+            accs_n, ds_n = [], []
+            for ax in range(ndim):
+                b, d, _ = ops.accumulator_update_fista(
+                    recon, accs[ax], ds[ax], jnp.float32(tks[i]), ax,
+                    li[ax], BCMode.JIA_ZHAO, None)
+                accs_n.append(b)
+                ds_n.append(d)
+            recon, _, _ = ops.datacube_update(
+                orig, recon, accs_n, lm, BCMode.JIA_ZHAO, [None] * ndim)
+            accs = accs_n
+            ds = ([d.astype(jnp.bfloat16).astype(jnp.float32)
+                   for d in ds_n] if (i + 1) % every == 0 else ds_n)
+        return recon
+
+    want = np.asarray(emulate(cube), np.float64)
+    scale = float(np.max(np.abs(want)))
+    err = float(np.max(np.abs(outs[True] - want))) / scale
+    drift = float(np.linalg.norm(outs[True] - outs[False])
+                  / np.linalg.norm(outs[False]))
+    ok = err < 1e-5 and 1e-6 < drift < 1e-2
+    print(f"{'OK ' if ok else 'FAIL'} lossy-duals {shape} "
+          f"{'pairs' if pairs else 'k1'} n={n}: vs-emulation rel-max "
+          f"{err:.2e}, drift vs exact {drift:.2e}", flush=True)
+    return ok, err, drift
+
+
 if __name__ == "__main__":
     import json
 
     np.asarray(jnp.ones((8,)))  # tunnel warmup on TPU
     ok = True
     results = {"mode": ON, "golden": [], "vs_ops": [], "pair_vs_k1": [],
-               "resident_vs_streaming": []}
+               "resident_vs_streaming": [], "lossy_duals": []}
     golden_cases = [
         ((6, 8, 16), True),       # 3D "single" layout
         ((6, 8, 16), False),
@@ -328,6 +389,20 @@ if __name__ == "__main__":
                 "iso": list(iso),
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et,
                 "mse_rel_diff": em, "ok": good,
+            })
+        # compiled lossy-duals mode (bf16 HBM duals, f32 compute) vs an
+        # on-device ops emulation at the kernels' writeback cadences
+        for shape, n, pairs in [
+            ((32, 32, 64, 64), 6, True),
+            ((32, 32, 64, 64), 5, False),
+            ((64, 64, 512), 6, True),
+        ]:
+            good, err, drift = check_lossy(shape, n, pairs)
+            ok &= good
+            results["lossy_duals"].append({
+                "shape": list(shape), "n": n, "pairs": pairs,
+                "rel_max_vs_emulation": err,
+                "drift_rel_l2_vs_exact": drift, "ok": good,
             })
         results["all_ok"] = bool(ok)
         out = os.path.join(os.path.dirname(_HERE), "TPU_FUSED_PARITY.json")

@@ -1,0 +1,99 @@
+"""Measure the distributed half-isotropic scope decision (DESIGN §7).
+
+Sharded half-isotropic runs take the XLA ops path (split iso-pair axes
+gate the fused kernel off — the joint L2 projection couples the pair's
+axes at every seam recompute). VERDICT r3 item 4: that decision's COST
+was never measured. On one chip, the per-shard compute of a sharded iso
+run IS the ops path, so the honest bound for the penalty is the
+single-device gap between:
+
+- the fused anisotropic K=1 kernel (what an aniso shard runs),
+- the fused half-isotropic K=1 kernel (what an UNSPLIT-iso-axes shard
+  runs — e.g. a Q-split mesh with isotropic_R),
+- the XLA ops half-isotropic path (what a split-iso-axes shard runs).
+
+Writes ISO_GAP.json at the repo root. TPU only.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SHAPE = (128, 128, 64, 64)
+ITERS = 25
+
+
+def _measure(opts_kw):
+    import jax
+    import jax.numpy as jnp
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(SHAPE)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / 32.0
+    li = jnp.asarray((1.0 / lam).astype(np.float32))
+    lm = jnp.asarray((lam / mu).astype(np.float32))
+    opts = SolverOptions(ndim=ndim, iterations_fista=ITERS,
+                         iterations_unacc=0, vmem_resident=False,
+                         **opts_kw)
+    cube = jax.jit(
+        lambda k: jax.random.normal(k, SHAPE, jnp.float32) * 0.3 + 1.0
+    )(jax.random.key(0))
+    fn = jax.jit(lambda c: run_solver(c, li, lm, opts)["delta"])
+    d = np.asarray(fn(cube))
+    assert np.all(np.isfinite(d))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(cube))
+        times.append(time.perf_counter() - t0)
+    return int(np.prod(SHAPE)) * ITERS / min(times)
+
+
+def main():
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("bench_iso_gap: needs the real TPU", file=sys.stderr)
+        return 1
+
+    rows = {}
+    rows["aniso_fused_pair"] = _measure({})
+    rows["aniso_fused_k1"] = _measure(dict(temporal_pairs=False))
+    rows["iso_RQ_fused_k1"] = _measure(
+        dict(isotropic_R=True, isotropic_Q=True))
+    rows["iso_RQ_opspath"] = _measure(
+        dict(isotropic_R=True, isotropic_Q=True, backend="jax"))
+    out = {
+        "shape": list(SHAPE),
+        "iterations": ITERS,
+        "vox_updates_per_sec": {k: round(v, 1) for k, v in rows.items()},
+        "gap_opspath_vs_fused_iso": round(
+            rows["iso_RQ_fused_k1"] / rows["iso_RQ_opspath"], 2),
+        "gap_opspath_vs_fused_aniso_pair": round(
+            rows["aniso_fused_pair"] / rows["iso_RQ_opspath"], 2),
+        "note": (
+            "the ops-path rate is what each shard of a SPLIT-iso-axes "
+            "sharded iso run sustains (mesh halos add little — the "
+            "operand-halo bands are <1% of traffic); unsplit-iso-axes "
+            "meshes (e.g. Q-split with isotropic_R) keep the fused iso "
+            "kernel. The reference has no distributed iso at all "
+            "(reference README.md:25-26)."),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ISO_GAP.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
