@@ -161,6 +161,7 @@ def test_lossy_validation():
     lm = jnp.asarray(np.full(3, 1 / 32.0, np.float32))
     opts = SolverOptions(ndim=3, iterations_fista=2, iterations_unacc=0,
                          lossy_duals=True)
+    x64_before = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         with pytest.raises(ValueError, match="float32"):
@@ -168,7 +169,7 @@ def test_lossy_validation():
                        li.astype(jnp.float64), lm.astype(jnp.float64),
                        opts)
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", x64_before)
 
 
 def test_lossy_api_surface():
