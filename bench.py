@@ -488,8 +488,15 @@ def run_full(only=None):
     the remaining rows run in child processes (fresh channel per attempt,
     CHILD_ATTEMPTS bounded)."""
     out = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    # Merge into the existing artifact ONLY under --only (single-row
+    # refresh, incl. the quarantined children this parent spawns). A full
+    # matrix run starts EMPTY: otherwise a prior run's same-named row
+    # survives a child failure and gets re-reported as this run's
+    # measurement (stale-provenance hazard — the whole point of the
+    # per-row flush is that everything in the artifact after a wedge was
+    # measured BEFORE it, this run).
     detail = {}
-    if os.path.exists(out):
+    if only and os.path.exists(out):
         with open(out) as f:
             detail = json.load(f)
     run_stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
@@ -506,6 +513,11 @@ def run_full(only=None):
         needs_quarantine = (len(shape) == 4 and fista and not _fits(shape))
         try:
             if (wedged or needs_quarantine) and not in_child:
+                # drop any prior row BEFORE the child runs: the child
+                # result is read back from the artifact, and a leftover
+                # same-named row (merge mode) must not be mistaken for
+                # the child's measurement if the child dies early
+                detail.pop(name, None)
                 _flush(detail, out)
                 detail[name] = _run_row_child(name, out, timeout)
             elif in_child:
@@ -529,6 +541,7 @@ def run_full(only=None):
                     print(f"# {name}: watchdog timeout after {timeout}s "
                           "— presuming tunnel wedge; remaining rows go "
                           "through child processes", file=sys.stderr)
+                    detail.pop(name, None)
                     _flush(detail, out)
                     detail[name] = _run_row_child(name, out, timeout)
                 elif "exc" in box:
@@ -552,6 +565,7 @@ def run_full(only=None):
             detail["north_star"] = {"error": str(e)[:200]}
         _flush(detail, out)
     print(f"# detail written to {out}", file=sys.stderr)
+    return run_stamp
 
 
 def _emit_headline(value, used, note=None):
@@ -625,10 +639,11 @@ def main():
         }))
         return
 
+    run_started = None
     if "--full" in sys.argv:
         only = (sys.argv[sys.argv.index("--only") + 1]
                 if "--only" in sys.argv else None)
-        run_full(only)
+        run_started = run_full(only)
         if "--no-headline" in sys.argv:
             return  # quarantined child: its row is in the artifact
         # fall through: the headline JSON line below is the driver
@@ -674,7 +689,13 @@ def main():
                 row = json.load(f).get(
                     "cfg4_proxy_4d_fista_256x256x72x72", {})
             v = row.get("voxel_updates_per_sec")
-            if v and row.get("measured_utc"):
+            # "measured earlier in THIS run" must be literally true:
+            # accept only a stamp at/after this run's start (child rows
+            # stamp later than the parent's start; a prior run's row
+            # stamps earlier and is rejected)
+            fresh = (run_started is not None
+                     and row.get("measured_utc", "") >= run_started)
+            if v and fresh:
                 _emit_headline(
                     v, tuple(row["shape"]),
                     note="headline re-measure hung (tunnel wedge); value "

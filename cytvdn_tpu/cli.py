@@ -248,7 +248,10 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         if args.bc_mode != 2 or args.iso_r or args.iso_q \
-                or args.dtype != "float32":
+                or args.dtype != "float32" or not args.fista:
+            # `not args.fista` matters: without FISTA there ARE no
+            # shadow duals — silently accepting the flag would let the
+            # user believe they opted into the traffic saving
             print("error: --lossy-duals covers float32 Jia-Zhao "
                   "anisotropic FISTA runs only", file=sys.stderr)
             return 2
@@ -292,8 +295,6 @@ def main(argv=None) -> int:
             # every host reads ONLY its own axis-0 rows (the reference's
             # per-rank memmap opens, mpi.py:93-124) and runs the
             # multihost solver; one boundary-band exchange per sweep
-            from jax.experimental import multihost_utils
-
             from cytvdn_tpu.api import _validate_and_derive
             from cytvdn_tpu.config import (
                 SolverOptions,
@@ -336,7 +337,7 @@ def main(argv=None) -> int:
             # row count so the allgather shapes agree) — no process ever
             # materializes the full cube (the config-5 recon is ~64 GiB)
             from cytvdn_tpu.io.emd import (
-                write_emd_regions,
+                write_emd_rows_gathered,
                 write_emd_rows_multihost,
             )
 
@@ -346,37 +347,11 @@ def main(argv=None) -> int:
                 log(f"wrote {out_p} (concurrent per-process row writes)")
             else:
                 ch = max(1, -(-shape[0] // (n_proc * args.out_of_core)))
-                rest = tuple(shape[1:])
-
-                def gathered_chunks():
-                    for c0 in range(0, shape[0], ch):
-                        c1 = min(c0 + ch, shape[0])
-                        pad = np.zeros((ch,) + rest, np.float32)
-                        o0, o1 = max(c0, g0), min(c1, g1)
-                        if o1 > o0:
-                            pad[o0 - c0:o1 - c0] = \
-                                out_mh["recon"][o0 - g0:o1 - g0]
-                        got = np.asarray(
-                            multihost_utils.process_allgather(pad))
-                        if proc != 0:
-                            continue
-                        block = np.zeros((c1 - c0,) + rest, np.float32)
-                        for q in range(n_proc):
-                            q0, q1 = process_row_range(shape[0], n_proc, q)
-                            a0, a1 = max(c0, q0), min(c1, q1)
-                            if a1 > a0:
-                                block[a0 - c0:a1 - c0] = \
-                                    got[q][a0 - c0:a1 - c0]
-                        yield ((slice(c0, c1),)
-                               + (slice(None),) * (ndim - 1)), block
-
-                if proc == 0:
-                    out_p = write_emd_regions(args.output, shape,
-                                              np.float32, gathered_chunks())
+                out_p = write_emd_rows_gathered(
+                    args.output, shape, np.float32, out_mh["recon"],
+                    (g0, g1), ch)
+                if out_p is not None:
                     log(f"wrote {out_p} (chunked multihost gather)")
-                else:
-                    for _ in gathered_chunks():
-                        pass
             recon = None
         else:
             from cytvdn_tpu.solver.outofcore import denoise_outofcore

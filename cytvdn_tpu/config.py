@@ -105,6 +105,13 @@ class SolverOptions:
     lossy_duals: bool = False
 
     def __post_init__(self):
+        # coerce string spellings ("jax", 2) to the enums: a bare string
+        # would never compare equal to Backend.JAX in the engine gates
+        # and the option would silently fall through to AUTO behavior
+        if not isinstance(self.backend, Backend):
+            object.__setattr__(self, "backend", Backend(self.backend))
+        if not isinstance(self.bc_mode, BCMode):
+            object.__setattr__(self, "bc_mode", BCMode(self.bc_mode))
         if self.ndim not in (3, 4):
             raise ValueError(f"ndim must be 3 or 4, got {self.ndim}")
         if self.ndim == 3 and (self.isotropic_R or self.isotropic_Q):

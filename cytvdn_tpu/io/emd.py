@@ -296,23 +296,32 @@ def write_emd_rows_multihost(path: str, global_shape, dtype,
     proc = jax.process_index()
     g0, g1 = int(row_range[0]), int(row_range[1])
     if proc == 0:
+        # fresh per-run nonce: the visibility probe must not accept a
+        # STALE same-shape file a previous run left at this path on a
+        # NON-shared filesystem host (every process would then happily
+        # write its rows into its own local file — silently scattered
+        # output). Each process must read back THIS run's token.
+        nonce = (int(np.frombuffer(os.urandom(8), np.uint64)[0]) >> 2) | 1
         with h5py.File(path, "w") as fout:
             _create_structure(fout, tuple(global_shape), dtype)
+            fout.attrs["cytv_run_nonce"] = np.int64(nonce)
     multihost_utils.sync_global_devices("cytv_emd_mh_created")
-    visible = 0
+    observed = 0
     if not os.environ.get("CYTV_NO_SHARED_FS"):
         try:
             with h5py.File(path, "r") as f:
                 d = f["4DSTEM_experiment/data/datacubes/datacube_0/data"]
-                visible = int(tuple(d.shape) == tuple(global_shape))
+                if tuple(d.shape) == tuple(global_shape):
+                    observed = int(f.attrs.get("cytv_run_nonce", 0))
         except Exception:
-            visible = 0
+            observed = 0
     # the verdict must be COLLECTIVE: every process takes the same branch
     # (the multi-host control-flow invariant) — one process falling back
-    # while others enter the write ring would hang the job
+    # while others enter the write ring would hang the job. Shared iff
+    # every process observed the SAME fresh nonce proc 0 just wrote.
     allv = np.asarray(multihost_utils.process_allgather(
-        np.asarray([visible], np.int64)))
-    if int(allv.min()) == 0:
+        np.asarray([observed], np.int64)))
+    if int(allv.min()) == 0 or int(allv.min()) != int(allv.max()):
         if proc == 0:
             try:
                 os.remove(path)
@@ -324,11 +333,68 @@ def write_emd_rows_multihost(path: str, global_shape, dtype,
     for p in range(nproc):
         if p == proc:
             with h5py.File(path, "r+") as fout:
+                if p == 0 and "cytv_run_nonce" in fout.attrs:
+                    # drop the probe token: the finished file keeps the
+                    # reference writer's exact attribute surface
+                    del fout.attrs["cytv_run_nonce"]
                 d = fout["4DSTEM_experiment/data/datacubes/datacube_0/data"]
                 d[(slice(g0, g1),) + (slice(None),)
                   * (len(global_shape) - 1)] = rows
         multihost_utils.sync_global_devices(f"cytv_emd_mh_row_{p}")
     return path
+
+
+def write_emd_rows_gathered(path: str, global_shape, dtype,
+                            rows: np.ndarray, row_range,
+                            chunk_rows: int) -> str | None:
+    """No-shared-FS multihost output fallback: stream every process's
+    axis-0 rows to process 0 in fixed-size padded chunks (allgather
+    shapes must agree across processes) and region-write them there —
+    no process ever materializes the full cube. Row ranges are
+    allgathered, so ANY contiguous row partition works (uneven
+    included). Returns the written path on process 0, ``None`` on the
+    other processes (which still must iterate the collectives).
+
+    This is the one implementation of the gather scheme; the CLI and
+    tools/bench_multihost_output.py both call it (a measured 4.4-10.5x
+    slower than ``write_emd_rows_multihost`` on a shared FS — see
+    MULTIHOST_OOC.json output_schemes)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    _require_h5py()
+    proc = jax.process_index()
+    nproc = jax.process_count()
+    g0, g1 = int(row_range[0]), int(row_range[1])
+    ranges = np.asarray(multihost_utils.process_allgather(
+        np.asarray([g0, g1], np.int64)))
+    n0 = int(global_shape[0])
+    rest = tuple(global_shape[1:])
+    ch = max(1, int(chunk_rows))
+
+    def chunks():
+        for c0 in range(0, n0, ch):
+            c1 = min(c0 + ch, n0)
+            pad = np.zeros((ch,) + rest, dtype)
+            o0, o1 = max(c0, g0), min(c1, g1)
+            if o1 > o0:
+                pad[o0 - c0:o1 - c0] = rows[o0 - g0:o1 - g0]
+            got = np.asarray(multihost_utils.process_allgather(pad))
+            if proc != 0:
+                continue
+            block = np.zeros((c1 - c0,) + rest, dtype)
+            for q in range(nproc):
+                q0, q1 = int(ranges[q][0]), int(ranges[q][1])
+                a0, a1 = max(c0, q0), min(c1, q1)
+                if a1 > a0:
+                    block[a0 - c0:a1 - c0] = got[q][a0 - c0:a1 - c0]
+            yield ((slice(c0, c1),) + (slice(None),) * len(rest)), block
+
+    if proc == 0:
+        return write_emd_regions(path, global_shape, dtype, chunks())
+    for _ in chunks():
+        pass
+    return None
 
 
 def read_emd(path: str, lazy: bool = False):

@@ -69,8 +69,13 @@ def main():
     rows["aniso_fused_k1"] = _measure(dict(temporal_pairs=False))
     rows["iso_RQ_fused_k1"] = _measure(
         dict(isotropic_R=True, isotropic_Q=True))
+    from cytvdn_tpu.config import Backend
+
+    # NB: must be the enum — a bare "jax" string would never compare
+    # equal to Backend.JAX in the engine gates and this row would
+    # silently re-measure the fused kernel (defeating the tool)
     rows["iso_RQ_opspath"] = _measure(
-        dict(isotropic_R=True, isotropic_Q=True, backend="jax"))
+        dict(isotropic_R=True, isotropic_Q=True, backend=Backend.JAX))
     out = {
         "shape": list(SHAPE),
         "iterations": ITERS,

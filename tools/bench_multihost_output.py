@@ -47,10 +47,9 @@ def child(args) -> int:
 
     from cytvdn_tpu.io.emd import (
         read_emd,
-        write_emd_regions,
+        write_emd_rows_gathered,
         write_emd_rows_multihost,
     )
-    from cytvdn_tpu.solver.outofcore import process_row_range
 
     shape = tuple(args.shape)
     g0, g1 = _rows(shape[0], args.nproc, args.pid)
@@ -68,38 +67,13 @@ def child(args) -> int:
     timings["concurrent_row_writes_s"] = time.perf_counter() - t0
     assert out_p is not None
 
-    # --- chunked proc-0 gather (the no-shared-FS fallback; the CLI's
-    # gathered_chunks scheme) ---
+    # --- chunked proc-0 gather (the no-shared-FS fallback) — the ONE
+    # shared implementation the CLI also calls (io/emd.py) ---
     ch = max(1, -(-shape[0] // (args.nproc * 2)))
-    rest = shape[1:]
     multihost_utils.sync_global_devices("t2")
     t0 = time.perf_counter()
-
-    def gathered():
-        for c0 in range(0, shape[0], ch):
-            c1 = min(c0 + ch, shape[0])
-            pad = np.zeros((ch,) + rest, np.float32)
-            o0, o1 = max(c0, g0), min(c1, g1)
-            if o1 > o0:
-                pad[o0 - c0:o1 - c0] = rows[o0 - g0:o1 - g0]
-            got = np.asarray(multihost_utils.process_allgather(pad))
-            if args.pid != 0:
-                continue
-            block = np.zeros((c1 - c0,) + rest, np.float32)
-            for q in range(args.nproc):
-                q0, q1 = process_row_range(shape[0], args.nproc, q)
-                a0, a1 = max(c0, q0), min(c1, q1)
-                if a1 > a0:
-                    block[a0 - c0:a1 - c0] = got[q][a0 - c0:a1 - c0]
-            yield ((slice(c0, c1),)
-                   + (slice(None),) * (len(shape) - 1)), block
-
-    if args.pid == 0:
-        write_emd_regions(f"{work}/gathered.emd", shape, np.float32,
-                          gathered())
-    else:
-        for _ in gathered():
-            pass
+    write_emd_rows_gathered(f"{work}/gathered.emd", shape, np.float32,
+                            rows, (g0, g1), ch)
     multihost_utils.sync_global_devices("t3")
     timings["proc0_gather_s"] = time.perf_counter() - t0
 

@@ -88,7 +88,11 @@ def main():
     results = {}
 
     def run_case(name, shape, fista, backend_knobs, model_backend,
-                 iters=25, reps=2):
+                 iters=25, reps=2, bf16_dual_traversals=0.0):
+        """``bf16_dual_traversals``: cube traversals per iteration that
+        move 2-byte (bf16) elements instead of 4-byte — the lossy-duals
+        rows must shrink the byte model accordingly or their 'achieved
+        GB/s' overstates the kernel (possibly above the roofline)."""
         ndim = len(shape)
         mu = np.full(ndim, 1.0, np.float32)
         lam = mu / (32.0 if ndim == 4 else 16.0)
@@ -108,7 +112,8 @@ def main():
                                n_reps=reps,
                                fetch=lambda o: np.asarray(o))
         trav = traversals_per_iteration(ndim, fista, model_backend)
-        model_bytes = trav * 4 * int(np.prod(shape))
+        model_bytes = int(
+            (trav * 4 - bf16_dual_traversals * 2) * np.prod(shape))
         total_ns = sum(agg.values())
         top = _topk(agg)
         # the kernel dominates; take ops >=1% of device time as "kernel
@@ -145,9 +150,12 @@ def main():
              dict(vmem_resident=False), "pair")
     run_case("pair_4d_fista_256x256x72x72", (256, 256, 72, 72), True,
              dict(vmem_resident=False), "pair")
-    # lossy-duals pair variant (should show ~19% less device time/iter)
+    # lossy-duals pair variant (should show ~19% less device time/iter);
+    # the d arrays contribute n=4 of the model's traversals per
+    # iteration (read+write per pass / 2 iters per pass) at 2 B
     run_case("pair_4d_fista_lossy_256x256x72x72", (256, 256, 72, 72),
-             True, dict(vmem_resident=False, lossy_duals=True), "pair")
+             True, dict(vmem_resident=False, lossy_duals=True), "pair",
+             bf16_dual_traversals=4.0)
     # VMEM-resident whole-run kernel (model bytes/iter is tiny by design;
     # record device time/iter instead of a bandwidth)
     run_case("resident_3d_unacc_64x64x512_7500it", (64, 64, 512), False,
