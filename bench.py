@@ -67,7 +67,7 @@ def _fits(shape) -> bool:
     return cube * _IN_CORE_BUFFERS <= _USABLE_HBM
 
 
-def _measure(shape, iters, fista=True, stopping=None):
+def _measure(shape, iters, fista=True, stopping=None, lossy=False):
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +82,7 @@ def _measure(shape, iters, fista=True, stopping=None):
         iterations_fista=iters if fista else 0,
         iterations_unacc=0 if fista else iters,
         stopping_relative_change=stopping,
+        lossy_duals=lossy,
     )
     li = jnp.asarray((1.0 / lam).astype(np.float32))
     lm = jnp.asarray((lam / mu).astype(np.float32))
@@ -132,6 +133,11 @@ FULL_CONFIGS = [
     # cfg2 row (VERDICT r2 item 1)
     ("cfg2_stop_3d_fista_256x256x2048", (256, 256, 2048), True, 1e-9),
     ("cfg4_proxy_4d_fista_256x256x72x72", (256, 256, 72, 72), True, None),
+    # the opt-in lossy bf16-duals mode on the same flagship geometry:
+    # the ~19% HBM-traffic cut (4 of ~11 pair traversals at 2 B) should
+    # read as a ~1.1-1.2x rate gain over the exact cfg4_proxy row
+    ("cfg4_proxy_lossy_4d_fista_256x256x72x72",
+     (256, 256, 72, 72), True, None),
     ("cfg4_4d_fista_256x256x128x128", (256, 256, 128, 128), True, None),
 ]
 
@@ -341,10 +347,16 @@ def _measure_row(name, shape, fista, stopping):
                     f"~30 ms dev-tunnel RTT included)",
         }
     iters = ITERS_OVERRIDE.get(name, ITERS)
-    v = _measure(shape, iters, fista, stopping)
+    lossy = "_lossy_" in name
+    v = _measure(shape, iters, fista, stopping, lossy=lossy)
     rec = {"voxel_updates_per_sec": round(v, 1),
            "shape": list(shape), "fista": fista,
            "iterations": iters}
+    if lossy:
+        rec["lossy_duals"] = True
+        rec["mode"] = ("opt-in bf16 shadow duals (lossy; measured drift "
+                       "envelope in EXPERIMENT_BF16_DUALS.json) — compare "
+                       "with the exact cfg4_proxy row")
     if stopping is not None:
         rec["stopping_relative_change"] = stopping
     frac = FLOOR_FRACTIONS.get(name)

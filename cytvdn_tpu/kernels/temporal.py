@@ -378,6 +378,19 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         in_C = jnp.logical_and(ip >= 2, ip <= n0 + 1)
         in_D = ip >= 3  # upper bound is the grid end
 
+        # lossy-duals (bf16 HBM duals): quantize iteration-1's plain
+        # duals to the bf16 storage grid mid-pair, in VMEM — exactly the
+        # rounding K=1 execution applies through its HBM writeback +
+        # reload — so the pair kernel's state sequence is bit-identical
+        # to K=1 under lossy mode too, and pairing/chunk/checkpoint
+        # boundaries cannot change the result (the CLAUDE.md state
+        # invariant holds for lossy runs as well). f32 runs: no-op.
+        lossy = fista and d0[0].dtype == jnp.bfloat16
+
+        def qd1(v):
+            return (v.astype(jnp.bfloat16).astype(v.dtype)
+                    if lossy else v)
+
         def dual(diff, acc_v, d_v, k, rho):
             """(b_new, d_new) of one dual update (reference
             anisotropic.pyx:127-132; plain when not FISTA)."""
@@ -427,13 +440,14 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         bnorm1 = jnp.zeros((), jnp.float32)
         for k in range(n_ax):
             # d0 may be stored bf16 in HBM (opt-in lossy-duals mode):
-            # compute stays f32 in VMEM; iteration-1 duals live f32 in
-            # the ring carries, so only the per-pair writeback rounds
+            # compute stays f32 in VMEM; iteration-1 plain duals are
+            # quantized to the bf16 grid before they enter the ring
+            # carries (qd1) — matching K=1's writeback/reload exactly
             bk, dk = dual(diffs1[k], acc0[k][...],
                           d0[k][...].astype(diffs1[k].dtype)
                           if fista else None, k, rho1)
             b1f.append(bk)
-            d1f.append(dk)
+            d1f.append(qd1(dk))
             bnorm1 = bnorm1 + jnp.sum(jnp.abs(bk))
 
         @pl.when(in_A)
@@ -478,7 +492,7 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 bk, dk = dual(dif, av, dv, k, rho1)
                 bb1f.append(bk)
                 if k == 1:
-                    bd1f = lax.slice_in_dim(dk, 0, 1, axis=1)
+                    bd1f = qd1(lax.slice_in_dim(dk, 0, 1, axis=1))
 
         # ------------- axis-0 shard-seam recomputes ----------------------
         if with_halo0:

@@ -1071,9 +1071,11 @@ def run_solver(
         # opt-in bf16 HBM storage of the FISTA shadow duals (~19% of
         # streaming FISTA traffic; measured drift ~6.8e-4 rel-L2,
         # EXPERIMENT_BF16_DUALS.json). Compute stays f32; the kernels
-        # widen on load and round on writeback (K=1: every iteration;
-        # pair kernel: once per pair — iteration-1 duals live f32 in
-        # VMEM ring carries).
+        # widen on load and round on writeback at a PER-ITERATION
+        # cadence in every path (the pair kernel quantizes iteration-1
+        # duals mid-pair in VMEM, temporal.py::qd1), so pair ≡ K=1
+        # bitwise and the chunk/checkpoint state invariant holds for
+        # lossy runs too (tests/test_lossy.py).
         if dtype != jnp.float32:
             raise ValueError("lossy_duals requires float32 data")
         if not isinstance(comm, NullComm):

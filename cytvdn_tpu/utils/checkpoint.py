@@ -24,6 +24,11 @@ from cytvdn_tpu.config import Backend, BCMode, SolverOptions, normalize_iteratio
 
 _FMT_VERSION = 1
 
+# np.savez round-trips ml_dtypes bfloat16 as a raw void16 ('|V2') that
+# nothing can cast back; bf16 state (lossy_duals shadow duals) is stored
+# as its uint16 bit pattern and viewed back on load — bit-exact resume.
+_BF16 = np.dtype(jax.numpy.bfloat16)
+
 
 class ShardedBlocks:
     """A checkpointed state array held as this process's shard blocks.
@@ -123,14 +128,20 @@ def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
             }
         path = _part_path(path, proc)
     else:
+        bf16_keys = []
         for k, v in data_items:
-            arrays[k] = np.asarray(v)
+            a = np.asarray(v)
+            if a.dtype == _BF16:
+                a = a.view(np.uint16)
+                bf16_keys.append(k)
+            arrays[k] = a
 
     arrays["meta"] = np.frombuffer(
         json.dumps({
             **meta, "version": _FMT_VERSION,
             **({"blocks": blockmeta,
-                "num_processes": jax.process_count()} if distributed else {}),
+                "num_processes": jax.process_count()} if distributed else
+               {"bf16_keys": bf16_keys} if bf16_keys else {}),
         }).encode(), dtype=np.uint8
     )
     _atomic_savez(path, arrays)
@@ -175,9 +186,11 @@ def load_state(path: str):
         ndim = meta["ndim"]
         blockmeta = meta.get("blocks")
 
+        bf16_keys = set(meta.get("bf16_keys") or ())
+
         def data(k):
             if blockmeta is None:
-                return z[k]
+                return z[k].view(_BF16) if k in bf16_keys else z[k]
             bm = blockmeta[k]
             return ShardedBlocks(
                 bm["shape"], bm["dtype"],

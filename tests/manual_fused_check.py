@@ -241,9 +241,11 @@ def check_resident(shape, iters_f, iters_u, stopping=None, bc=2,
 
 def check_lossy(shape, n, pairs):
     """Compiled lossy-duals mode vs an on-device ops emulation rounding
-    ``d`` to bf16 at the kernel's exact writeback cadence (K=1: every
-    iteration; pairs: every 2nd). Also asserts the mode really engaged
-    (drift vs the exact run in the measured envelope)."""
+    ``d`` to bf16 every iteration — the cadence of EVERY path since the
+    pair kernel quantizes iteration-1 duals mid-pair (temporal.py::qd1,
+    restoring the chunk/pairing state invariant for lossy runs). Also
+    asserts the mode really engaged (drift vs the exact run in the
+    measured envelope)."""
     import jax
 
     from cytvdn_tpu import ops
@@ -265,8 +267,21 @@ def check_lossy(shape, n, pairs):
         fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
         outs[lossy] = np.asarray(fn(cube, li, lm)["recon"], np.float64)
 
+    # the state invariant on the real chip: lossy pair runs must equal
+    # lossy K=1 runs BITWISE (temporal.py::qd1 quantizes iteration-1
+    # duals mid-pair; Mosaic must not fold the convert pair)
+    pair_eq_k1 = True
+    if pairs:
+        o1 = SolverOptions(ndim=ndim, iterations_fista=n,
+                           iterations_unacc=0, temporal_pairs=False,
+                           vmem_resident=False, lossy_duals=True)
+        k1 = np.asarray(jax.jit(
+            lambda c, a, b: run_solver(c, a, b, o1))(cube, li, lm)["recon"],
+            np.float64)
+        pair_eq_k1 = bool(np.array_equal(outs[True], k1))
+
     tks = fista_tk_ratios(n).astype(np.float32)
-    every = 2 if pairs else 1
+    every = 1  # per-iteration rounding in every path (pairs included)
 
     @jax.jit
     def emulate(orig):
@@ -284,7 +299,13 @@ def check_lossy(shape, n, pairs):
             recon, _, _ = ops.datacube_update(
                 orig, recon, accs_n, lm, BCMode.JIA_ZHAO, [None] * ndim)
             accs = accs_n
-            ds = ([d.astype(jnp.bfloat16).astype(jnp.float32)
+            # NOT astype(bf16).astype(f32): under jit, XLA:TPU's
+            # excess-precision rule folds that convert pair to a no-op
+            # (verified on-chip), silently making this emulation exact.
+            # reduce_precision(8, 7) survives jit and is bit-identical
+            # to the eager bf16 cast round-trip.
+            ds = ([jax.lax.reduce_precision(d, exponent_bits=8,
+                                            mantissa_bits=7)
                    for d in ds_n] if (i + 1) % every == 0 else ds_n)
         return recon
 
@@ -293,11 +314,12 @@ def check_lossy(shape, n, pairs):
     err = float(np.max(np.abs(outs[True] - want))) / scale
     drift = float(np.linalg.norm(outs[True] - outs[False])
                   / np.linalg.norm(outs[False]))
-    ok = err < 1e-5 and 1e-6 < drift < 1e-2
+    ok = err < 1e-5 and 1e-6 < drift < 1e-2 and pair_eq_k1
     print(f"{'OK ' if ok else 'FAIL'} lossy-duals {shape} "
           f"{'pairs' if pairs else 'k1'} n={n}: vs-emulation rel-max "
-          f"{err:.2e}, drift vs exact {drift:.2e}", flush=True)
-    return ok, err, drift
+          f"{err:.2e}, drift vs exact {drift:.2e}, pair==k1 bitwise "
+          f"{pair_eq_k1}", flush=True)
+    return ok, err, drift, pair_eq_k1
 
 
 if __name__ == "__main__":
@@ -397,12 +419,13 @@ if __name__ == "__main__":
             ((32, 32, 64, 64), 5, False),
             ((64, 64, 512), 6, True),
         ]:
-            good, err, drift = check_lossy(shape, n, pairs)
+            good, err, drift, peq = check_lossy(shape, n, pairs)
             ok &= good
             results["lossy_duals"].append({
                 "shape": list(shape), "n": n, "pairs": pairs,
                 "rel_max_vs_emulation": err,
-                "drift_rel_l2_vs_exact": drift, "ok": good,
+                "drift_rel_l2_vs_exact": drift,
+                "pair_eq_k1_bitwise": peq, "ok": good,
             })
         results["all_ok"] = bool(ok)
         out = os.path.join(os.path.dirname(_HERE), "TPU_FUSED_PARITY.json")

@@ -5,13 +5,16 @@ all compute stays float32 — EXPERIMENT_BF16_DUALS.json measured the
 drift (~6.8e-4 rel-L2) and ruled it out as a default; these tests pin
 the shipped mode's semantics:
 
-- the kernels' rounding cadence is EXACTLY the experiment's simulated
-  boundary: the K=1 fused kernel rounds ``d`` at every iteration
-  writeback, the K=2 pair kernel once per pair (iteration-1 duals live
-  f32 in VMEM ring carries) — each pinned against an explicit ops-path
+- the rounding cadence is per-iteration in EVERY execution path: the
+  K=1 fused kernel rounds ``d`` at each writeback, and the K=2 pair
+  kernel quantizes iteration-1 duals to the bf16 grid mid-pair in VMEM
+  (kernels/temporal.py::qd1) — so the CLAUDE.md state invariant (state
+  bit-exact across chunking/checkpoint/temporal-pairing choices) holds
+  for lossy runs too. Each path is pinned against an explicit ops-path
   emulation at ulp tolerance (eager emulation vs the jitted engine
-  differ by fma/fusion contraction, so bit-equality is not expected)
-  while the WRONG cadence sits 3 orders of magnitude away;
+  differ by fma/fusion contraction, so bit-equality is not expected
+  there) while the WRONG cadence sits 3 orders of magnitude away, and
+  pair vs K=1 engine runs are asserted BITWISE identical;
 - the end-to-end drift envelope stays within the measured saturation
   (and is nonzero — the mode really is lossy);
 - invalid combinations are rejected loudly (mesh/f64/iso/non-JZ).
@@ -87,18 +90,26 @@ def test_k1_lossy_cadence_vs_emulation(shape):
 
 
 @pytest.mark.parametrize("shape", [(8, 6, 64), (6, 4, 6, 16)])
-def test_pair_lossy_cadence_vs_emulation(shape):
-    """K=2 pair kernel with bf16 ds == ops emulation rounding once per
-    pair (iteration-1 duals stay f32 in the VMEM ring carries), to ulps
-    — and far from the every-iteration cadence."""
+def test_pair_lossy_matches_k1_bitwise(shape):
+    """K=2 pair kernel under lossy mode quantizes iteration-1 duals to
+    the bf16 grid mid-pair (temporal.py::qd1), so it follows the SAME
+    per-iteration rounding cadence as K=1 — pair vs K=1 engine runs are
+    bitwise identical (the lossless pair≡K=1 guarantee extends to lossy
+    mode), and both sit at the every-iteration emulation, far from the
+    once-per-pair cadence."""
     orig, li, lm = _cube(shape)
     n = 6
-    opts = SolverOptions(ndim=len(shape), iterations_fista=n,
-                         iterations_unacc=0, backend=Backend.PALLAS,
-                         temporal_pairs=True, lossy_duals=True)
-    got = np.asarray(run_solver(orig, li, lm, opts)["recon"])
-    want = _emulate(orig, li, lm, n, round_every=2)
-    other = _emulate(orig, li, lm, n, round_every=1)
+    base = dict(ndim=len(shape), iterations_fista=n, iterations_unacc=0,
+                backend=Backend.PALLAS, lossy_duals=True)
+    pair = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=True))
+    k1 = run_solver(orig, li, lm,
+                    SolverOptions(**base, temporal_pairs=False))
+    np.testing.assert_array_equal(np.asarray(pair["recon"]),
+                                  np.asarray(k1["recon"]))
+    got = np.asarray(pair["recon"])
+    want = _emulate(orig, li, lm, n, round_every=1)
+    other = _emulate(orig, li, lm, n, round_every=2)
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-7)
     assert float(np.max(np.abs(got - other))) > 1e-4
 
@@ -130,6 +141,34 @@ def test_lossy_drift_envelope_and_denoising():
     assert 1e-5 < drift < 1e-2
     mse = np.asarray(lossy["mse"])
     assert mse[-1] < mse[0] * 0.75  # ~35% MSE cut at this mild mu
+
+
+def test_lossy_chunk_invariance_and_checkpoint_roundtrip(tmp_path):
+    """The CLAUDE.md state invariant under lossy mode: an ODD chunk
+    boundary re-anchors pair grouping ((0,1)(2,3),k1@4 | (5,6)(7,8) vs
+    (0,1)...(6,7),k1@8), which must not change the state now that the
+    rounding cadence is per-iteration in every path. The mid-run state
+    round-trips through an .npz checkpoint (bf16 ds stored as uint16 bit
+    patterns — np.savez alone would return unusable '|V2' voids)."""
+    orig, li, lm = _cube((8, 6, 64), seed=7)
+    n = 9
+    base = dict(ndim=3, iterations_fista=n, iterations_unacc=0,
+                backend=Backend.PALLAS, lossy_duals=True)
+    straight = run_solver(orig, li, lm, SolverOptions(**base))
+
+    part = run_solver(orig, li, lm, SolverOptions(**base),
+                      i_stop=5, keep_state=True)
+    assert np.asarray(part["ds"][0]).dtype == jnp.bfloat16
+
+    from cytvdn_tpu.utils.checkpoint import load_state, save_state
+
+    ck = str(tmp_path / "lossy.ckpt")
+    save_state(ck, part, {"ndim": 3})
+    state, _meta = load_state(ck)
+    assert state["ds"][0].dtype == jnp.bfloat16  # not raw void16
+    resumed = run_solver(orig, li, lm, SolverOptions(**base), state=state)
+    np.testing.assert_array_equal(np.asarray(resumed["recon"]),
+                                  np.asarray(straight["recon"]))
 
 
 def test_lossy_stop_aware_runs():
