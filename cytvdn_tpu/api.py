@@ -71,13 +71,13 @@ def _run(datacube, lambda_inv, lam_mu, opts: SolverOptions, reference_data,
                 checkpoint_path=None,
                 checkpoint_every=progress_chunk_size(n_total),
                 reference_data=reference_data, progress=cb,
-            ))
+            ), local_shape=datacube.shape)
         finally:
             cb.close()
     ref = jnp.asarray(reference_data) if opts.calculate_mse else None
     return vmem_fallback(opts, lambda o: _run_jit(
         jnp.asarray(datacube), jnp.asarray(lambda_inv),
-        jnp.asarray(lam_mu), o, ref))
+        jnp.asarray(lam_mu), o, ref), local_shape=datacube.shape)
 
 
 def _validate_and_derive(datacube, mu, lam, ndim, default_lam_div):

@@ -103,6 +103,14 @@ class SolverOptions:
     # never be a default. Single-device streaming float32 Jia-Zhao
     # anisotropic FISTA runs only.
     lossy_duals: bool = False
+    # Upper bound (bytes) on the pair kernel's per-block VMEM footprint,
+    # shrinking its strips below the budget model's pick. None = auto
+    # (the calibrated ~82-buffer model, kernels/temporal.py::pair_plan).
+    # Set automatically by the VMEM-miscalibration fallback ladder
+    # (solver/engine.py::vmem_fallback) when Mosaic's actual accounting
+    # exceeds the model for a shape (measured: 4D FISTA at
+    # (128,128,64,64)); results are bit-identical at any cap.
+    pair_block_cap: Optional[int] = None
 
     def __post_init__(self):
         # coerce string spellings ("jax", 2) to the enums: a bare string

@@ -100,7 +100,8 @@ _PAIR_BLOCK_CAP = None
 
 
 def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
-              halo0: bool = False, with_mse: bool = False):
+              halo0: bool = False, with_mse: bool = False,
+              block_cap: Optional[int] = None):
     """Block plan for the pair kernel: the fused kernel's *layout* (4D /
     3D-single / 3D-flat) with B0 forced to 1 (the row pipeline is four
     stages deep) and B1 grown to the VMEM budget — per-step floors, not
@@ -109,6 +110,13 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
 
     ``with_mse`` charges the pipelined reference-data block the
     per-iteration SSE reductions read at S_D.
+
+    ``block_cap`` (bytes, optional) bounds the strip's block size below
+    the budget model's pick — the VMEM-miscalibration fallback ladder
+    (solver/engine.py::vmem_fallback) retries with shrinking caps when
+    Mosaic's actual accounting exceeds the ~82-buffer model (measured:
+    4D FISTA at (128,128,64,64) asks 164M of 128M at the model's b1=32
+    while b1=16 fits — the per-shape gap the ladder absorbs).
 
     Returns ``(work_shape, inblock_axes, flat, b1)`` or None.
     """
@@ -133,9 +141,10 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
                   // (_PAIR_BUFFERS_NOSEAM + extra))
     cap_seam = ((_VMEM_CAP - _SMALL_RESERVE - 2 * n0 * pad)
                 // (_PAIR_BUFFERS + extra))
-    if _PAIR_BLOCK_CAP is not None:
-        cap_noseam = min(cap_noseam, _PAIR_BLOCK_CAP)
-        cap_seam = min(cap_seam, _PAIR_BLOCK_CAP)
+    for cap in (_PAIR_BLOCK_CAP, block_cap):
+        if cap is not None:
+            cap_noseam = min(cap_noseam, cap)
+            cap_seam = min(cap_seam, cap)
     if n1 * pad <= cap_noseam:
         return work_shape, inblock_axes, flat, n1  # single strip, no seams
     if cap_seam < pad:
@@ -149,7 +158,8 @@ def pair_plan(shape: Tuple[int, ...], itemsize: int = 4,
 def pair_hbm_viable(shape, itemsize: int = 4,
                     usable_hbm: float = 15.3e9,
                     halo1: bool = False,
-                    with_mse: bool = False) -> bool:
+                    with_mse: bool = False,
+                    block_cap: Optional[int] = None) -> bool:
     """Whether the pair program's HBM footprint fits one device for this
     (local) shape: 2n+2 state arrays + orig + the pre-gathered seam/band
     columns (~15 column sets of cube/B1 bytes each — significant when
@@ -159,7 +169,7 @@ def pair_hbm_viable(shape, itemsize: int = 4,
     ``with_mse`` adds the resident reference-data cube."""
     ndim = len(shape)
     plan = pair_plan(tuple(shape), itemsize, halo0=True,
-                     with_mse=with_mse)
+                     with_mse=with_mse, block_cap=block_cap)
     if plan is None:
         return False
     work_shape, _, _, b1 = plan
@@ -177,7 +187,8 @@ def pair_hbm_viable(shape, itemsize: int = 4,
 
 def pair_supported(shape, dtype, bc, isotropic_R=False,
                    isotropic_Q=False, halo0: bool = False,
-                   with_mse: bool = False) -> bool:
+                   with_mse: bool = False,
+                   block_cap: Optional[int] = None) -> bool:
     """Whether the temporally-blocked pair kernel covers this config
     (Jia-Zhao anisotropic float32; ``shape`` is the per-device local
     shape, ``halo0`` for axis-0-sharded runs, ``with_mse`` for runs
@@ -191,7 +202,7 @@ def pair_supported(shape, dtype, bc, isotropic_R=False,
     if bc != BCMode.JIA_ZHAO or isotropic_R or isotropic_Q:
         return False
     return pair_plan(tuple(shape), 4, halo0=halo0,
-                     with_mse=with_mse) is not None
+                     with_mse=with_mse, block_cap=block_cap) is not None
 
 
 def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
@@ -906,7 +917,8 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fista", "interpret", "debug"))
+@functools.partial(jax.jit, static_argnames=("fista", "interpret", "debug",
+                                             "block_cap"))
 def fused_pair_iteration(
     orig: Array,
     recon: Array,
@@ -926,6 +938,7 @@ def fused_pair_iteration(
     first1=None,
     last1=None,
     ref: Optional[Array] = None,
+    block_cap: Optional[int] = None,
 ):
     """TWO full TV iterations in one temporally-blocked Pallas pass.
 
@@ -956,7 +969,8 @@ def fused_pair_iteration(
     with_mse = ref is not None
     assert not (with_halo0 and with_halo1), "one split axis at a time"
     plan = pair_plan(in_shape, orig.dtype.itemsize,
-                     halo0=with_halo0 or with_halo1, with_mse=with_mse)
+                     halo0=with_halo0 or with_halo1, with_mse=with_mse,
+                     block_cap=block_cap)
     if plan is None:
         raise ValueError(f"pair kernel does not support shape {in_shape}")
     shape, inblock_axes, flat, b1 = plan

@@ -273,4 +273,6 @@ def run_sharded(
     # the resident kernel never engages under a mesh — temporal_pairs is
     # the only multi-iteration knob a sharded compile failure can be
     # blaming, so it is the only one worth a retry
-    return vmem_fallback(opts, attempt, knobs=("temporal_pairs",))
+    local = tuple(e // w for e, w in zip(orig.shape, shard_t))
+    return vmem_fallback(opts, attempt, knobs=("temporal_pairs",),
+                         local_shape=local)

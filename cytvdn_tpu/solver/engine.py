@@ -491,13 +491,15 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     from cytvdn_tpu.kernels.temporal import pair_hbm_viable, pair_supported
 
     if not pair_supported(shape, dtype, opts.bc_mode, halo0=halo,
-                          with_mse=opts.calculate_mse):
+                          with_mse=opts.calculate_mse,
+                          block_cap=opts.pair_block_cap):
         return False
     halo1 = halo and comm is not None \
         and set(getattr(comm, "split_axes", ())) == {1}
     if halo and jax.default_backend() == "tpu" \
             and not pair_hbm_viable(shape, halo1=halo1,
-                                    with_mse=opts.calculate_mse):
+                                    with_mse=opts.calculate_mse,
+                                    block_cap=opts.pair_block_cap):
         # pod-scale shards: VMEM forces small strips, and the band
         # gathers (cube/B1 each) then exceed HBM — run the K=1 kernel.
         # (Single-device configs are sized by the bench/caller against
@@ -872,6 +874,7 @@ def _run_phase_paired(
             halos0=halos0, first0=f0, last0=l0,
             halos1=halos1, first1=f1, last1=l1,
             ref=reference_data if with_mse else None,
+            block_cap=opts.pair_block_cap,
         )
         recon2, accs2, ds2, bn1, dn1, dd1, bn2, dn2, dd2 = outs[:9]
         sse1 = sse2 = None
@@ -971,6 +974,13 @@ def _run_phase_paired(
     return carry
 
 
+# strip-shrink rungs of the VMEM fallback ladder (bytes; see
+# vmem_fallback). 512K keeps >=4-column strips on flagship-tail shapes
+# (the measured (128,128,64,64) miscalibration compiles at its b1=16);
+# 128K is the last stop before surrendering the pair rate entirely.
+_FALLBACK_PAIR_CAPS = (512 * 1024, 128 * 1024)
+
+
 def _device_oom(err: Exception) -> bool:
     """Compile-time device-memory exhaustion (Mosaic/XLA)."""
     s = str(err)
@@ -979,7 +989,8 @@ def _device_oom(err: Exception) -> bool:
 
 
 def vmem_fallback(opts: SolverOptions, call,
-                  knobs=("vmem_resident", "temporal_pairs")):
+                  knobs=("vmem_resident", "temporal_pairs"),
+                  local_shape=None):
     """Run ``call(opts)``, degrading kernel choices on device-memory
     compile failures instead of crashing.
 
@@ -999,9 +1010,35 @@ def vmem_fallback(opts: SolverOptions, call,
     including under stopping — guard-beaten chunks/pairs are discarded
     and redone exactly) and retries, so the worst case is the K=1
     streaming path, not a crash. A genuine can't-fit failure (e.g. HBM
-    on an oversized cube) exhausts the ladder and re-raises."""
+    on an oversized cube) exhausts the ladder and re-raises.
+
+    Before flipping ``temporal_pairs`` off entirely, the ladder tries
+    SHRINKING the pair kernel's strips (``pair_block_cap`` 512K then
+    128K): the kernel is per-step-floor bound, so halved strips cost a
+    few percent while K=1 costs ~1.8x — and the one measured
+    miscalibration (4D FISTA at (128,128,64,64): Mosaic asks 164M of
+    128M VMEM at the model's b1=32) compiles and runs at b1=16. The
+    rung needs ``local_shape`` (the per-device data shape) to check a
+    smaller cap would actually change the block plan — callers that
+    don't pass it skip straight to the knob flips."""
     import dataclasses
     import warnings
+
+    def _shrunk_cap(attempt):
+        """Next strip cap that CHANGES the pair plan, or None."""
+        if local_shape is None:
+            return None
+        from cytvdn_tpu.kernels.temporal import pair_plan
+
+        now = pair_plan(tuple(local_shape), 4,
+                        block_cap=attempt.pair_block_cap)
+        for cap in _FALLBACK_PAIR_CAPS:
+            if attempt.pair_block_cap and cap >= attempt.pair_block_cap:
+                continue
+            new = pair_plan(tuple(local_shape), 4, block_cap=cap)
+            if new is not None and new != now:
+                return cap
+        return None
 
     attempt = opts
     while True:
@@ -1012,6 +1049,18 @@ def vmem_fallback(opts: SolverOptions, call,
                 raise
             knob = next(
                 (k for k in knobs if getattr(attempt, k)), None)
+            if knob == "temporal_pairs":
+                cap = _shrunk_cap(attempt)
+                if cap is not None:
+                    warnings.warn(
+                        f"device memory exhausted while compiling the "
+                        f"solver ({type(e).__name__}); retrying with "
+                        f"pair_block_cap={cap} (smaller pair-kernel "
+                        f"strips — results are identical, throughput "
+                        f"within a few percent)", stacklevel=2)
+                    attempt = dataclasses.replace(
+                        attempt, pair_block_cap=cap)
+                    continue
             if knob is None:
                 raise
             warnings.warn(

@@ -62,6 +62,56 @@ def test_pair_oom_falls_back_to_k1(monkeypatch):
     np.testing.assert_array_equal(got[0], want[0])
 
 
+def test_pair_oom_shrinks_strips_before_k1(monkeypatch):
+    """A pair-kernel VMEM miscalibration first SHRINKS the strips
+    (the ``pair_block_cap`` rung — preserving the ~1.8x pair rate) and
+    only flips ``temporal_pairs`` off if no smaller plan helps. The
+    rung skips caps that cannot change the block plan (no wasted
+    recompiles) — here the first rung that re-plans (7,12,6,16) is
+    16384 (b1 12 -> 4), so exactly one failing compile is paid.
+    On-chip motivation: 4D FISTA at (128,128,64,64) — Mosaic asks 164M
+    of 128M VMEM at the budget model's b1=32 while b1=16 fits and runs
+    (probe, round 4)."""
+    import dataclasses
+
+    import cytvdn_tpu.solver.engine as ENG
+    from cytvdn_tpu.solver.engine import run_solver, vmem_fallback
+
+    shape = (7, 12, 6, 16)
+    monkeypatch.setattr(ENG, "_FALLBACK_PAIR_CAPS", (65536, 16384))
+    real = TT.fused_pair_iteration
+    attempts = []
+
+    def miscalibrated(*a, **k):
+        if k.get("block_cap") is None:
+            attempts.append(None)
+            raise RuntimeError(_OOM)
+        attempts.append(k["block_cap"])
+        return real(*a, **k)
+
+    monkeypatch.setattr(TT, "fused_pair_iteration", miscalibrated)
+    orig = jnp.asarray(_cube(shape))
+    li = jnp.full(4, 32.0, jnp.float32)
+    lm = jnp.full(4, 1 / 32.0, jnp.float32)
+    opts = SolverOptions(ndim=4, iterations_fista=4, iterations_unacc=0,
+                         backend=Backend.PALLAS, vmem_resident=False)
+    with pytest.warns(UserWarning, match="pair_block_cap=16384"):
+        got = vmem_fallback(opts, lambda o: run_solver(orig, li, lm, o),
+                            knobs=("temporal_pairs",), local_shape=shape)
+    assert attempts[0] is None  # the miscalibrated plan failed once
+    assert set(attempts[1:]) == {16384}  # ... then capped strips ran
+    # bit-identical at any strip width (the pair kernel invariant)
+    monkeypatch.setattr(TT, "fused_pair_iteration", real)
+    want = run_solver(orig, li, lm, opts)
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    # explicit caps are honored end-to-end too (not just via the ladder)
+    direct = run_solver(orig, li, lm,
+                        dataclasses.replace(opts, pair_block_cap=16384))
+    np.testing.assert_array_equal(np.asarray(direct["recon"]),
+                                  np.asarray(want["recon"]))
+
+
 def test_non_oom_errors_propagate(monkeypatch):
     from cytvdn_tpu import denoise3D
 

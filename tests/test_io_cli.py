@@ -50,6 +50,56 @@ def test_emd_region_writes(tmp_path):
     np.testing.assert_array_equal(read_emd(path), data)
 
 
+def test_emd_raw_offset_row_writes(tmp_path):
+    """The concurrent multihost writer's core trick single-process: an
+    early-allocated contiguous datacube has a defined raw byte span
+    before any HDF5 write, axis-0 row blocks are positioned-POSIX-
+    written into it concurrently (no HDF5 writer lock), and the result
+    is indistinguishable from the default writer — values AND the full
+    group/attr/dtype surface (reference layout, mpi.py:449-491)."""
+    from cytvdn_tpu.io import emd
+
+    shape = (16, 8, 6, 10)
+    full = RNG.standard_normal(shape).astype(np.float32)
+    raw = str(tmp_path / "raw.emd")
+    with h5py.File(raw, "w") as f:
+        emd._create_structure(f, shape, np.float32, alloc_early=True)
+    span = emd._raw_row_span(raw, shape, np.float32)
+    assert span is not None
+    off, row_bytes = span
+    assert row_bytes == int(np.prod(shape[1:])) * 4
+    # three uneven "processes" write their own rows (any order)
+    for g0, g1 in ((7, 16), (0, 3), (3, 7)):
+        emd._pwrite_rows(raw, off, row_bytes, full[g0:g1], g0, np.float32)
+    np.testing.assert_array_equal(read_emd(raw), full)
+
+    ref = write_emd(str(tmp_path / "ref.emd"), full)
+
+    def surface(path):
+        out = []
+        with h5py.File(path, "r") as f:
+            f.visititems(lambda n, o: out.append(
+                (n, type(o).__name__, getattr(o, "shape", None),
+                 str(getattr(o, "dtype", "")),
+                 sorted((k, str(v)) for k, v in o.attrs.items()))))
+            out.append(("/", "File", None, "",
+                        sorted((k, str(v)) for k, v in f.attrs.items())))
+        return out
+
+    assert surface(raw) == surface(ref)
+    # the escape hatch: CYTV_NO_RAW_WRITES forces the HDF5 token ring
+    os.environ["CYTV_NO_RAW_WRITES"] = "1"
+    try:
+        assert emd._raw_row_span(raw, shape, np.float32) is None
+    finally:
+        del os.environ["CYTV_NO_RAW_WRITES"]
+    # non-native byte-order datasets refuse the raw path
+    be = str(tmp_path / "be.emd")
+    with h5py.File(be, "w") as f:
+        emd._create_structure(f, shape, np.dtype(">f4"), alloc_early=True)
+    assert emd._raw_row_span(be, shape, np.float32) is None
+
+
 def test_loaders_npy_and_emd(tmp_path):
     data = RNG.standard_normal((6, 7, 8)).astype(np.float32)
     npy = str(tmp_path / "cube.npy")

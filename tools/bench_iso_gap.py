@@ -33,7 +33,7 @@ def _measure(opts_kw):
     import jax.numpy as jnp
 
     from cytvdn_tpu.config import SolverOptions
-    from cytvdn_tpu.solver.engine import run_solver
+    from cytvdn_tpu.solver.engine import run_solver, vmem_fallback
 
     ndim = len(SHAPE)
     mu = np.full(ndim, 1.0, np.float32)
@@ -46,15 +46,24 @@ def _measure(opts_kw):
     cube = jax.jit(
         lambda k: jax.random.normal(k, SHAPE, jnp.float32) * 0.3 + 1.0
     )(jax.random.key(0))
-    fn = jax.jit(lambda c: run_solver(c, li, lm, opts)["delta"])
-    d = np.asarray(fn(cube))
-    assert np.all(np.isfinite(d))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(fn(cube))
-        times.append(time.perf_counter() - t0)
-    return int(np.prod(SHAPE)) * ITERS / min(times)
+
+    # through the fallback ladder like the API entry points: this very
+    # tool found the (128,128,64,64) 4D-FISTA pair-kernel VMEM
+    # miscalibration (164M asked of 128M) — the ladder now shrinks the
+    # strips (pair_block_cap) instead of crashing or losing the pair rate
+    def measure_with(o):
+        fn = jax.jit(lambda c: run_solver(c, li, lm, o)["delta"])
+        d = np.asarray(fn(cube))
+        assert np.all(np.isfinite(d))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(cube))
+            times.append(time.perf_counter() - t0)
+        return int(np.prod(SHAPE)) * ITERS / min(times)
+
+    return vmem_fallback(opts, measure_with, knobs=("temporal_pairs",),
+                         local_shape=SHAPE)
 
 
 def main():

@@ -4,10 +4,15 @@
   the collective fabric (``process_allgather`` — every chunk reaches
   EVERY process) and process 0 region-writes the one EMD file. Works
   with no shared filesystem; wire bytes ≈ nproc × cube.
-- ``concurrent_row_writes``: every process region-writes its OWN rows
-  into the one EMD file on a shared filesystem (token-ring sequential
-  writers — h5py has no MPI-IO; the reference's analog is parallel-HDF5
-  ``write_direct``, reference cyTVDN/mpi.py:444-498). Wire bytes: ZERO.
+- ``concurrent_row_writes``: every process writes its OWN rows into the
+  one EMD file on a shared filesystem via raw-offset positioned POSIX
+  writes (truly concurrent — no HDF5 writer lock; the reference's
+  analog is parallel-HDF5 ``write_direct``, reference
+  cyTVDN/mpi.py:444-498). Wire bytes: ZERO. The run also times the
+  HDF5 token-ring fallback (``CYTV_NO_RAW_WRITES=1`` — serialized by
+  process): on one host the two coincide (page-cache memcpy on shared
+  cores), on a pod the ring's writer wall is sum-of-processes while the
+  raw path's is max-of-processes.
 
 Spawns N real processes (jax.distributed over localhost, gloo), times
 both writers on the same data, and appends an ``output_bench`` row to
@@ -58,7 +63,7 @@ def child(args) -> int:
     work = args.workdir
     timings = {}
 
-    # --- concurrent per-process row writes (shared FS) ---
+    # --- concurrent per-process row writes (shared FS, raw offsets) ---
     multihost_utils.sync_global_devices("t0")
     t0 = time.perf_counter()
     out_p = write_emd_rows_multihost(
@@ -66,6 +71,19 @@ def child(args) -> int:
     multihost_utils.sync_global_devices("t1")
     timings["concurrent_row_writes_s"] = time.perf_counter() - t0
     assert out_p is not None
+
+    # --- the HDF5 token-ring fallback (serialized-by-process writes) ---
+    os.environ["CYTV_NO_RAW_WRITES"] = "1"
+    try:
+        multihost_utils.sync_global_devices("t1r")
+        t0 = time.perf_counter()
+        out_r = write_emd_rows_multihost(
+            f"{work}/ring.emd", shape, np.float32, rows, (g0, g1))
+        multihost_utils.sync_global_devices("t2r")
+        timings["token_ring_writes_s"] = time.perf_counter() - t0
+        assert out_r is not None
+    finally:
+        del os.environ["CYTV_NO_RAW_WRITES"]
 
     # --- chunked proc-0 gather (the no-shared-FS fallback) — the ONE
     # shared implementation the CLI also calls (io/emd.py) ---
@@ -79,8 +97,10 @@ def child(args) -> int:
 
     if args.pid == 0:
         a = read_emd(f"{work}/concurrent.emd")
+        r = read_emd(f"{work}/ring.emd")
         b = read_emd(f"{work}/gathered.emd")
-        timings["outputs_identical"] = bool(np.array_equal(a, b))
+        timings["outputs_identical"] = bool(
+            np.array_equal(a, b) and np.array_equal(a, r))
         with open(f"{work}/timings.json", "w") as f:
             json.dump(timings, f)
     return 0
@@ -129,9 +149,13 @@ def parent(args) -> int:
                  "the gather additionally pays DCN for ~nproc x cube "
                  f"({args.nproc * cfg5_bytes / 2**30:.0f} GiB at the "
                  "config-5 geometry over 4 hosts) while the concurrent "
-                 "writer pays zero; CLI auto-selects concurrent when the "
-                 "output filesystem is shared (reference MPI-IO "
-                 "precondition, mpi.py:115,447)"),
+                 "writer pays zero; raw-offset pwrite writers run truly "
+                 "concurrently (writer wall = max over processes) where "
+                 "the token-ring fallback serializes (sum over "
+                 "processes) — indistinguishable on one shared-core "
+                 "host, ~nproc x apart on a pod; CLI auto-selects "
+                 "concurrent when the output filesystem is shared "
+                 "(reference MPI-IO precondition, mpi.py:115,447)"),
     }
     print(json.dumps(result))
     if args.artifact:
