@@ -304,19 +304,35 @@ def _measure_outofcore(shape, temporal_k=5):
     d2h = 9 * cube_b                       # recon+4acc+4d cores
     pcie_bw = 25e9                         # PCIe gen4 x16, per direction
     transfer_sweep = max(h2d, d2h) / pcie_bw
-    proj = int(np.prod(shape)) * temporal_k / max(compute_sweep,
-                                                  transfer_sweep)
+    # transfer/compute overlap: measured on-chip from profiler spans of a
+    # real out-of-core sweep (tools/measure_overlap.py -> OVERLAP_OOC.json,
+    # fraction of device-compute time with a transfer in flight); the
+    # un-overlapped remainder of the shorter leg serializes
+    overlap_f, overlap_src = 1.0, "assumed (no OVERLAP_OOC.json)"
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "OVERLAP_OOC.json")) as f:
+            overlap_f = float(json.load(f)["measured_overlap_fraction"])
+            overlap_src = "measured (tools/measure_overlap.py)"
+    except (OSError, KeyError, ValueError):
+        pass
+    proj_sweep = (max(compute_sweep, transfer_sweep)
+                  + (1.0 - overlap_f) * min(compute_sweep, transfer_sweep))
+    proj = int(np.prod(shape)) * temporal_k / proj_sweep
     split = {
         "device_compute_s_per_iter": round(compute_sweep / temporal_k, 4),
         "wall_s_per_iter_this_host": round(dt / temporal_k, 4),
         "transfer_stall_fraction_this_host": round(
             max(1 - compute_sweep / dt, 0.0), 4),
+        "measured_overlap_fraction": round(overlap_f, 4),
+        "overlap_fraction_source": overlap_src,
         "projected_vox_per_sec_pcie4_host": round(proj, 1),
         "split_note": "compute leg measured by chained device-resident "
                       f"chunks ({ext_rows}-row extended slab); this "
                       "host's dev tunnel (~70 MB/s) dominates the wall "
                       "time; projection assumes 25 GB/s/dir PCIe with "
-                      "transfer/compute overlap",
+                      "the measured overlap fraction applied to the "
+                      "shorter leg",
     }
     return int(np.prod(shape)) * temporal_k / dt, n_slabs, split
 

@@ -226,7 +226,14 @@ def denoise4D(
 
     ``progress``: live per-iteration progress (tqdm when available) via
     chunked execution (state bit-exact; traces to the last ulp);
-    defaults to on for long non-quiet runs.
+    defaults to on for long non-quiet runs. Tradeoff: each chunk pays
+    one host dispatch, so on SMALL cubes (whole run fits the
+    VMEM-resident kernel, e.g. 64x64x512) an explicit ``progress=True``
+    costs real throughput — ~11x on a dev-tunnel host with ~30 ms
+    round-trips (BENCH_DETAIL.json cfg1_chunked vs cfg1_full), ~ms-level
+    dispatch on a local PCIe host. Large cubes stream chunks of
+    thousands of iterations and the bar is effectively free; the auto
+    default already keeps resident-eligible runs bar-less.
 
     ``lossy_duals``: opt-in LOSSY mode — store the FISTA shadow duals in
     bfloat16 in HBM (~19% less streaming traffic; measured recon drift

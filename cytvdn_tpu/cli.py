@@ -242,11 +242,6 @@ def main(argv=None) -> int:
         print("error: --temporal requires --out-of-core", file=sys.stderr)
         return 2
     if args.lossy_duals:
-        if args.shard or args.out_of_core or n_proc > 1:
-            print("error: --lossy-duals is a single-device streaming mode "
-                  "(sharded/out-of-core runs keep exact float32 duals)",
-                  file=sys.stderr)
-            return 2
         if args.bc_mode != 2 or args.iso_r or args.iso_q \
                 or args.dtype != "float32" or not args.fista:
             # `not args.fista` matters: without FISTA there ARE no
@@ -319,7 +314,8 @@ def main(argv=None) -> int:
                 local, lambda_inv, lam_mu,
                 SolverOptions(ndim=ndim, iterations_fista=n_f,
                               iterations_unacc=n_u,
-                              stopping_relative_change=args.stop),
+                              stopping_relative_change=args.stop,
+                              lossy_duals=bool(args.lossy_duals)),
                 args.out_of_core, max(args.temporal, 1),
                 global_rows=(g0, g1, shape[0]),
                 shard_w=(shard_w if shard_w > 0 else 0),
@@ -362,6 +358,7 @@ def main(argv=None) -> int:
                 stopping_relative_change=args.stop,
                 n_slabs=args.out_of_core,
                 temporal_k=args.temporal, shard_w=shard_w,
+                lossy_duals=bool(args.lossy_duals),
                 quiet=not verbose,
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every,

@@ -97,11 +97,15 @@ class SolverOptions:
     # LOSSY opt-in (beyond the reference): store the FISTA shadow duals
     # (``d``) in bfloat16 in HBM, compute in float32. Cuts streaming
     # FISTA HBM traffic ~19% (the d arrays' share of the pair kernel's
-    # ~42 B/voxel-iteration). NOT bit-exact: measured reconstruction
-    # drift saturates at ~6.8e-4 rel-L2 (EXPERIMENT_BF16_DUALS.json) —
-    # 68x over the 1e-5 reference-parity budget, which is why this can
-    # never be a default. Single-device streaming float32 Jia-Zhao
-    # anisotropic FISTA runs only.
+    # ~42 B/voxel-iteration). NOT bit-exact vs an exact run: measured
+    # reconstruction drift saturates at ~6.8e-4 rel-L2
+    # (EXPERIMENT_BF16_DUALS.json) — 68x over the 1e-5 reference-parity
+    # budget, which is why this can never be a default. Covers float32
+    # Jia-Zhao anisotropic FISTA runs: single-device streaming, sharded
+    # meshes (lossy mesh ≡ lossy single device bitwise — seam d slabs
+    # widen exactly and seam recomputes round on the same cadence),
+    # out-of-core and multihost (bf16 duals also halve the d arrays'
+    # host RAM + PCIe/DCN bytes there).
     lossy_duals: bool = False
     # Upper bound (bytes) on the pair kernel's per-block VMEM footprint,
     # shrinking its strips below the budget model's pick. None = auto
@@ -131,10 +135,6 @@ class SolverOptions:
             if self.bc_mode != BCMode.JIA_ZHAO:
                 raise ValueError(
                     "lossy_duals covers Jia-Zhao anisotropic runs only")
-            if self.mesh_axes:
-                raise ValueError(
-                    "lossy_duals is a single-device streaming mode "
-                    "(sharded runs keep exact float32 duals)")
 
     @property
     def fista(self) -> bool:

@@ -5,10 +5,12 @@ The reference writes through parallel-HDF5 (``driver="mpio"``); h5py here
 has no MPI, so multi-shard output is written as sequential region writes
 into one file (:func:`write_emd_regions`) — the single-process analog of
 the reference's per-rank ``write_direct`` with ``dest_sel`` region
-selections (mpi.py:493-497). For multi-host TPU pods the distributed saver
-gathers shards host-side first (see ``cytvdn_tpu/parallel``); true
-concurrent-writer output (virtual datasets / per-host shard files) is a
-planned extension.
+selections (mpi.py:493-497). For multi-host runs the concurrent-writer
+path is SHIPPED: :func:`write_emd_rows_multihost` early-allocates the
+contiguous datacube and every process pwrites its own rows at the
+raw byte offset — truly concurrent, no HDF5 writer lock (measured 3.5-37x
+over gather/ring schemes, MULTIHOST_OOC.json output_bench). Virtual-dataset
+and solid-stitch part writers cover the sharded jax.Array surface.
 """
 
 from __future__ import annotations
@@ -316,23 +318,68 @@ def _raw_row_span(path: str, global_shape, dtype):
         return None
 
 
+#: filesystem-page granularity for the concurrent raw writer's bulk/fragment
+#: split. NFS clients cache and flush at page granularity with only
+#: close-to-open coherence, so two clients concurrently dirtying the SAME
+#: page would read-modify-write-clobber each other at shard seams; keeping
+#: concurrent writes page-disjoint (and serializing the tiny page-sharing
+#: fragments behind barriers) is correct there too. 4096 covers every
+#: Linux page size in production; a larger true page size only means the
+#: fragments stay "bulk" — still disjoint, still safe on local/Lustre/GPFS,
+#: and the ring serialization protects the NFS case regardless.
+_RAW_PAGE = 4096
+
+
+def _pwrite_span(fd, buf, pos: int) -> None:
+    """Positioned write of one byte span (Linux caps a single pwrite near
+    2 GiB, hence the 1 GiB chunking)."""
+    n = len(buf)
+    done = 0
+    while done < n:
+        done += os.pwrite(fd, buf[done:done + (1 << 30)], pos + done)
+
+
 def _pwrite_rows(path: str, offset: int, row_bytes: int,
-                 rows: np.ndarray, g0: int, dtype) -> None:
-    """Write ``rows`` (axis-0 rows starting at global row ``g0``) into the
-    dataset's raw byte span with positioned POSIX writes — no HDF5 writer
-    lock, so every process writes truly concurrently (Linux caps a single
-    pwrite near 2 GiB, hence the 1 GiB chunking). No fsync — durability
-    semantics match the HDF5 ring writer's close(), which doesn't fsync
-    either."""
+                 rows: np.ndarray, g0: int, dtype):
+    """Write the PAGE-ALIGNED interior of ``rows``'s byte span (axis-0 rows
+    starting at global row ``g0``) with positioned POSIX writes — no HDF5
+    writer lock, so every process writes its bulk truly concurrently, and
+    no two processes ever dirty the same filesystem page (see
+    ``_RAW_PAGE``). Returns the up-to-two boundary fragments
+    ``(file_pos, bytes)`` that share a page with a neighbor (or with HDF5
+    metadata); the caller writes those in a serialized ring. No fsync —
+    durability semantics match the HDF5 ring writer's close(), which
+    doesn't fsync either."""
     data = np.ascontiguousarray(rows, dtype=np.dtype(dtype).newbyteorder("="))
     buf = memoryview(data).cast("B")
-    pos = offset + g0 * row_bytes
+    pos0 = offset + g0 * row_bytes
+    pos1 = pos0 + len(buf)
+    a0 = min(-(-pos0 // _RAW_PAGE) * _RAW_PAGE, pos1)  # align up, clamp
+    a1 = max((pos1 // _RAW_PAGE) * _RAW_PAGE, a0)      # align down, clamp
+    frags = []
+    if a0 > pos0:
+        frags.append((pos0, bytes(buf[:a0 - pos0])))
+    if pos1 > a1:
+        frags.append((a1, bytes(buf[a1 - pos0:])))
+    if a1 > a0:
+        fd = os.open(path, os.O_WRONLY)
+        try:
+            _pwrite_span(fd, buf[a0 - pos0:a1 - pos0], a0)
+        finally:
+            os.close(fd)
+    return frags
+
+
+def _pwrite_frags(path: str, frags) -> None:
+    """Write this process's boundary fragments (its turn in the serialized
+    ring). Open/close per turn so NFS close-to-open coherence revalidates
+    the shared boundary pages written by earlier turns."""
+    if not frags:
+        return
     fd = os.open(path, os.O_WRONLY)
     try:
-        n = len(buf)
-        done = 0
-        while done < n:
-            done += os.pwrite(fd, buf[done:done + (1 << 30)], pos + done)
+        for pos, chunk in frags:
+            _pwrite_span(fd, memoryview(chunk), pos)
     finally:
         os.close(fd)
 
@@ -412,8 +459,17 @@ def write_emd_rows_multihost(path: str, global_shape, dtype,
     offs = np.asarray(multihost_utils.process_allgather(np.asarray(
         [span[0] if span else -1], np.int64)))
     if int(offs.min()) == int(offs.max()) and int(offs.min()) >= 0:
-        _pwrite_rows(path, span[0], span[1], rows, g0, dtype)
+        frags = _pwrite_rows(path, span[0], span[1], rows, g0, dtype)
         multihost_utils.sync_global_devices("cytv_emd_mh_raw_written")
+        # Boundary fragments share filesystem pages with a neighbor (or
+        # with HDF5 metadata); on NFS-style page-granular caches two
+        # concurrent writers of one page would clobber each other, so the
+        # fragments (≤ 2 pages/process) go through a serialized ring —
+        # the bulk above stays fully concurrent.
+        for p in range(jax.process_count()):
+            if p == proc:
+                _pwrite_frags(path, frags)
+            multihost_utils.sync_global_devices(f"cytv_emd_mh_frag_{p}")
         if proc == 0:
             with h5py.File(path, "r+") as fout:
                 if "cytv_run_nonce" in fout.attrs:

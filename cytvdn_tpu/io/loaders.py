@@ -2,7 +2,9 @@
 (reference cyTVDN/mpi.py:93-124):
 
 - ``.dm3``/``.dm4`` via ncempy (3D EELS, reference mpi.py:97-101) or
-  py4DSTEM (4D, mpi.py:107-109) — both optional extras, gated imports;
+  py4DSTEM (4D, mpi.py:107-109) when installed, falling back to the
+  dependency-free built-in tag-tree reader (``cytvdn_tpu/io/dm.py``) —
+  DM files read out of the box;
 - ``.h5``/``.emd`` via h5py (mpi.py:111-118) with lazy handles for
   per-shard block reads (the replacement for MPI-IO collective reads);
 - ``.npy`` via numpy memmap (convenience addition).
@@ -62,8 +64,9 @@ def _open_dm(path: str) -> InputHandle:
 
     3D (EELS SI): ncempy memmap, the reference's path (mpi.py:97-101).
     4D (4D-STEM): the reference uses a py4DSTEM DM memmap (mpi.py:107-109);
-    here py4DSTEM is tried first for fidelity and ncempy's own memmap of
-    the 4D dataset is the fallback — both lazy, neither loads the cube.
+    here py4DSTEM is tried first for fidelity, ncempy's own memmap of the
+    4D dataset second, and the built-in dependency-free tag-tree reader
+    (``cytvdn_tpu/io/dm.py``) last — all lazy, none loads the cube.
     """
     data = None
     try:
@@ -79,23 +82,32 @@ def _open_dm(path: str) -> InputHandle:
     if data is None:
         try:
             from ncempy.io.dm import fileDM
-        except Exception as e:
-            raise RuntimeError(
-                "reading .dm3/.dm4 requires ncempy or py4DSTEM (install "
-                f"extra 'io'); import failed: {e}"
-            )
-        dmf = fileDM(path)
-        # the reference hard-codes dataset index 2 (mpi.py:97-98); DM files
-        # differ in thumbnail layout, so scan down from 2 to the first
-        # mappable dataset with real rank
-        data = None
+            dmf = fileDM(path)
+        except ImportError:
+            dmf = None  # built-in reader below
+        if dmf is not None:
+            # the reference hard-codes dataset index 2 (mpi.py:97-98); DM
+            # files differ in thumbnail layout, so scan down from 2 to
+            # the first mappable dataset with real rank
+            for idx in (2, 1, 0):
+                try:
+                    cand = dmf.getMemmap(idx)
+                except Exception:
+                    continue
+                if getattr(cand, "ndim", 0) >= 2:
+                    data = cand
+                    break
+            if data is None:
+                raise RuntimeError(f"no mappable dataset found in {path}")
+    if data is None:
+        from cytvdn_tpu.io.dm import read_dm_datasets
+
+        dsets = read_dm_datasets(path)
+        # the same index scan as the ncempy branch (thumbnails live at
+        # the low indices; the reference's own files put data at 2)
         for idx in (2, 1, 0):
-            try:
-                cand = dmf.getMemmap(idx)
-            except Exception:
-                continue
-            if getattr(cand, "ndim", 0) >= 2:
-                data = cand
+            if idx < len(dsets) and len(dsets[idx].shape) >= 2:
+                data = dsets[idx].memmap()
                 break
         if data is None:
             raise RuntimeError(f"no mappable dataset found in {path}")

@@ -287,7 +287,10 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                  with_halo: bool, bc: int = 2,
                  iso_pairs: Tuple[Tuple[int, int], ...] = (),
                  halo_inblock: Tuple[int, ...] = (),
-                 halo_flat: bool = False):
+                 halo_flat: bool = False,
+                 iso_next: Tuple[int, ...] = (),
+                 iso_corner: Tuple[int, ...] = (),
+                 prev0_seam: bool = False):
     """Build the kernel body; operand order matches :func:`fused_iteration`.
 
     Accumulator axes, in order: array axis 0 (pipelined via VMEM carries),
@@ -320,8 +323,23 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
     reference halfisotropic.pyx:84-95; JZ only). The axis-1 seam column
     for an iso (0,1) pair is recomputed from the neighbor column's
     pre-update state along *both* pair axes (extra column operands).
+
+    ``iso_next`` lists SPLIT axes belonging to an iso pair (sharded iso —
+    beyond the reference, which has no distributed iso at all,
+    README.md:25-26): the +1 shard-seam recompute for such an axis uses
+    the joint projection, which needs the neighbor slab's backward
+    difference along the pair PARTNER axis and the partner's pre-update
+    accumulator slab (extra operands per axis). ``iso_corner`` lists the
+    subset whose partner is ALSO split: the partner-backward difference
+    at the slab's leading index then lives on the diagonal-neighbor
+    shard — a corner operand (recon, both pair axes collapsed to 1).
+    ``prev0_seam`` (iso (0,1) with axis 0 split and multiple strips):
+    the intra-strip seam recompute's axis-0 backward at the block's
+    global-first row reads the -0 shard's last row via a pre-gathered
+    first-column set of the ``prev0`` halo instead of the JZ zero mask.
     """
     iso_r = (0, 1) in iso_pairs
+    partner = {p: q for pr in iso_pairs for p, q in (pr, pr[::-1])}
 
     def kernel(*refs):
         it = iter(refs)
@@ -365,6 +383,25 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 hf_recon = next(it)           # @ (ip-1, j)
                 hf_acc = next(it)
                 hf_d = next(it) if fista else None
+            # sharded-iso extras (order mirrors fused_iteration's appends)
+            iso_ops = {}
+            if 0 in iso_next:
+                iso_ops["acc1_n0"] = next(it)     # (1,b1) row @ (0, j)
+                iso_ops["rlast_n0"] = next(it)    # (1,1) col @ (0, j-1)
+                if 0 in iso_corner:
+                    iso_ops["corner0"] = next(it)
+            if 1 in iso_next:
+                iso_ops["acc0_n1"] = next(it)     # (b0,1) col @ (ip-1, 0)
+                iso_ops["rec_n1_ip2"] = next(it)  # (b0,1) col @ (ip-2, 0)
+                if 1 in iso_corner:
+                    iso_ops["corner1"] = next(it)
+            for ax in halo_inblock:
+                if ax in iso_next:
+                    iso_ops[f"accp_n{ax}"] = next(it)   # @ (ip-1, j)
+                    if ax in iso_corner:
+                        iso_ops[f"corner{ax}"] = next(it)
+            if prev0_seam:
+                iso_ops["p0_first"] = next(it)    # (1,1) col @ (0, j+1)
 
         recon_new = next(it)                  # block @ (ip-1, j)
         b_outs = [next(it) for _ in range(n_ax)]
@@ -538,6 +575,18 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                 c = jnp.clip(diff + acc_h, -lam_inv[k], lam_inv[k])
                 return c + rho * (c - d_h) if fista else c
 
+            def iso_recompute(delta_s, delta_o, clipv, d_s):
+                """Half-isotropic neighbor-slab recompute: jointly project
+                the pair deltas (identical arithmetic to the dual phase —
+                float add is commutative, so the s/o order of the squares
+                is bit-irrelevant) and keep the split axis's component."""
+                mag = jnp.sqrt(delta_s * delta_s + delta_o * delta_o)
+                scale = jnp.where(
+                    mag > clipv, clipv / jnp.where(mag > 0, mag, 1.0), 1.0
+                )
+                p = delta_s * scale
+                return p + rho * (p - d_s) if fista else p
+
             fwds = []
             # axis 0: rows 0..B0-2 shift in-block from the carried b_new;
             # the last row reads this step's fresh b_new[0] first row, or
@@ -559,6 +608,29 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                             h_next0_d[...] if fista else None, 0,
                         ),
                     )
+            elif with_halo and 0 in iso_next:
+                # iso (0,1), axis 0 split: the +0 shard's first-row b0
+                # needs BOTH pair deltas at that row. delta0 = its axis-0
+                # backward diff (vs our last row); delta1 = its in-row
+                # axis-1 backward diff — column 0 reading strip j-1's last
+                # halo column (pre-gathered), the shard's first column
+                # reading the corner operand (axis 1 split) or the JZ
+                # zero (own column 0; axis 1 unsplit).
+                rn = h_next0_recon[...]
+                d0n = (rn - a_last) + h_next0_acc[...]
+                gath = iso_ops["rlast_n0"][...]
+                if 0 in iso_corner:
+                    first = jnp.where(j > 0, gath, iso_ops["corner0"][...])
+                else:
+                    first = jnp.where(
+                        j > 0, gath, lax.slice_in_dim(rn, 0, 1, axis=1))
+                rn_sh = (lax.concatenate(
+                    [first, lax.slice_in_dim(rn, 0, b1 - 1, axis=1)],
+                    dimension=1) if b1 > 1 else first)
+                d1n = (rn - rn_sh) + iso_ops["acc1_n0"][...]
+                edge_f0 = iso_recompute(
+                    d0n, d1n, lam_inv[0],
+                    h_next0_d[...] if fista else None)
             elif with_halo:
                 edge_f0 = recompute_b(
                     h_next0_recon[...] - a_last,
@@ -592,6 +664,31 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                             h_next1_d[...] if fista else None, 1,
                         ),
                     )
+            elif with_halo and 1 in iso_next:
+                # iso (0,1), axis 1 split: the +1 shard's first-col b1
+                # recompute. delta1 vs our last column; delta0 = the halo
+                # column's own axis-0 backward diff, row 0 reading the
+                # ip-2 block's last row (same array, shifted index map),
+                # the shard's first row reading the corner operand (axis 0
+                # split) or the JZ zero (own row 0).
+                cn = h_next1_recon[...]
+                d1n = (cn - old_lastcol) + h_next1_acc[...]
+                prev_l = lax.slice_in_dim(
+                    iso_ops["rec_n1_ip2"][...], b0 - 1, b0, axis=0)
+                if 1 in iso_corner:
+                    first = jnp.where(
+                        ip == 1, iso_ops["corner1"][...], prev_l)
+                else:
+                    first = jnp.where(
+                        ip == 1, lax.slice_in_dim(cn, 0, 1, axis=0),
+                        prev_l)
+                cn_sh = (lax.concatenate(
+                    [first, lax.slice_in_dim(cn, 0, b0 - 1, axis=0)],
+                    dimension=0) if b0 > 1 else first)
+                d0n = (cn - cn_sh) + iso_ops["acc0_n1"][...]
+                edge_f1 = iso_recompute(
+                    d1n, d0n, lam_inv[0],
+                    h_next1_d[...] if fista else None)
             elif with_halo:
                 edge_f1 = recompute_b(
                     h_next1_recon[...] - old_lastcol,
@@ -621,7 +718,16 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                     recon_c_ip2[...], b0 - 1, b0, axis=0
                 )
                 rc_row0 = lax.slice_in_dim(rc, 0, 1, axis=0)
-                first = jnp.where(ip == 1, rc_row0, prev_last)
+                if prev0_seam:
+                    # axis 0 split: the seam column's row-0 backward
+                    # operand is the -0 shard's last row at strip j+1's
+                    # first column (pre-gathered prev0 halo columns; edge
+                    # shards' prev0 is their own first row — zero diff,
+                    # exactly the JZ mask this replaces)
+                    first = jnp.where(
+                        ip == 1, iso_ops["p0_first"][...], prev_last)
+                else:
+                    first = jnp.where(ip == 1, rc_row0, prev_last)
                 rc_shift = (lax.concatenate([first, rc_up], dimension=0)
                             if b0 > 1 else first)
                 delta0_c = (rc - rc_shift) + acc0_next1[...]
@@ -664,6 +770,26 @@ def _make_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                                 hd[...] if fista else None, k,
                             ),
                         )
+                elif with_halo and ax in h_in and ax in iso_next:
+                    # iso (2,3), axis ``ax`` split: the +ax shard's first
+                    # slab needs both pair deltas — its partner-axis
+                    # backward diff is in-slab (JZ zero at the leading
+                    # index, or the diagonal corner when the partner is
+                    # split too).
+                    o = partner[ax]
+                    _, hr, ha, hd = h_in[ax]
+                    hrv = hr[...]
+                    dsn = (hrv - lax.slice_in_dim(
+                        recon_old, n - 1, n, axis=ax)) + ha[...]
+                    hr_sh = _shift_down_inblock(hrv, o)
+                    if ax in iso_corner:
+                        oi = lax.broadcasted_iota(jnp.int32, hrv.shape, o)
+                        hr_sh = jnp.where(
+                            oi == 0, iso_ops[f"corner{ax}"][...], hr_sh)
+                    don = (hrv - hr_sh) + iso_ops[f"accp_n{ax}"][...]
+                    last = iso_recompute(
+                        dsn, don, lam_inv[min(ax, o)],
+                        hd[...] if fista else None)
                 elif with_halo and ax in h_in:
                     _, hr, ha, hd = h_in[ax]
                     last = recompute_b(
@@ -799,18 +925,41 @@ def fused_iteration(
             return int(key.replace("prev", "").replace("next", "")
                        .split("_")[0])
 
+        iso_partner = {p: q for pr in iso_pairs for p, q in (pr, pr[::-1])}
+
+        def emb_corner(x, s):
+            # corner operands collapse BOTH pair axes (iso is 4D-only, so
+            # the work layout is the identity — no fold interplay)
+            sh = list(shape)
+            sh[s] = 1
+            sh[iso_partner[s]] = 1
+            return x.reshape(tuple(sh))
+
         halos = {
-            k: (emb_slab(v, slab_axis(k)) if v is not None else None)
+            k: ((emb_corner(v, int(k[len("corner"):]))
+                 if k.startswith("corner") else emb_slab(v, slab_axis(k)))
+                if v is not None else None)
             for k, v in halos.items()
         }
         halo_inblock = tuple(sorted(
             ax for ax in inblock_axes if f"prev{ax}" in halos
         ))
         halo_flat = flat and "prev2" in halos
+        # sharded half-isotropic: split pair axes whose +1 seam recompute
+        # is the joint projection (engine supplies the partner acc slab),
+        # and the subset whose partner is split too (corner operands)
+        iso_next = tuple(sorted(
+            s for s in iso_partner
+            if f"next{s}_acc{iso_partner[s]}" in halos))
+        iso_corner = tuple(s for s in iso_next if f"corner{s}" in halos)
+    else:
+        iso_next = ()
+        iso_corner = ()
 
     n0, n1 = shape[0], shape[1]
     g0, g1 = n0 // b0, n1 // b1
     has_seam = g1 > 1
+    prev0_seam = has_seam and 0 in iso_next
     tail = shape[2:]
     one_tail = (b0, 1) + tail   # seam-column operand blocks
     block = (b0, b1) + tail
@@ -988,6 +1137,67 @@ def fused_iteration(
             if fista:
                 in_specs += [fe_im1]
                 inputs += [halos["next2_d"]]
+        # sharded-iso extras (append order mirrors the kernel's reads)
+        elem = pl.BlockSpec((1, 1) + tail,
+                            lambda j, ip: (0, 0) + zeros_tail,
+                            memory_space=pltpu.VMEM)
+        if 0 in iso_next:
+            # the +0 halo row's per-strip LAST columns (the in-row axis-1
+            # backward operand at each strip's first column), pre-gathered
+            # so the halo row appears once per strip
+            nr0 = halos["next0_recon"].reshape((1, g1, b1) + tail)
+            nr0_lastcols = lax.slice_in_dim(
+                nr0, b1 - 1, b1, axis=2).reshape((1, g1) + tail)
+            in_specs += [row_spec, pl.BlockSpec(
+                (1, 1) + tail,
+                lambda j, ip: (0, jnp.maximum(j - 1, 0)) + zeros_tail,
+                memory_space=pltpu.VMEM)]
+            inputs += [halos["next0_acc1"], nr0_lastcols]
+            if 0 in iso_corner:
+                in_specs += [elem]
+                inputs += [halos["corner0"]]
+        if 1 in iso_next:
+            col_im2 = col(
+                lambda j, ip: (jnp.maximum(ip - 2, 0), 0) + zeros_tail)
+            in_specs += [col_im1, col_im2]
+            inputs += [halos["next1_acc0"], halos["next1_recon"]]
+            if 1 in iso_corner:
+                in_specs += [elem]
+                inputs += [halos["corner1"]]
+        for ax in halo_inblock:
+            if ax not in iso_next:
+                continue
+            o = iso_partner[ax]
+            slab_block = tuple(
+                1 if d == ax else (b0 if d == 0 else (b1 if d == 1 else e))
+                for d, e in enumerate(shape)
+            )
+            sp_im1 = pl.BlockSpec(
+                slab_block,
+                lambda j, ip: (jnp.maximum(ip - 1, 0), j) + zeros_tail,
+                memory_space=pltpu.VMEM)
+            in_specs += [sp_im1]
+            inputs += [halos[f"next{ax}_acc{o}"]]
+            if ax in iso_corner:
+                cor_block = tuple(
+                    1 if d in (ax, o)
+                    else (b0 if d == 0 else (b1 if d == 1 else e))
+                    for d, e in enumerate(shape)
+                )
+                in_specs += [pl.BlockSpec(
+                    cor_block,
+                    lambda j, ip: (jnp.maximum(ip - 1, 0), j) + zeros_tail,
+                    memory_space=pltpu.VMEM)]
+                inputs += [halos[f"corner{ax}"]]
+        if prev0_seam:
+            p0g = halos["prev0"].reshape((1, g1, b1) + tail)
+            p0_firstcols = lax.slice_in_dim(
+                p0g, 0, 1, axis=2).reshape((1, g1) + tail)
+            in_specs += [pl.BlockSpec(
+                (1, 1) + tail,
+                lambda j, ip: (0, jnp.minimum(j + 1, g1 - 1)) + zeros_tail,
+                memory_space=pltpu.VMEM)]
+            inputs += [p0_firstcols]
 
     scal_out = pl.BlockSpec(
         (1, 1), lambda j, ip: (0, 0), memory_space=pltpu.SMEM
@@ -1014,7 +1224,9 @@ def fused_iteration(
     outs = pl.pallas_call(
         _make_kernel(ndim, inblock_axes, flat, fista, b0, b1, has_seam,
                      with_halo, bc=int(bc), iso_pairs=iso_pairs,
-                     halo_inblock=halo_inblock, halo_flat=halo_flat),
+                     halo_inblock=halo_inblock, halo_flat=halo_flat,
+                     iso_next=iso_next, iso_corner=iso_corner,
+                     prev0_seam=prev0_seam),
         grid=(g1, g0 + 1),
         in_specs=in_specs,
         out_specs=out_specs,

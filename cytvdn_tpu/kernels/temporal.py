@@ -79,6 +79,28 @@ from cytvdn_tpu.kernels.fused import (
 
 Array = jax.Array
 
+
+def round_bf16(v: Array) -> Array:
+    """Round-to-nearest-even onto the bfloat16 grid, staying float32 —
+    the per-iteration lossy-duals quantization (``qd1``), shared by the
+    pair kernel and the 2D-grid seam repair (parallel/pairfix.py).
+
+    Integer bit arithmetic, NOT ``astype(bf16).astype(f32)`` and NOT
+    ``lax.reduce_precision``: the rounding is load-bearing, a convert
+    down-up pair is exactly what excess-precision rules let a compiler
+    fold to a no-op (XLA:TPU does, proven on-chip), and Mosaic has no
+    ``reduce_precision`` lowering (NotImplementedError on compile). The
+    add-0x7FFF-plus-lsb trick is RNE to the upper-16-bit grid for every
+    finite value (denormals and carry-to-infinity included) — bit-equal
+    to the hardware f32→bf16 convert + exact widen that the K=1 kernel's
+    HBM writeback/reload performs — and integer ops cannot be folded as
+    excess precision on any backend."""
+    u = lax.bitcast_convert_type(v, jnp.uint32)
+    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    return lax.bitcast_convert_type(r, jnp.float32)
+
+
 # The pair kernel is per-step-floor bound, not DMA bound, at the K=1
 # kernel's bandwidth-tuned block size (measured: b1=8 blocks run the pair
 # at K=1 speed; b1=16 runs it 1.8x faster on the same shape). Its strips
@@ -399,8 +421,7 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
         lossy = fista and d0[0].dtype == jnp.bfloat16
 
         def qd1(v):
-            return (v.astype(jnp.bfloat16).astype(v.dtype)
-                    if lossy else v)
+            return round_bf16(v) if lossy else v
 
         def dual(diff, acc_v, d_v, k, rho):
             """(b_new, d_new) of one dual update (reference
@@ -597,7 +618,11 @@ def _make_pair_kernel(n_ax: int, inblock_axes: Tuple[int, ...], flat: bool,
                               h_n_d[0][...] if fista else None, 0, rho1)
                 s_b1n0[...] = bv
                 if fista:
-                    s_d1n0[...] = cv
+                    # qd1: the owning shard quantizes this plain dual to
+                    # the bf16 grid before its own dual-2 reads it (lossy
+                    # mode) — the recompute must round identically for
+                    # the mesh ≡ single-device invariant to hold
+                    s_d1n0[...] = qd1(cv)
 
             # the +1 shard's first-row dual-2 (axis 0) — its recon-1 is
             # recomputed from the band, its axis-0 forward from the +1

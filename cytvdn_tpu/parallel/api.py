@@ -34,6 +34,7 @@ def denoise_sharded(
     checkpoint_every: int = 0,
     resume: bool = False,
     progress: Optional[bool] = None,
+    lossy_duals: bool = False,
 ) -> Dict[str, Any]:
     """Denoise a datacube sharded over a device mesh.
 
@@ -76,6 +77,7 @@ def denoise_sharded(
         isotropic_Q=isotropic_Q,
         calculate_mse=reference_data is not None,
         backend=Backend(backend),
+        lossy_duals=lossy_duals,
     )
 
     if lazy:
@@ -118,6 +120,7 @@ def denoise_sharded(
         "shape": list(datacube.shape),
         "iterations_fista": n_f,
         "iterations_unacc": n_u,
+        "lossy_duals": bool(lossy_duals and n_f),
     }
 
     from cytvdn_tpu.api import _resolve_progress

@@ -69,7 +69,8 @@ def _cols(x: Array, lo: int, hi: Optional[int]) -> Array:
 
 
 def _strip_two_iters(orig_s, r0_s, accs_s, ds_s, rho1, rho2, li, lm,
-                     comm0, zero_next1: bool):
+                     comm0, zero_next1: bool,
+                     d_store=None):
     """Two TV iterations on a column strip via the ops path.
 
     ``comm0`` exchanges axis-0 shard halos only (the strip's own row
@@ -78,10 +79,31 @@ def _strip_two_iters(orig_s, r0_s, accs_s, ds_s, rho1, rho2, li, lm,
     an explicit zero slab — the pair kernel's behavior at a shard's last
     column (``lastc``/``lastc2`` masked to zero without axis-1 halos).
 
+    ``d_store`` is the duals' HBM storage dtype (bfloat16 under
+    ``lossy_duals``): iteration-1 duals round to it before iteration 2
+    reads them — the kernel's per-iteration qd1 cadence
+    (kernels/temporal.py), so the repaired columns follow the same
+    rounding the kernel's own columns do. The rounding is the shared
+    ``round_bf16`` integer-bit RNE (kernels/temporal.py), NOT
+    ``astype(bf16).astype(f32)``: both iterations live in ONE jit
+    trace here, and XLA's excess-precision rule folds an inline
+    down-up convert pair to a no-op (proven on-chip,
+    tests/manual_fused_check.py lossy section) — which would silently
+    give the repaired columns exact duals while the kernel's own columns
+    round, breaking the lossy mesh ≡ single-device invariant.
+
     Returns ``(r1, b1s, r2, b2s, d2s)``.
     """
+    from cytvdn_tpu.kernels.temporal import round_bf16
+
     ndim = r0_s.ndim
     fista = ds_s is not None
+    if fista and d_store is None:
+        d_store = ds_s[0].dtype
+    lossy = fista and jnp.dtype(d_store) == jnp.bfloat16
+
+    def round_d(d):
+        return round_bf16(d) if lossy else d
 
     def one(r, accs, ds, rho):
         accs_n, ds_n = [], []
@@ -91,7 +113,7 @@ def _strip_two_iters(orig_s, r0_s, accs_s, ds_s, rho1, rho2, li, lm,
                 b, d, _ = ops.accumulator_update_fista(
                     r, accs[ax], ds[ax], rho, ax, li[ax], BCMode.JIA_ZHAO,
                     halo)
-                ds_n.append(d)
+                ds_n.append(round_d(d))
             else:
                 b, _ = ops.accumulator_update(
                     r, accs[ax], ax, li[ax], BCMode.JIA_ZHAO, halo)
@@ -160,7 +182,12 @@ def repair_axis1_seams(
     last1 = comm.is_last(1) > 0
     bn1, dn1, dd1, bn2, dn2, dd2 = sums
 
-    state = [recon0, orig] + list(accs0) + (list(ds0) if fista else [])
+    # duals pack/compute at f32 (exact widening from the bf16 storage
+    # under lossy_duals); their storage dtype drives the strip's
+    # per-iteration rounding cadence (see _strip_two_iters)
+    d_store = ds0[0].dtype if fista else None
+    state = [recon0, orig] + list(accs0) \
+        + ([d.astype(orig.dtype) for d in ds0] if fista else [])
 
     # one packed collective per direction: own edge columns of the whole
     # pre-update state
@@ -179,7 +206,8 @@ def repair_axis1_seams(
         r = _cols(recon0, lo, hi)
         og = _cols(orig, lo, hi)
         accs = tuple(_cols(a, lo, hi) for a in accs0)
-        ds = tuple(_cols(d, lo, hi) for d in ds0) if fista else None
+        ds = tuple(_cols(d, lo, hi).astype(orig.dtype)
+                   for d in ds0) if fista else None
         return r, og, accs, ds
 
     def cat(a, b):
@@ -192,11 +220,12 @@ def repair_axis1_seams(
         cat(oO, nO), cat(oR, nR),
         tuple(cat(a, b) for a, b in zip(oA, nA)),
         tuple(cat(a, b) for a, b in zip(oD, nD)) if fista else None,
-        rho1, rho2, lambda_inv, lam_mu, comm0, zero_next1=False)
+        rho1, rho2, lambda_inv, lam_mu, comm0, zero_next1=False,
+        d_store=d_store)
     # kernel-wrong variant: own 4 columns with the kernel's zero forward
     r1Rw, b1Rw, r2Rw, b2Rw, _ = _strip_two_iters(
         oO, oR, oA, oD, rho1, rho2, lambda_inv, lam_mu, comm0,
-        zero_next1=True)
+        zero_next1=True, d_store=d_store)
 
     # strip coords: own cols [m-4..m-1] are strip cols 0..3
     cW = slice(2, 4)       # own wrong cols {m-2, m-1}
@@ -211,7 +240,9 @@ def repair_axis1_seams(
     accs2 = tuple(put(a, b[:, cW], m - 2, m, fix)
                   for a, b in zip(accs2, b2R))
     if fista:
-        ds2 = tuple(put(a, b[:, cW], m - 2, m, fix)
+        # strips carry duals at f32 on the storage grid (round_bf16
+        # cadence); narrowing to the bf16 state dtype here is exact
+        ds2 = tuple(put(a, b[:, cW].astype(a.dtype), m - 2, m, fix)
                     for a, b in zip(ds2, d2R))
 
     zero = jnp.zeros((), jnp.float32)
@@ -248,10 +279,11 @@ def repair_axis1_seams(
         cat(pO, oO), cat(pR, oR),
         tuple(cat(a, b) for a, b in zip(pA, oA)),
         tuple(cat(a, b) for a, b in zip(pD, oD)) if fista else None,
-        rho1, rho2, lambda_inv, lam_mu, comm0, zero_next1=False)
+        rho1, rho2, lambda_inv, lam_mu, comm0, zero_next1=False,
+        d_store=d_store)
     r1Lw, b1Lw, r2Lw, b2Lw, _ = _strip_two_iters(
         oO, oR, oA, oD, rho1, rho2, lambda_inv, lam_mu, comm0,
-        zero_next1=False)
+        zero_next1=False, d_store=d_store)
 
     # strip coords: own cols {0, 1} are strip cols 4, 5 in the correct
     # strip, cols 0, 1 in the wrong strip
@@ -263,7 +295,7 @@ def repair_axis1_seams(
     accs2 = tuple(put(a, b[:, cC], 0, 2, fixL)
                   for a, b in zip(accs2, b2L))
     if fista:
-        ds2 = tuple(put(a, b[:, cC], 0, 2, fixL)
+        ds2 = tuple(put(a, b[:, cC].astype(a.dtype), 0, 2, fixL)
                     for a, b in zip(ds2, d2L))
 
     def corrL(c):

@@ -275,4 +275,5 @@ def run_sharded(
     # blaming, so it is the only one worth a retry
     local = tuple(e // w for e, w in zip(orig.shape, shard_t))
     return vmem_fallback(opts, attempt, knobs=("temporal_pairs",),
-                         local_shape=local)
+                         local_shape=local,
+                         plan_halo0=any(int(w) > 1 for w in shard_t))

@@ -155,8 +155,8 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     """Decide (use_fused_pallas_kernel, interpret_mode) for this config.
 
     The fused kernel covers float32 in all BC modes, anisotropic and
-    half-isotropic, single-device and sharded (any-axis operand halos);
-    float64 and a few sharded interplays (below) use the XLA ops. AUTO
+    half-isotropic, single-device and sharded (any-axis operand halos,
+    including split iso-pair axes); float64 uses the XLA ops. AUTO
     selects Pallas only on TPU; an explicit PALLAS backend on CPU runs the
     kernel in interpreter mode (for tests).
     """
@@ -164,18 +164,11 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
 
     if opts.backend == Backend.JAX or opts.backend == Backend.CPP:
         return False, False
-    if comm is not None and not isinstance(comm, NullComm):
-        split = set(getattr(comm, "split_axes", ()))
-        if split:
-            # sharded gates: an iso pair's axes must be unsplit (the
-            # pair's seam recompute would need corner operands). Folded
-            # 3D energy-axis splits ride flat-element halos since
-            # round 3. Periodic shards via ring halos; mirror via
-            # edge-flagged halos (kernel scal row).
-            if opts.isotropic_R and split & {0, 1}:
-                return False, False
-            if opts.isotropic_Q and split & {2, 3}:
-                return False, False
+    # No sharded gates remain: split iso-pair axes ride the joint-projection
+    # seam recompute with partner-acc + corner operands (round 5; the
+    # reference has no distributed iso at all, reference README.md:25-26),
+    # folded 3D energy-axis splits ride flat-element halos (round 3),
+    # periodic shards ride ring halos, mirror rides edge-flagged halos.
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,
@@ -273,7 +266,7 @@ def iteration_step(
                         accs[ax], ax)
                     if fista:
                         halos[f"next{ax}_d"] = comm.ring_from_next(
-                            ds[ax], ax)
+                            ds[ax], ax).astype(orig.dtype)
                     continue
                 z = jnp.zeros_like(slab(accs[ax], ax, 0))
                 prev_edge = slab(recon, ax, 1 if mirror else 0)
@@ -287,8 +280,37 @@ def iteration_step(
                 halos[f"next{ax}_acc"] = comm.shift_from_next(
                     accs[ax], ax, z)
                 if fista:
+                    # the d slab ppermutes at its storage dtype (bf16
+                    # under lossy_duals — half the wire bytes) and widens
+                    # exactly to the kernel's uniform-f32 halo operand
                     halos[f"next{ax}_d"] = comm.shift_from_next(
-                        ds[ax], ax, z)
+                        ds[ax], ax, z.astype(ds[ax].dtype)
+                    ).astype(orig.dtype)
+            if (opts.isotropic_R or opts.isotropic_Q) and not periodic:
+                # sharded half-isotropic (beyond the reference, which has
+                # no distributed iso at all, reference README.md:25-26):
+                # a split pair axis's +1 seam recompute is the JOINT
+                # projection, which additionally needs the neighbor's
+                # pre-update accumulator along the pair PARTNER axis —
+                # and, when the partner is split too, the diagonal
+                # shard's recon corner (the partner-backward operand at
+                # the slab's leading index). Corner = the partner-prev
+                # shard's last slab of the already-masked next-recon halo;
+                # partner-edge shards get the halo's own leading slab
+                # (zero difference — exactly the JZ mask it replaces).
+                pairs = ([(0, 1)] if opts.isotropic_R else []) \
+                    + ([(2, 3)] if opts.isotropic_Q else [])
+                for p_, q_ in pairs:
+                    for s, o in ((p_, q_), (q_, p_)):
+                        if s not in split:
+                            continue
+                        zo = jnp.zeros_like(slab(accs[o], s, 0))
+                        halos[f"next{s}_acc{o}"] = comm.shift_from_next(
+                            accs[o], s, zo)
+                        if o in split:
+                            nr = halos[f"next{s}_recon"]
+                            halos[f"corner{s}"] = comm.shift_from_prev(
+                                nr, o, slab(nr, o, 0))
             if mirror:
                 from jax import lax as _lax
 
@@ -810,8 +832,12 @@ def _run_phase_paired(
             keys_n += [f"n_acc{k}_c0" for k in range(nd)]
             keys_n += ["n_acc1_c1"]
             if fista:
-                next_pieces += [slab(ds[k], 1, 0) for k in range(nd)]
-                next_pieces += [slab(ds[1], 1, 1)]
+                # d slabs widen to f32 at the pack (exact; bf16 under
+                # lossy_duals) — the packed collective and the kernel's
+                # halo operands are uniform f32
+                next_pieces += [slab(ds[k], 1, 0).astype(dtype)
+                                for k in range(nd)]
+                next_pieces += [slab(ds[1], 1, 1).astype(dtype)]
                 keys_n += [f"n_d{k}_c0" for k in range(nd)] + ["n_d1_c1"]
             prev_pieces = [slab(c.recon, 1, -2), slab(c.recon, 1, -1),
                            slab(orig, 1, -1)]
@@ -819,7 +845,8 @@ def _run_phase_paired(
             keys_p = ["p_r0_m2", "p_r0_m1", "p_orig_m1"]
             keys_p += [f"p_acc{k}_m1" for k in range(nd)]
             if fista:
-                prev_pieces += [slab(ds[k], 1, -1) for k in range(nd)]
+                prev_pieces += [slab(ds[k], 1, -1).astype(dtype)
+                                for k in range(nd)]
                 keys_p += [f"p_d{k}_m1" for k in range(nd)]
             halos1 = dict(zip(keys_n,
                               comm.pack_exchange_next(next_pieces, 1)))
@@ -834,7 +861,10 @@ def _run_phase_paired(
                            slab(orig, 0, -1)]
             prev_pieces += [slab(c.accs[k], 0, -1) for k in range(nd)]
             if fista:
-                prev_pieces += [slab(ds[k], 0, -1) for k in range(nd)]
+                # d slabs widen to f32 at the pack (exact; bf16 under
+                # lossy_duals)
+                prev_pieces += [slab(ds[k], 0, -1).astype(dtype)
+                                for k in range(nd)]
             got_p = comm.pack_exchange_prev(prev_pieces, 0)
             halos0 = {
                 "p_r0": jnp.concatenate(got_p[0:2], axis=0),
@@ -849,8 +879,10 @@ def _run_phase_paired(
                            slab(c.accs[0], 0, 0), slab(c.accs[0], 0, 1)]
             next_pieces += [slab(c.accs[k], 0, 0) for k in range(1, nd)]
             if fista:
-                next_pieces += [slab(ds[0], 0, 0), slab(ds[0], 0, 1)]
-                next_pieces += [slab(ds[k], 0, 0) for k in range(1, nd)]
+                next_pieces += [slab(ds[0], 0, 0).astype(dtype),
+                                slab(ds[0], 0, 1).astype(dtype)]
+                next_pieces += [slab(ds[k], 0, 0).astype(dtype)
+                                for k in range(1, nd)]
             got_n = comm.pack_exchange_next(next_pieces, 0)
             halos0.update({
                 "n_r0": jnp.concatenate(got_n[0:2], axis=0),
@@ -990,7 +1022,7 @@ def _device_oom(err: Exception) -> bool:
 
 def vmem_fallback(opts: SolverOptions, call,
                   knobs=("vmem_resident", "temporal_pairs"),
-                  local_shape=None):
+                  local_shape=None, plan_halo0=False):
     """Run ``call(opts)``, degrading kernel choices on device-memory
     compile failures instead of crashing.
 
@@ -1025,17 +1057,28 @@ def vmem_fallback(opts: SolverOptions, call,
     import warnings
 
     def _shrunk_cap(attempt):
-        """Next strip cap that CHANGES the pair plan, or None."""
+        """Next strip cap that CHANGES the pair plan the run would
+        actually compile, or None. The plan is re-derived with the run's
+        own halo0 (``plan_halo0``, sharded callers) and with_mse
+        (``attempt.calculate_mse``) so the rung check matches the real
+        kernel's block plan — a default-flag plan could pick a cap that
+        changes nothing (wasted recompile) or miss one that helps.
+        Itemsize is fixed at 4: the pair kernel is float32-only
+        (pair_supported gates on dtype)."""
         if local_shape is None:
             return None
         from cytvdn_tpu.kernels.temporal import pair_plan
 
-        now = pair_plan(tuple(local_shape), 4,
-                        block_cap=attempt.pair_block_cap)
+        def plan(cap):
+            return pair_plan(tuple(local_shape), 4, halo0=plan_halo0,
+                             with_mse=attempt.calculate_mse,
+                             block_cap=cap)
+
+        now = plan(attempt.pair_block_cap)
         for cap in _FALLBACK_PAIR_CAPS:
             if attempt.pair_block_cap and cap >= attempt.pair_block_cap:
                 continue
-            new = pair_plan(tuple(local_shape), 4, block_cap=cap)
+            new = plan(cap)
             if new is not None and new != now:
                 return cap
         return None
@@ -1124,12 +1167,14 @@ def run_solver(
         # cadence in every path (the pair kernel quantizes iteration-1
         # duals mid-pair in VMEM, temporal.py::qd1), so pair ≡ K=1
         # bitwise and the chunk/checkpoint state invariant holds for
-        # lossy runs too (tests/test_lossy.py).
+        # lossy runs too (tests/test_lossy.py). Sharded runs (round 5):
+        # the d state stays bf16 per shard; seam/halo d slabs widen
+        # bf16→f32 at the pack sites (exact) and the pair kernel's seam
+        # recomputes apply the same qd1 quantization the owning shard
+        # does, so lossy mesh ≡ lossy single-device bitwise — the same
+        # invariant exact mode carries (tests/test_lossy.py).
         if dtype != jnp.float32:
             raise ValueError("lossy_duals requires float32 data")
-        if not isinstance(comm, NullComm):
-            raise ValueError(
-                "lossy_duals is a single-device streaming mode")
     if reference_data is not None and reference_data.dtype != dtype:
         # normalize ONCE at entry: the reference enters Pallas kernels
         # (the resident MSE window, the pair kernel's SSE operand) whose

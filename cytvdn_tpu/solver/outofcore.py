@@ -153,6 +153,9 @@ def _ckpt_meta(opts: SolverOptions, shape, mode: str) -> Dict:
         "stopping": opts.stopping_relative_change,
         "bc_mode": int(opts.bc_mode),
         "mode": mode,
+        # an exact checkpoint resumed lossy (or vice versa) would
+        # silently change the duals' rounding cadence mid-run
+        "lossy": bool(opts.lossy_duals),
     }
 
 
@@ -188,7 +191,10 @@ def _restore_state(st, sl, recon, accs, ds, b_norm, delta, mse):
         a[sl] = np.asarray(st["accs"][k], np.float32)
     if ds:
         for k, d in enumerate(ds):
-            d[sl] = np.asarray(st["ds"][k], np.float32)
+            # ds restore preserves the run's storage dtype (bf16 under
+            # lossy_duals; the checkpoint holds the same grid, so any
+            # widen/narrow here is exact)
+            d[sl] = np.asarray(st["ds"][k], d.dtype)
     b_norm[:] = st["b_norm"]
     delta[:] = st["delta"]
     if mse is not None and np.asarray(st["mse"]).size == mse.size:
@@ -293,6 +299,18 @@ def _neighbor_band_exchange(nproc: int, n_arrays: int, k: int,
     return exchange
 
 
+def _d_store_dtype(opts: SolverOptions, n_f: int):
+    """Host storage dtype of the FISTA shadow duals: bfloat16 under
+    ``lossy_duals`` (halves the d arrays' host RAM and their PCIe/DCN
+    bytes per sweep; the device kernels compute f32 and round on
+    writeback — the same cadence as in-core lossy runs)."""
+    if opts.lossy_duals and n_f:
+        import jax.numpy as jnp
+
+        return np.dtype(jnp.bfloat16)
+    return np.dtype(np.float32)
+
+
 def _slab_bounds(n0: int, n_slabs: int):
     """Balanced split of ``n0`` rows into ``n_slabs`` contiguous slabs
     (sizes differ by at most one — a greedy ceil split can leave an
@@ -364,7 +382,11 @@ def solve_outofcore(
 
     recon = orig.copy()
     accs = [np.zeros_like(orig) for _ in range(ndim)]
-    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    # lossy_duals: the host-resident shadow duals live at bf16 — half
+    # the d arrays' host RAM and half their PCIe bytes per sweep (the
+    # kernels compute f32 and round on writeback, same as in-core)
+    d_dt = _d_store_dtype(opts, n_f)
+    ds = [np.zeros(orig.shape, d_dt) for _ in range(ndim)] if n_f else None
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
     with_mse = opts.calculate_mse and reference is not None
@@ -431,8 +453,11 @@ def solve_outofcore(
             "next1_acc": zero_cols[si],
         }
         if fista:
+            # halo d rows widen to f32 host-side (exact; bf16 under
+            # lossy_duals) — the kernel's halo operands are uniform f32
             halos["next0_d"] = put(next0_d if next0_d is zero_row
-                                   else np.ascontiguousarray(next0_d))
+                                   else np.ascontiguousarray(
+                                       next0_d.astype(np.float32)))
             halos["next1_d"] = zero_cols[si]
         dev = {
             "orig": put(orig[sl]),
@@ -612,7 +637,8 @@ def solve_outofcore_temporal(
 
     recon = orig.copy()
     accs = [np.zeros_like(orig) for _ in range(ndim)]
-    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    d_dt = _d_store_dtype(opts, n_f)
+    ds = [np.zeros(orig.shape, d_dt) for _ in range(ndim)] if n_f else None
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
     with_mse = opts.calculate_mse and reference is not None
@@ -819,7 +845,8 @@ def solve_outofcore_sharded_temporal(
 
     recon = orig.copy()
     accs = [np.zeros_like(orig) for _ in range(ndim)]
-    ds = [np.zeros_like(orig) for _ in range(ndim)] if n_f else None
+    d_dt = _d_store_dtype(opts, n_f)
+    ds = [np.zeros(orig.shape, d_dt) for _ in range(ndim)] if n_f else None
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
     zeros_tr = np.zeros(n_total, np.float32)
@@ -865,8 +892,13 @@ def solve_outofcore_sharded_temporal(
                 devices=devices, state=state, i_stop=i_stop,
                 keep_state=True, fallback=False), o
 
+        local = tuple(int(e) // int(w)
+                      for e, w in zip(orig_slab.shape, shard_t))
         out, used = vmem_fallback(run_opts["opts"], call,
-                                  knobs=("temporal_pairs",))
+                                  knobs=("temporal_pairs",),
+                                  local_shape=local,
+                                  plan_halo0=any(
+                                      int(w) > 1 for w in shard_t))
         run_opts["opts"] = used
         return out
 
@@ -1120,7 +1152,8 @@ def solve_outofcore_multihost(
     recon = padded()
     recon[own] = orig_local
     accs = [padded() for _ in range(ndim)]
-    ds = [padded() for _ in range(ndim)] if n_f else None
+    d_dt = _d_store_dtype(opts, n_f)
+    ds = [padded().astype(d_dt) for _ in range(ndim)] if n_f else None
     has_ds = n_f > 0
     b_norm = np.zeros(n_total, np.float32)
     delta = np.zeros(n_total, np.float32)
@@ -1154,14 +1187,17 @@ def solve_outofcore_multihost(
             return
         send = np.stack(
             [np.concatenate([x[tg:tg + K], x[tg + m - K:tg + m]])
+             .astype(np.float32)  # bf16 d bands widen exactly
              for x in arrays])
         fx = _neighbor_band_exchange(nproc, len(arrays), K, rest)
         got = fx(send, pid)
         for j, x in enumerate(arrays):
+            # f32 -> bf16 ghost-row narrowing is exact: the bands came
+            # off the neighbor's bf16 grid
             if tg:
-                x[:tg] = got[j, :K]       # left neighbor's tail
+                x[:tg] = got[j, :K].astype(x.dtype)
             if bg:
-                x[tg + m:] = got[j, K:]   # right neighbor's head
+                x[tg + m:] = got[j, K:].astype(x.dtype)
         del got
 
     exchange([orig_p])  # orig is constant: ghost rows fetched once
@@ -1244,8 +1280,13 @@ def solve_outofcore_multihost(
                 devices=devices, state=state, i_stop=i_stop,
                 keep_state=True, fallback=False), o
 
+        local = tuple(int(e) // int(w)
+                      for e, w in zip(orig_slab.shape, shard_t))
         out, used = vmem_fallback(run_opts["opts"], call,
-                                  knobs=("temporal_pairs",))
+                                  knobs=("temporal_pairs",),
+                                  local_shape=local,
+                                  plan_halo0=any(
+                                      int(w) > 1 for w in shard_t))
         run_opts["opts"] = used
         return out
 
@@ -1381,6 +1422,7 @@ def denoise_outofcore(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    lossy_duals: bool = False,
 ):
     """User-level out-of-core denoising (float32, Jia-Zhao, anisotropic).
 
@@ -1424,6 +1466,7 @@ def denoise_outofcore(
         iterations_unacc=n_u,
         stopping_relative_change=stopping_relative_change,
         calculate_mse=with_mse,
+        lossy_duals=lossy_duals,
     )
     ck = dict(checkpoint_path=checkpoint_path,
               checkpoint_every=checkpoint_every, resume=resume)

@@ -118,13 +118,19 @@ def save_state(path: str, state: Dict[str, Any], meta: Dict[str, Any]):
         blockmeta = {}
         for k, v in data_items:
             bounds = []
+            # bf16 blocks get the same uint16-bit-pattern encoding as the
+            # single-process branch (np.savez would otherwise store raw
+            # '|V2' voids that cannot be decoded on load)
+            is_bf16 = np.dtype(v.dtype) == _BF16
             for j, sh in enumerate(v.addressable_shards):
-                arrays[f"{k}.b{j}"] = np.asarray(sh.data)
+                a = np.asarray(sh.data)
+                arrays[f"{k}.b{j}"] = a.view(np.uint16) if is_bf16 else a
                 bounds.append(ShardedBlocks.bounds_of(sh.index, v.shape))
             blockmeta[k] = {
                 "shape": list(v.shape),
                 "dtype": np.dtype(v.dtype).name,
                 "bounds": bounds,
+                "bf16": is_bf16,
             }
         path = _part_path(path, proc)
     else:
@@ -192,9 +198,11 @@ def load_state(path: str):
             if blockmeta is None:
                 return z[k].view(_BF16) if k in bf16_keys else z[k]
             bm = blockmeta[k]
+            dec = ((lambda a: a.view(_BF16)) if bm.get("bf16")
+                   else (lambda a: a))
             return ShardedBlocks(
-                bm["shape"], bm["dtype"],
-                {tuple(map(tuple, b)): z[f"{k}.b{j}"]
+                bm["shape"], _BF16 if bm.get("bf16") else bm["dtype"],
+                {tuple(map(tuple, b)): dec(z[f"{k}.b{j}"])
                  for j, b in enumerate(bm["bounds"])},
             )
 
@@ -385,6 +393,9 @@ def run_chunked(
         "shape": list(datacube.shape),
         "iterations_fista": opts.iterations_fista,
         "iterations_unacc": opts.iterations_unacc,
+        # an exact checkpoint resumed lossy (or vice versa) would
+        # silently change the duals' rounding cadence mid-run
+        "lossy_duals": bool(opts.lossy_duals and opts.iterations_fista),
     }
 
     orig = jnp.asarray(datacube)

@@ -1,16 +1,20 @@
-"""Measure the distributed half-isotropic scope decision (DESIGN §7).
+"""Measure the distributed half-isotropic kernel rates (DESIGN §7).
 
-Sharded half-isotropic runs take the XLA ops path (split iso-pair axes
-gate the fused kernel off — the joint L2 projection couples the pair's
-axes at every seam recompute). VERDICT r3 item 4: that decision's COST
-was never measured. On one chip, the per-shard compute of a sharded iso
-run IS the ops path, so the honest bound for the penalty is the
-single-device gap between:
+History: through round 4, split iso-pair axes gated the fused kernel
+off (the joint L2 projection couples the pair's axes at every seam
+recompute) and shards rode the XLA ops path — measured here at 1.30x
+slower than the fused iso kernel (VERDICT r3 item 4 / r4 weak #3).
+Round 5 shipped the fused sharded-iso kernel (partner-accumulator +
+diagonal-corner operands, engine.py::iteration_step), so a
+split-iso-axes shard now runs the fused iso kernel in halo mode; the
+ops rows are kept for the record and as the float64 path's rate.
 
-- the fused anisotropic K=1 kernel (what an aniso shard runs),
-- the fused half-isotropic K=1 kernel (what an UNSPLIT-iso-axes shard
-  runs — e.g. a Q-split mesh with isotropic_R),
-- the XLA ops half-isotropic path (what a split-iso-axes shard runs).
+The halo rows are measured on ONE chip via a 1-device mesh whose named
+axes cover the iso pair at width 1: MeshComm treats named axes as
+split, so the kernel compiles with the FULL sharded-iso operand set
+(neighbor slabs, partner accs, corners; self-ppermutes on the size-1
+rings are masked to the JZ zero slab, so results stay correct) — the
+honest single-chip proxy for a real mesh shard's compute.
 
 Writes ISO_GAP.json at the repo root. TPU only.
 """
@@ -66,6 +70,56 @@ def _measure(opts_kw):
                          local_shape=SHAPE)
 
 
+def _measure_halo(opts_kw, halo_axes):
+    """Rate of the fused kernel in HALO mode on one chip: a 1-device mesh
+    whose named axes cover ``halo_axes`` at width 1 — MeshComm's
+    split_axes are its axis NAMES, so the engine builds the full
+    sharded operand set (and, for split iso pairs, the partner-acc and
+    corner operands) while the size-1 ring ppermutes mask to the JZ
+    zero slab (results correct, collectives ~free)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.parallel.halo import MeshComm
+    from cytvdn_tpu.solver.engine import run_solver
+
+    ndim = len(SHAPE)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / 32.0
+    li = jnp.asarray((1.0 / lam).astype(np.float32))
+    lm = jnp.asarray((lam / mu).astype(np.float32))
+    opts = SolverOptions(ndim=ndim, iterations_fista=ITERS,
+                         iterations_unacc=0, vmem_resident=False,
+                         **opts_kw)
+    cube = jax.jit(
+        lambda k: jax.random.normal(k, SHAPE, jnp.float32) * 0.3 + 1.0
+    )(jax.random.key(0))
+
+    names = {ax: f"ax{ax}" for ax in halo_axes}
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape((1,) * len(halo_axes)),
+                tuple(names[ax] for ax in sorted(names)))
+    data_spec = P(*[names.get(ax) for ax in range(ndim)])
+
+    def body(c):
+        comm = MeshComm(names, opts.bc_mode)
+        return run_solver(c, li, lm, opts, None, comm)["delta"]
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(data_spec,), out_specs=P(),
+        check_vma=False))
+    d = np.asarray(fn(cube))
+    assert np.all(np.isfinite(d))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(cube))
+        times.append(time.perf_counter() - t0)
+    return int(np.prod(SHAPE)) * ITERS / min(times)
+
+
 def main():
     import jax
 
@@ -85,6 +139,12 @@ def main():
     # silently re-measure the fused kernel (defeating the tool)
     rows["iso_RQ_opspath"] = _measure(
         dict(isotropic_R=True, isotropic_Q=True, backend=Backend.JAX))
+    # round 5: split-iso-axes shards ride the fused kernel in halo mode
+    # (partner-acc + corner operands) — the new per-shard rate
+    rows["iso_R_fused_halo01"] = _measure_halo(
+        dict(isotropic_R=True), (0, 1))
+    rows["iso_RQ_fused_halo0123"] = _measure_halo(
+        dict(isotropic_R=True, isotropic_Q=True), (0, 1, 2, 3))
     out = {
         "shape": list(SHAPE),
         "iterations": ITERS,
@@ -93,13 +153,17 @@ def main():
             rows["iso_RQ_fused_k1"] / rows["iso_RQ_opspath"], 2),
         "gap_opspath_vs_fused_aniso_pair": round(
             rows["aniso_fused_pair"] / rows["iso_RQ_opspath"], 2),
+        "gap_halo_vs_fused_iso_RQ": round(
+            rows["iso_RQ_fused_k1"] / rows["iso_RQ_fused_halo0123"], 2),
         "note": (
-            "the ops-path rate is what each shard of a SPLIT-iso-axes "
-            "sharded iso run sustains (mesh halos add little — the "
-            "operand-halo bands are <1% of traffic); unsplit-iso-axes "
-            "meshes (e.g. Q-split with isotropic_R) keep the fused iso "
-            "kernel. The reference has no distributed iso at all "
-            "(reference README.md:25-26)."),
+            "round 5: a SPLIT-iso-axes shard runs the fused iso kernel "
+            "in halo mode (iso_*_fused_halo* rows, measured through a "
+            "1-device named mesh carrying the full sharded operand "
+            "set); gap_halo_vs_fused_iso_RQ is the remaining halo-mode "
+            "overhead, replacing the retired 1.30x ops-path penalty "
+            "(iso_RQ_opspath kept for the record — it is still the "
+            "float64 path's rate). The reference has no distributed "
+            "iso at all (reference README.md:25-26)."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ISO_GAP.json")

@@ -27,10 +27,9 @@ import tempfile
 
 import numpy as np
 
-SHAPE = (17, 8, 32)  # odd rows: uneven per-process ranges
+SHAPE = (17, 8, 32)  # odd rows: uneven per-process ranges (--rows resizes)
 ITERS = (4, 2)
 K = 2
-N_SLABS = 2
 MU = 1.0
 
 
@@ -74,9 +73,9 @@ def child(args) -> int:
         return main([
             "-i", f"{work}/noisy.emd", "-o", f"{work}/denoised.emd",
             "-d", "3", "-f", "1", "-n", str(ITERS[0]), str(ITERS[1]),
-            "-m", str(MU), "--out-of-core", str(N_SLABS),
+            "-m", str(MU), "--out-of-core", str(args.slabs),
             "--temporal", str(K), "--shard", str(args.local_devices),
-        ])
+        ] + (["--lossy-duals", "1"] if args.lossy else []))
 
     jax.distributed.initialize(
         coordinator_address=f"localhost:{args.port}",
@@ -90,27 +89,34 @@ def child(args) -> int:
     ref = np.load(f"{work}/ref.npy")
     g0, g1 = _rows(cube.shape[0], args.nproc, args.pid)
     opts = SolverOptions(ndim=3, iterations_fista=ITERS[0],
-                         iterations_unacc=ITERS[1], calculate_mse=True)
+                         iterations_unacc=ITERS[1], calculate_mse=True,
+                         lossy_duals=bool(args.lossy))
     kw = {}
     if args.checkpoint:
         kw = dict(checkpoint_path=f"{work}/ooc.ck", checkpoint_every=2,
                   resume=True)
         if args.die_after_save:
             # kill THIS process right after a full checkpoint generation
-            # exists everywhere (the hook runs post-barrier) — a real
-            # crashed-pod cycle, not a simulated one
-            O._POST_CKPT_HOOK = lambda it: os._exit(17)
+            # at/after --die-at-iter exists everywhere (the hook runs
+            # post-barrier) — a real crashed-pod cycle, not a simulated
+            # one. --die-at-iter > first lets the resume pass make
+            # progress before the SECOND kill (double-kill cycles).
+            die_at = args.die_at_iter
+            O._POST_CKPT_HOOK = (
+                lambda it: os._exit(17) if it >= die_at else None)
         elif args.stop_after_save:
             # this process is NOT the crash victim: it exits at the same
             # generation with a distinct code, simulating the launcher
             # tearing down the surviving ranks after a rank loss (what
             # SLURM/mpirun do when one rank dies)
-            O._POST_CKPT_HOOK = lambda it: os._exit(18)
+            die_at = args.die_at_iter
+            O._POST_CKPT_HOOK = (
+                lambda it: os._exit(18) if it >= die_at else None)
     out = O.solve_outofcore_multihost(
         np.ascontiguousarray(cube[g0:g1]),
         np.full(3, 1.0 / (MU / 16.0), np.float32),
         np.full(3, 1 / 16.0, np.float32),
-        opts, N_SLABS, K, global_rows=(g0, g1, cube.shape[0]),
+        opts, args.slabs, K, global_rows=(g0, g1, cube.shape[0]),
         shard_w=args.local_devices,
         reference_local=np.ascontiguousarray(ref[g0:g1]), **kw)
     np.save(f"{work}/rows{args.pid}.npy", out["recon"])
@@ -121,7 +127,7 @@ def child(args) -> int:
     return 0
 
 
-def _expected(noisy: np.ndarray, ref: np.ndarray):
+def _expected(noisy: np.ndarray, ref: np.ndarray, lossy: bool):
     """Single-process in-core run (same schedule, sweep-final trace
     indices will be compared)."""
     _force_cpu(1)
@@ -129,21 +135,22 @@ def _expected(noisy: np.ndarray, ref: np.ndarray):
 
     mu = np.full(3, MU, np.float32)
     return denoise3D(noisy, mu, iterations=ITERS, FISTA=True, quiet=True,
-                     reference_data=ref)
+                     reference_data=ref, lossy_duals=lossy)
 
 
 def parent(args) -> int:
     work = args.keep or tempfile.mkdtemp(prefix="cytv_mpooc_")
     os.makedirs(work, exist_ok=True)
+    shape = (args.rows,) + SHAPE[1:]
     rng = np.random.default_rng(11)
-    noisy = (rng.standard_normal(SHAPE) * 0.4 + 1.5).astype(np.float32)
-    ref = (rng.standard_normal(SHAPE) * 0.2 + 1.5).astype(np.float32)
+    noisy = (rng.standard_normal(shape) * 0.4 + 1.5).astype(np.float32)
+    ref = (rng.standard_normal(shape) * 0.2 + 1.5).astype(np.float32)
     np.save(f"{work}/noisy.npy", noisy)
     np.save(f"{work}/ref.npy", ref)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    expected = _expected(noisy, ref)
+    expected = _expected(noisy, ref, args.lossy)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
@@ -161,43 +168,62 @@ def parent(args) -> int:
 
         write_emd(f"{work}/noisy.emd", noisy)
 
-    def spawn(port, die=False):
+    def spawn(port, victim=None, die_at_iter=0):
         def kill_flags(pid):
-            if not die:
+            if victim is None:
                 return []
-            if args.die_pid is None or pid == args.die_pid:
-                return ["--die-after-save"]
-            return ["--stop-after-save"]
+            base = ["--die-at-iter", str(die_at_iter)]
+            if victim == "all" or pid == victim:
+                return ["--die-after-save"] + base
+            return ["--stop-after-save"] + base
 
         return [subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
              "--pid", str(pid), "--nproc", str(args.nproc),
              "--port", str(port), "--workdir", work,
-             "--local-devices", str(args.local_devices)]
+             "--local-devices", str(args.local_devices),
+             "--slabs", str(args.slabs), "--rows", str(args.rows)]
             + (["--checkpoint"] if args.checkpoint else [])
             + (["--cli"] if args.cli else [])
+            + (["--lossy"] if args.lossy else [])
             + kill_flags(pid),
             env=env,
         ) for pid in range(args.nproc)]
 
-    interrupted = False
-    if args.checkpoint:
-        # pass 1: the victim process(es) kill themselves (os._exit 17)
-        # right after the first complete checkpoint generation is on
-        # disk; with --die-pid, the OTHER ranks exit 18 at the same
-        # generation (launcher teardown after a rank loss)
-        procs = spawn(args.port, die=True)
+    def kill_pass(victim, die_at_iter):
+        """One crashed-pod cycle: the victim os._exit(17)s right after
+        the first complete checkpoint generation at/after die_at_iter;
+        the other ranks exit 18 at the same generation (launcher
+        teardown after a rank loss)."""
+        procs = spawn(args.port, victim=victim, die_at_iter=die_at_iter)
         rcs = [p.wait(timeout=600) for p in procs]
-        if args.die_pid is None:
-            interrupted = all(rc == 17 for rc in rcs)
+        if victim == "all":
+            ok = all(rc == 17 for rc in rcs)
         else:
-            interrupted = all(
-                rc == (17 if pid == args.die_pid else 18)
-                for pid, rc in enumerate(rcs))
-        if not interrupted:
-            print(f"FAIL: kill pass exit codes {rcs}")
+            ok = all(rc == (17 if pid == victim else 18)
+                     for pid, rc in enumerate(rcs))
+        if not ok:
+            print(f"FAIL: kill pass (victim {victim}, "
+                  f"die_at_iter {die_at_iter}) exit codes {rcs}")
+        args.port += 1  # fresh coordinator for the next pass
+        return ok
+
+    interrupted = False
+    kills = 0
+    if args.checkpoint:
+        victim1 = "all" if args.die_pid is None else args.die_pid
+        if not kill_pass(victim1, 0):
             return 1
-        args.port += 1  # fresh coordinator for the resume pass
+        kills = 1
+        interrupted = True
+        if args.die_pid2 is not None:
+            # double-kill: a SECOND, distinct process crashes at a LATER
+            # checkpoint generation — the resume pass itself makes
+            # progress, checkpoints, and dies; resume-of-a-resume must
+            # still be bit-exact
+            if not kill_pass(args.die_pid2, args.die_at_iter2):
+                return 1
+            kills = 2
 
     procs = spawn(args.port)
     rcs = [p.wait(timeout=600) for p in procs]
@@ -258,17 +284,23 @@ def parent(args) -> int:
         "nproc": args.nproc,
         "local_devices": args.local_devices,
         "temporal_k": K,
-        "n_slabs_per_process": N_SLABS,
+        "n_slabs_per_process": args.slabs,
+        "rows": args.rows,
+        "lossy_duals": bool(args.lossy),
         "recon_rel_err_vs_incore": rel,
         "trace_rel_err_vs_incore": tr_rel,
         "mse_rel_err_vs_incore": mse_rel,
         "checkpoint_cycle": bool(args.checkpoint),
         "killed_after_first_generation": interrupted,
+        "kill_cycles": kills,
         "band_exchange": "neighbor_ppermute",
     }
     if args.checkpoint and args.die_pid is not None:
         result["killed_pid"] = args.die_pid
         result["interior_kill"] = 0 < args.die_pid < args.nproc - 1
+    if args.checkpoint and args.die_pid2 is not None:
+        result["killed_pid2"] = args.die_pid2
+        result["double_kill_distinct"] = args.die_pid2 != args.die_pid
     print(json.dumps(result))
     _append_artifact(args.artifact, result)
     if not args.keep:
@@ -307,6 +339,23 @@ def build_parser():
                         "(os._exit 17); the others exit 18 at the same "
                         "generation (launcher teardown). Default: all "
                         "pids crash")
+    p.add_argument("--die-pid2", type=int, default=None,
+                   help="with --checkpoint: run a SECOND kill cycle — "
+                        "this pid crashes at the first checkpoint "
+                        "generation at/after --die-at-iter2 during the "
+                        "first resume pass")
+    p.add_argument("--die-at-iter", type=int, default=0,
+                   help="(child) crash at the first checkpoint "
+                        "generation whose iteration >= this")
+    p.add_argument("--die-at-iter2", type=int, default=4,
+                   help="iteration threshold for the --die-pid2 cycle")
+    p.add_argument("--slabs", type=int, default=2,
+                   help="slabs per process (host-resident streaming)")
+    p.add_argument("--rows", type=int, default=SHAPE[0],
+                   help="axis-0 rows of the test cube")
+    p.add_argument("--lossy", action="store_true",
+                   help="run with lossy_duals (bf16 host-resident shadow "
+                        "duals); compared against the in-core LOSSY run")
     p.add_argument("--cli", action="store_true",
                    help="drive the whole flow through the cytv CLI "
                         "(lazy per-host row reads; concurrent row-write "
