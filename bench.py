@@ -312,8 +312,13 @@ def _measure_outofcore(shape, temporal_k=5):
     try:
         with open(os.path.join(os.path.dirname(__file__),
                                "OVERLAP_OOC.json")) as f:
-            overlap_f = float(json.load(f)["measured_overlap_fraction"])
-            overlap_src = "measured (tools/measure_overlap.py)"
+            ov = json.load(f)
+        if ov.get("valid_for_projection"):
+            overlap_f = float(ov["measured_overlap_fraction"])
+            overlap_src = "measured (tools/measure_overlap.py A/B dispatch)"
+        else:
+            overlap_src = ("assumed (OVERLAP_OOC.json present but not "
+                           "valid_for_projection on this transport)")
     except (OSError, KeyError, ValueError):
         pass
     proj_sweep = (max(compute_sweep, transfer_sweep)

@@ -164,11 +164,11 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
 
     if opts.backend == Backend.JAX or opts.backend == Backend.CPP:
         return False, False
-    # No sharded gates remain: split iso-pair axes ride the joint-projection
-    # seam recompute with partner-acc + corner operands (round 5; the
-    # reference has no distributed iso at all, reference README.md:25-26),
-    # folded 3D energy-axis splits ride flat-element halos (round 3),
-    # periodic shards ride ring halos, mirror rides edge-flagged halos.
+    # Split iso-pair axes ride the fused kernel's joint-projection seam
+    # recompute with partner-acc + corner operands (round 5; the reference
+    # has no distributed iso at all, reference README.md:25-26); folded 3D
+    # energy-axis splits ride flat-element halos (round 3), periodic
+    # shards ride ring halos, mirror rides edge-flagged halos.
     from cytvdn_tpu.kernels.fused import fused_supported
 
     if not fused_supported(shape, dtype, opts.bc_mode, opts.isotropic_R,
@@ -177,6 +177,19 @@ def _resolve_fused(opts: SolverOptions, shape, dtype, comm) -> Tuple[bool, bool]
     on_tpu = jax.default_backend() == "tpu"
     if opts.backend == Backend.PALLAS:
         return True, not on_tpu
+    # AUTO keeps one measured iso gate: a split Q-PAIR axis under
+    # isotropic_Q reads in-block halo slabs whose minor dims collapse to
+    # 1 and pad to the (8,128) tile — phantom traffic that makes the
+    # fused kernel SLOWER than the ops path there (ISO_GAP.json
+    # iso_RQ_fused_halo0123 2.64 G vs iso_RQ_opspath 3.02 G; the
+    # scan-axes case measures 1.01x, iso_R_fused_halo01). The auto
+    # partitioner never splits Q axes (sharded.py::_resolve_shard), so
+    # this only triggers on explicit Q-split shard tuples; an explicit
+    # PALLAS backend (above) still honors the fused path.
+    if opts.isotropic_Q and comm is not None \
+            and not isinstance(comm, NullComm) \
+            and set(getattr(comm, "split_axes", ())) & {2, 3}:
+        return False, False
     return on_tpu, False  # AUTO
 
 

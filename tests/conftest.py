@@ -39,3 +39,30 @@ def _bounded_compile_cache():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute tests (subprocess fan-out etc.)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Quick-tier support: `pytest -m "not slow"` runs in <10 min.
+
+    Slowness is data-driven from `.slow_durations.json` — a committed
+    snapshot of per-test call durations (tests ≥8 s on the 8-device
+    virtual CPU mesh, from a full `--durations=0` run; regenerate the
+    same way after large suite changes). Tests absent from the snapshot
+    (including new ones) default to the quick tier, so the full suite
+    (`pytest tests/ -q`, the driver's gate) remains the source of truth
+    and the quick tier is the developer inner loop.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), ".slow_durations.json")
+    try:
+        with open(path) as f:
+            slow_ids = set(json.load(f))
+    except OSError:
+        return
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = "tests/" + nodeid
+        if nodeid in slow_ids:
+            item.add_marker(pytest.mark.slow)

@@ -130,6 +130,7 @@ def main():
     rows = {}
     rows["aniso_fused_pair"] = _measure({})
     rows["aniso_fused_k1"] = _measure(dict(temporal_pairs=False))
+    rows["iso_R_fused_k1"] = _measure(dict(isotropic_R=True))
     rows["iso_RQ_fused_k1"] = _measure(
         dict(isotropic_R=True, isotropic_Q=True))
     from cytvdn_tpu.config import Backend
@@ -153,6 +154,8 @@ def main():
             rows["iso_RQ_fused_k1"] / rows["iso_RQ_opspath"], 2),
         "gap_opspath_vs_fused_aniso_pair": round(
             rows["aniso_fused_pair"] / rows["iso_RQ_opspath"], 2),
+        "gap_halo01_vs_fused_iso_R": round(
+            rows["iso_R_fused_k1"] / rows["iso_R_fused_halo01"], 2),
         "gap_halo_vs_fused_iso_RQ": round(
             rows["iso_RQ_fused_k1"] / rows["iso_RQ_fused_halo0123"], 2),
         "note": (
