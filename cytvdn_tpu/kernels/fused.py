@@ -140,12 +140,20 @@ def choose_perm(shape: Tuple[int, ...], itemsize: int = 4) -> Tuple[int, ...]:
     whose (72, 256) tail tiles exactly.
 
     Scoring: minimize Mosaic padding waste of the (1, 1, *tail) slab, then
-    minimize axis-1 seam-column overhead (1/B1), then prefer identity.
+    minimize axis-1 seam-column overhead (1/B1), then minimize the PAIR
+    kernel's seam overhead (1/B1 under its own planner — orientations with
+    a smaller leading axis shrink the 2·N0·tail seam-column double buffer
+    the pair kernel holds in VMEM, freeing budget for wider strips:
+    measured +2.6% bit-identical on the 4D flagship, SWEEP_PAIR4D.json
+    orientation_ab — (72,256,72,256) b1=16 at 13.70 G vs the
+    (256,72,72,256) b1=12 wall at 13.36 G), then prefer identity.
     Only permutations the block planner accepts are considered; identity is
     returned when nothing plannable beats it (the caller falls back to the
     XLA ops path if even identity has no plan).
     """
     import itertools
+
+    from cytvdn_tpu.kernels import temporal  # deferred: temporal imports us
 
     ndim = len(shape)
     ident = tuple(range(ndim))
@@ -164,7 +172,14 @@ def choose_perm(shape: Tuple[int, ...], itemsize: int = 4) -> Tuple[int, ...]:
         real, pad = _tail_bytes(work_shape, itemsize)
         waste = pad / real
         seam = 0.0 if work_shape[1] == b1 else 1.0 / b1
-        key = (round(waste, 3), round(seam, 4), perm != ident, perm)
+        pplan = temporal.pair_plan(ws, itemsize)
+        if pplan is None:
+            pseam = 1.0
+        else:
+            pb1 = pplan[3]
+            pseam = 0.0 if pplan[0][1] == pb1 else 1.0 / pb1
+        key = (round(waste, 3), round(seam, 4), round(pseam, 4),
+               perm != ident, perm)
         if best is None or key < best[0]:
             best = (key, perm)
     return best[1] if best else ident
