@@ -215,7 +215,10 @@ def _measure_chunked(shape, iters, every):
 FLOOR_FRACTIONS = {
     "cfg1_3d_unacc_64x64x512": 0.04,
     "cfg1_full_3d_unacc_64x64x512_7500it": 1.5,
-    "cfg2_3d_fista_256x256x2048": 0.6,
+    # cfg2 rides the K-step kernel (K=8) since round 5: its floor sits
+    # ABOVE the pair traffic model (1.5x), proving the deep path engaged
+    # (measured ~1.95x, SWEEP_KSTEP.json)
+    "cfg2_3d_fista_256x256x2048": 1.5,
     "cfg2_stop_3d_fista_256x256x2048": 0.55,
     "cfg3_4d_unacc_128x128x64x64": 0.6,
     "cfg4_proxy_4d_fista_256x256x72x72": 0.6,
@@ -461,17 +464,24 @@ def _north_star_block(detail):
             "practical_hbm_bw_bytes_per_sec": PRACTICAL_BW["v5e"],
             "max_achievable_streaming_ratio": round(max_stream_ratio, 2),
             "note": "a 4D FISTA iteration at f32 moves >=42 B/voxel-update "
-                    "through HBM even with K=2 temporal pairing, so ONE "
-                    "chip's measured ~600 GB/s caps ANY streaming config "
-                    f"at ~{max_stream_ratio:.1f}x the 64-thread linear "
+                    "through HBM with K=2 temporal pairing — the deepest "
+                    "temporal blocking the flagship's strip-split layout "
+                    "admits (the K-step staircase needs a single-strip "
+                    "layout; kernels/kstep.py) — so ONE chip's measured "
+                    "~600 GB/s caps the 4D streaming configs at "
+                    f"~{max_stream_ratio:.1f}x the 64-thread linear "
                     "bound; >=50x is reachable only when HBM leaves the "
                     "loop (VMEM-resident kernel: cfg1_full) or across a "
                     "mesh (cfg5: 16 chips). bf16 lossy-duals (opt-in, "
-                    "--lossy-duals) buys ~19% traffic, not 10x; K=3 "
-                    "pairing measured slower (round 2). The per-chip 50x "
-                    "target is therefore PHYSICALLY unreachable for "
-                    "streaming f32 configs on v5e HBM and is adjudicated "
-                    "as met only where shown above.",
+                    "--lossy-duals) buys ~19% traffic, not 10x. "
+                    "Single-strip 3D configs escape the streaming wall "
+                    "through the K-step kernel (K=8: ~(4n+3)/8 "
+                    "traversals/iter, measured ~2x the pair rate on "
+                    "cfg2, SWEEP_KSTEP.json — VPU-bound there, not "
+                    "HBM). The per-chip 50x target remains PHYSICALLY "
+                    "unreachable for the 4D streaming configs on v5e "
+                    "HBM and is adjudicated as met only where shown "
+                    "above.",
         },
     }
 

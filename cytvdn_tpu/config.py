@@ -81,6 +81,18 @@ class SolverOptions:
     # Results are bit-identical to the K=1 kernel; set False to force
     # one-iteration-per-pass execution.
     temporal_pairs: bool = True
+    # Deeper temporal blocking (K >= 3 iterations per HBM pass) through
+    # the generalized single-strip staircase kernel (kernels/kstep.py):
+    # engages on single-device Jia-Zhao anisotropic float32 runs whose
+    # work layout keeps the whole axis 1 in one block (every 3D
+    # benchmark geometry) without early stop / MSE. Bit-identical to
+    # K=1; per-iteration HBM traffic drops to ~(4n+3)/K traversals.
+    # ``temporal_kstep=False`` caps temporal blocking at the K=2 pair
+    # kernel (the VMEM-fallback ladder flips this knob first);
+    # ``temporal_k`` pins a specific depth (None = largest viable of
+    # kernels/kstep.py::KSTEP_CANDIDATES).
+    temporal_kstep: bool = True
+    temporal_k: Optional[int] = None
     # VMEM-resident whole-run execution: when the entire solver state fits
     # the chip's VMEM (small cubes, e.g. 64x64x512 3D), run ALL iterations
     # inside one Pallas launch with state held on-chip — HBM traffic for

@@ -543,6 +543,95 @@ def _resolve_temporal(opts: SolverOptions, shape, dtype, comm) -> bool:
     return True
 
 
+def _resolve_kstep(opts: SolverOptions, shape, dtype, comm,
+                   fista: bool) -> int:
+    """Staircase depth for the generalized K-step kernel
+    (``kernels/kstep.py``), or 0 to stay on the K=2 pair kernel.
+
+    Engages only where the pair kernel would (``_resolve_temporal``)
+    AND the run is single-device with a fixed schedule and no
+    per-iteration MSE, on a single-strip work layout — i.e. the shapes
+    where deeper temporal blocking costs no seam machinery at all.
+    Bit-identical to K=1/K=2 execution, so this is purely a throughput
+    decision; the VMEM-fallback ladder flips ``temporal_kstep`` off
+    (back to pairs) on a compile-time miscalibration."""
+    if not opts.temporal_kstep:
+        return 0
+    if comm is not None and not isinstance(comm, NullComm):
+        return 0
+    if opts.stopping_relative_change is not None:
+        # stop-aware runs ride the paired loop's predictive-guard /
+        # block-discard machinery (K=2); a K-deep guard would overshoot
+        # by up to K-1 iterations per beat for marginal gain
+        return 0
+    if opts.calculate_mse:
+        return 0
+    from cytvdn_tpu.kernels.kstep import best_kstep
+
+    return best_kstep(shape, dtype, opts.bc_mode, fista,
+                      forced=opts.temporal_k)
+
+
+def _run_phase_kstep(
+    fista: bool,
+    i_bound,
+    carry: _PhaseCarry,
+    orig: Array,
+    tk_ratios: Array,
+    lambda_inv: Array,
+    lam_mu: Array,
+    opts: SolverOptions,
+    interpret: bool,
+    i_stop,
+    k: int,
+) -> _PhaseCarry:
+    """Advance a phase K iterations at a time through the K-step
+    kernel. Runs ``floor((bound - i)/K)`` passes; the paired loop and
+    the K=1 path finish any remainder. All K per-iteration trace
+    entries are recorded exactly as the one-at-a-time loop would."""
+    from cytvdn_tpu.kernels.kstep import fused_kstep_iteration
+
+    bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
+                        jnp.asarray(i_stop, jnp.int32))
+    dtype = orig.dtype
+
+    def cond(c):
+        return jnp.logical_and(c.i + k <= bound,
+                               jnp.logical_not(c.done))
+
+    def body(c):
+        if fista:
+            rhos = lax.dynamic_slice(
+                tk_ratios, (c.i,), (k,)).astype(jnp.float32)
+            ds = c.ds
+        else:
+            rhos = jnp.zeros((k,), jnp.float32)
+            ds = None
+        reconK, accsK, dsK, bn, dnum, dden = fused_kstep_iteration(
+            orig, c.recon, c.accs, ds, rhos, lambda_inv, lam_mu,
+            k=k, fista=fista, interpret=interpret)
+        dv = dnum / dden
+        b_norm, delta_tr = c.b_norm, c.delta
+        for t in range(k):
+            b_norm = b_norm.at[c.i + t].set(
+                bn[t].astype(b_norm.dtype))
+            delta_tr = delta_tr.at[c.i + t].set(
+                dv[t].astype(delta_tr.dtype))
+        return _PhaseCarry(
+            i=c.i + k,
+            done=c.done,
+            recon=reconK,
+            accs=accsK,
+            ds=dsK if fista else c.ds,
+            b_norm=b_norm,
+            delta=delta_tr,
+            mse=c.mse,
+            tk=c.tk,
+        )
+
+    return lax.while_loop(cond, body, carry)
+
+
 def _resident_gates(opts: SolverOptions, shape, dtype, comm,
                     n_iters: int) -> Tuple[bool, bool]:
     """Gate ladder shared by the resident kernel's two serving modes
@@ -1034,7 +1123,8 @@ def _device_oom(err: Exception) -> bool:
 
 
 def vmem_fallback(opts: SolverOptions, call,
-                  knobs=("vmem_resident", "temporal_pairs"),
+                  knobs=("vmem_resident", "temporal_kstep",
+                         "temporal_pairs"),
                   local_shape=None, plan_halo0=False):
     """Run ``call(opts)``, degrading kernel choices on device-memory
     compile failures instead of crashing.
@@ -1355,6 +1445,15 @@ def run_solver(
                 opts, rc_interpret, i_stop, reference_data,
             )
         if temporal_ok:
+            # n_f >= k: a shorter phase can't run a K-pass, and tracing
+            # the body would slice k momentum ratios out of an
+            # n_f-length schedule
+            k_f = _resolve_kstep(opts, orig.shape, dtype, comm, True)
+            if k_f and n_f >= k_f:
+                carry = _run_phase_kstep(
+                    True, n_f, carry, orig, tk_ratios, lambda_inv,
+                    lam_mu, opts, t_interpret, i_stop, k_f,
+                )
             carry = _run_phase_paired(
                 True, n_f, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop, comm, reference_data,
@@ -1397,6 +1496,12 @@ def run_solver(
                 lam_mu, opts, rc_interpret, i_stop2, reference_data,
             )
         if temporal_ok:
+            k_u = _resolve_kstep(opts, orig.shape, dtype, comm, False)
+            if k_u and n_u >= k_u:
+                carry = _run_phase_kstep(
+                    False, n_total, carry, orig, tk_ratios, lambda_inv,
+                    lam_mu, opts, t_interpret, i_stop2, k_u,
+                )
             carry = _run_phase_paired(
                 False, n_total, carry, orig, tk_ratios, lambda_inv, lam_mu,
                 opts, t_interpret, i_stop2, comm, reference_data,

@@ -38,10 +38,16 @@ def traversals_per_iteration(ndim: int, fista: bool, backend: str) -> float:
     - ``pair`` (K=2 temporally-blocked Pallas kernel): two iterations
       per pass of the fused kernel's traffic, plus ~1 traversal/iter of
       seam-band gathers → (4n+3)/2+1 / (2n+3)/2+1.
+    - ``kstep:K`` (generalized K-iteration staircase, single-strip
+      layouts — kernels/kstep.py): K iterations per pass of the fused
+      kernel's traffic, NO seam gathers → (4n+3)/K / (2n+3)/K.
     - ``reference``: per-kernel traversals of the Cython loops
       (SURVEY.md §3.1): 22 for 4D FISTA.
     """
     n = ndim
+    if backend.startswith("kstep:"):
+        k = int(backend.split(":", 1)[1])
+        return ((4 * n + 3) / k) if fista else ((2 * n + 3) / k)
     if backend == "pair":
         return ((4 * n + 3) / 2 + 1) if fista else ((2 * n + 3) / 2 + 1)
     if backend == "fused":

@@ -178,6 +178,47 @@ def check_pair(shape, iters_f, iters_u, stopping=None, mse=False):
     return ok, err_r, err_t, err_m, int(outs[True]["iterations_run"])
 
 
+def check_kstep(shape, iters_f, iters_u, k, lossy=False):
+    """Generalized K-step kernel vs the K=1 kernel, compiled on the same
+    device: full solver runs must agree bit-for-bit on the recon (and
+    under ``lossy`` the bf16-duals cadence must match K=1's writeback
+    rounding bitwise too)."""
+    import jax
+
+    from cytvdn_tpu.config import SolverOptions
+    from cytvdn_tpu.solver.engine import _resolve_kstep, run_solver
+
+    ndim = len(shape)
+    cube = (rng.standard_normal(shape) * 0.3 + 1.0).astype(np.float32)
+    mu = np.full(ndim, 1.0, np.float32)
+    lam = mu / (32.0 if ndim == 4 else 16.0)
+    li = jnp.asarray(1.0 / lam)
+    lm = jnp.asarray(lam / mu)
+    outs = {}
+    for deep in (False, True):
+        opts = SolverOptions(ndim=ndim, iterations_fista=iters_f,
+                             iterations_unacc=iters_u,
+                             temporal_pairs=deep, temporal_k=k,
+                             vmem_resident=False, lossy_duals=lossy)
+        if deep:
+            got_k = _resolve_kstep(opts, shape, jnp.float32, None,
+                                   iters_f > 0)
+            assert got_k == k, f"kstep gate resolved {got_k}, wanted {k}"
+        fn = jax.jit(lambda c, a, b, o=opts: run_solver(c, a, b, o))
+        outs[deep] = {q: np.asarray(v) for q, v in
+                      fn(jnp.asarray(cube), li, lm).items()}
+    err_r = float(np.max(np.abs(outs[True]["recon"]
+                                - outs[False]["recon"])))
+    bn_a, bn_b = outs[True]["b_norm"], outs[False]["b_norm"]
+    err_t = float(np.max(np.abs(bn_a - bn_b)
+                         / np.maximum(np.abs(bn_b), 1)))
+    ok = err_r == 0.0 and err_t < 1e-5
+    print(f"{'OK ' if ok else 'FAIL'} kstep-vs-k1 {shape} k={k} "
+          f"iters=({iters_f},{iters_u}) lossy={lossy}: "
+          f"recon max {err_r:.2e} bnorm rel {err_t:.2e}", flush=True)
+    return ok, err_r, err_t
+
+
 def check_resident(shape, iters_f, iters_u, stopping=None, bc=2,
                    mse=False, iso_r=False, iso_q=False):
     """VMEM-resident paths vs the plain streaming engine path, compiled
@@ -328,6 +369,7 @@ if __name__ == "__main__":
     np.asarray(jnp.ones((8,)))  # tunnel warmup on TPU
     ok = True
     results = {"mode": ON, "golden": [], "vs_ops": [], "pair_vs_k1": [],
+               "kstep_vs_k1": [],
                "resident_vs_streaming": [], "lossy_duals": []}
     golden_cases = [
         ((6, 8, 16), True),       # 3D "single" layout
@@ -383,6 +425,23 @@ if __name__ == "__main__":
                 "stopping": stop, "mse": mse, "iterations_run": itr,
                 "recon_max_abs_diff": er, "bnorm_rel_diff": et,
                 "mse_rel_diff": em, "ok": good,
+            })
+        # compiled generalized K-step kernel (K >= 3 iterations per HBM
+        # pass, single-strip layouts) vs K=1 — incl. remainder mixes,
+        # hybrid schedules, unaccelerated, and the lossy-duals cadence
+        for shape, itf, itu, kk, lossy in [
+            ((64, 64, 512), 9, 0, 3, False),     # K=3 x3
+            ((64, 64, 512), 11, 0, 4, False),    # K=4 x2 + pair + K=1
+            ((64, 64, 512), 0, 13, 6, False),    # unacc, K=6 x2 + mix
+            ((64, 64, 512), 17, 0, 8, False),    # K=8 x2 + mix
+            ((64, 64, 512), 9, 0, 3, True),      # lossy cadence
+        ]:
+            good, er, et = check_kstep(shape, itf, itu, kk, lossy)
+            ok &= good
+            results["kstep_vs_k1"].append({
+                "shape": list(shape), "iters": [itf, itu], "k": kk,
+                "lossy": lossy, "recon_max_abs_diff": er,
+                "bnorm_rel_diff": et, "ok": good,
             })
         # compiled VMEM-resident whole-run kernel vs the streaming path
         # (incl. the BASELINE cfg1 shape — its raison d'être), plus the
