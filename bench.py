@@ -127,10 +127,13 @@ FULL_CONFIGS = [
     # the reference's canonical converged workflow sets
     # stopping_relative_change (reference cyTVDN.py:44,253); the bench
     # cube's synthetic noise crosses 0.05 within ~2 iterations, so a
-    # non-triggering threshold keeps the stop-checking machinery (K=1
-    # history prologue + paired guard + exact K=1 finish) active for all
-    # 25 iterations — this row must land within ~10% of the unstopped
-    # cfg2 row (VERDICT r2 item 1)
+    # non-triggering threshold keeps the stop-checking machinery active
+    # for all 25 iterations. Since round 5 stop-aware runs K-step too
+    # (K-deep predictive guard + block discard, engine._run_phase_kstep):
+    # on this 25-iteration schedule 16 of 25 iterations ride K=8 (2-iter
+    # history prologue + guard granularity bound the fraction; measured
+    # 17.7 G vs 14.8 G on pairs, ~1.0x the pair traffic model — longer
+    # stop-aware schedules approach the unstopped K=8 rate)
     ("cfg2_stop_3d_fista_256x256x2048", (256, 256, 2048), True, 1e-9),
     ("cfg4_proxy_4d_fista_256x256x72x72", (256, 256, 72, 72), True, None),
     # the opt-in lossy bf16-duals mode on the same flagship geometry:
@@ -219,7 +222,11 @@ FLOOR_FRACTIONS = {
     # ABOVE the pair traffic model (1.5x), proving the deep path engaged
     # (measured ~1.95x, SWEEP_KSTEP.json)
     "cfg2_3d_fista_256x256x2048": 1.5,
-    "cfg2_stop_3d_fista_256x256x2048": 0.55,
+    # stop row rides stop-aware K-step since round 5 (measured ~1.0 of
+    # the pair model at 25 iters; was 0.84 on pairs) — a floor near the
+    # old pair-path fraction proves the K-step stop path engaged while
+    # leaving the other rows' variance headroom
+    "cfg2_stop_3d_fista_256x256x2048": 0.8,
     "cfg3_4d_unacc_128x128x64x64": 0.6,
     "cfg4_proxy_4d_fista_256x256x72x72": 0.6,
 }

@@ -549,20 +549,18 @@ def _resolve_kstep(opts: SolverOptions, shape, dtype, comm,
     (``kernels/kstep.py``), or 0 to stay on the K=2 pair kernel.
 
     Engages only where the pair kernel would (``_resolve_temporal``)
-    AND the run is single-device with a fixed schedule and no
-    per-iteration MSE, on a single-strip work layout — i.e. the shapes
-    where deeper temporal blocking costs no seam machinery at all.
-    Bit-identical to K=1/K=2 execution, so this is purely a throughput
-    decision; the VMEM-fallback ladder flips ``temporal_kstep`` off
-    (back to pairs) on a compile-time miscalibration."""
+    AND the run is single-device with no per-iteration MSE, on a
+    single-strip work layout — i.e. the shapes where deeper temporal
+    blocking costs no seam machinery at all. Stop-aware runs ride the
+    same predictive-guard / block-discard machinery as the paired loop
+    (see :func:`_run_phase_kstep`), with a K-deep guard horizon, so
+    early stop stays exact. Bit-identical to K=1/K=2 execution, so this
+    is purely a throughput decision; the VMEM-fallback ladder flips
+    ``temporal_kstep`` off (back to pairs) on a compile-time
+    miscalibration."""
     if not opts.temporal_kstep:
         return 0
     if comm is not None and not isinstance(comm, NullComm):
-        return 0
-    if opts.stopping_relative_change is not None:
-        # stop-aware runs ride the paired loop's predictive-guard /
-        # block-discard machinery (K=2); a K-deep guard would overshoot
-        # by up to K-1 iterations per beat for marginal gain
         return 0
     if opts.calculate_mse:
         return 0
@@ -588,18 +586,47 @@ def _run_phase_kstep(
     """Advance a phase K iterations at a time through the K-step
     kernel. Runs ``floor((bound - i)/K)`` passes; the paired loop and
     the K=1 path finish any remainder. All K per-iteration trace
-    entries are recorded exactly as the one-at-a-time loop would."""
+    entries are recorded exactly as the one-at-a-time loop would.
+
+    **Stop-aware K-stepping** mirrors :func:`_run_phase_paired` with a
+    K-deep horizon: with ``opts.stopping_relative_change`` set, passes
+    continue only while the conservative extrapolation ``d1 · r^(2K)``
+    (decay rate doubling in log terms for all K iterations) stays above
+    the threshold. A crossing at the pass's LAST delta latches ``done``
+    — the run ends at the converging iteration, exactly where the K=1
+    loop stops. A crossing at any EARLIER delta means the kernel
+    computed past the stop: the pass's block is DISCARDED (blocks of
+    ``2·_STOP_CKPT_PAIRS`` iterations, one carry checkpoint per block —
+    the same defensive-copy amortization as the paired loop) and the
+    pairs/K=1 finishers redo those iterations with their exact stop
+    checks, so state, stop iteration and traces are bit-identical to
+    the unblocked run in every case."""
     from cytvdn_tpu.kernels.kstep import fused_kstep_iteration
 
     bound = jnp.minimum(jnp.asarray(i_bound, jnp.int32),
                         jnp.asarray(i_stop, jnp.int32))
     dtype = orig.dtype
+    stopping = opts.stopping_relative_change
 
-    def cond(c):
-        return jnp.logical_and(c.i + k <= bound,
-                               jnp.logical_not(c.done))
+    def cond(cb):
+        c, bail = cb
+        ok = jnp.logical_and(c.i + k <= bound,
+                             jnp.logical_not(c.done))
+        if stopping is not None:
+            ok = jnp.logical_and(ok, jnp.logical_not(bail))
+            d1 = c.delta[jnp.maximum(c.i - 1, 0)].astype(jnp.float32)
+            d2 = c.delta[jnp.maximum(c.i - 2, 0)].astype(jnp.float32)
+            have = jnp.logical_and(c.i >= 2,
+                                   jnp.logical_and(d1 > 0, d2 > 0))
+            r = jnp.clip(d1 / jnp.where(d2 > 0, d2, jnp.float32(1.0)),
+                         0.0, 1.0)
+            pred = d1 * r ** (2 * k)
+            ok = jnp.logical_and(
+                ok, jnp.logical_and(have, pred >= jnp.float32(stopping)))
+        return ok
 
-    def body(c):
+    def body(cb):
+        c, _ = cb
         if fista:
             rhos = lax.dynamic_slice(
                 tk_ratios, (c.i,), (k,)).astype(jnp.float32)
@@ -610,16 +637,16 @@ def _run_phase_kstep(
         reconK, accsK, dsK, bn, dnum, dden = fused_kstep_iteration(
             orig, c.recon, c.accs, ds, rhos, lambda_inv, lam_mu,
             k=k, fista=fista, interpret=interpret)
-        dv = dnum / dden
+        dvc = (dnum / dden).astype(c.delta.dtype)
         b_norm, delta_tr = c.b_norm, c.delta
         for t in range(k):
             b_norm = b_norm.at[c.i + t].set(
                 bn[t].astype(b_norm.dtype))
-            delta_tr = delta_tr.at[c.i + t].set(
-                dv[t].astype(delta_tr.dtype))
-        return _PhaseCarry(
+            delta_tr = delta_tr.at[c.i + t].set(dvc[t])
+        new_c = _PhaseCarry(
             i=c.i + k,
-            done=c.done,
+            done=(jnp.asarray(dvc[k - 1] < stopping)
+                  if stopping is not None else c.done),
             recon=reconK,
             accs=accsK,
             ds=dsK if fista else c.ds,
@@ -628,8 +655,49 @@ def _run_phase_kstep(
             mse=c.mse,
             tk=c.tk,
         )
+        if stopping is None:
+            return new_c, jnp.zeros((), bool)
+        # a crossing strictly before the pass's last delta means the
+        # guard was beaten and the kernel ran past the stop — FLAG it;
+        # the outer block loop discards back to its checkpoint. As in
+        # the paired loop, the pre-pass carry must NOT be referenced
+        # here (it would force a defensive copy of every aliased state
+        # array per pass).
+        beat = jnp.any(dvc[: k - 1] < stopping)
+        return new_c, beat
 
-    return lax.while_loop(cond, body, carry)
+    if stopping is None:
+        carry, _ = lax.while_loop(cond, body,
+                                  (carry, jnp.zeros((), bool)))
+        return carry
+
+    # Stop-aware runs: K-passes run in blocks of ~2·_STOP_CKPT_PAIRS
+    # iterations with ONE carry checkpoint per block; a guard beat
+    # discards the whole block and bails with the block-start state —
+    # bit-exact, since the pairs/K=1 finishers redo the discarded
+    # iterations with their exact stop checks.
+    def inner_cond(cbl):
+        c, bail, limit = cbl
+        return jnp.logical_and(cond((c, bail)), c.i < limit)
+
+    def inner_body(cbl):
+        c, b, limit = cbl
+        c2, beat = body((c, b))
+        return c2, beat, limit
+
+    def outer_body(cb):
+        c, _ = cb
+        ckpt = c
+        c2, beat, _ = lax.while_loop(
+            inner_cond, inner_body,
+            (c, jnp.zeros((), bool),
+             c.i + jnp.int32(2 * _STOP_CKPT_PAIRS)))
+        out = lax.cond(beat, lambda: ckpt, lambda: c2)
+        return out, beat
+
+    carry, _ = lax.while_loop(cond, outer_body,
+                              (carry, jnp.zeros((), bool)))
+    return carry
 
 
 def _resident_gates(opts: SolverOptions, shape, dtype, comm,

@@ -131,8 +131,9 @@ def test_kstep_actually_engages(monkeypatch):
 
 
 def test_kstep_gates():
-    """No K-step under meshes, early stop, MSE, strip-split layouts, a
-    disabled knob, or sub-3 forced depth."""
+    """No K-step under meshes, MSE, strip-split layouts, a disabled
+    knob, or sub-3 forced depth; stop-aware runs DO K-step (the
+    predictive-guard / block-discard machinery covers them)."""
     from cytvdn_tpu.solver.engine import _resolve_kstep
 
     base = dict(ndim=3, iterations_fista=6, iterations_unacc=0,
@@ -149,7 +150,7 @@ def test_kstep_gates():
                           FakeComm(), True) == 0
     assert _resolve_kstep(
         SolverOptions(**base, stopping_relative_change=1e-6),
-        shape, jnp.float32, None, True) == 0
+        shape, jnp.float32, None, True) >= 3
     assert _resolve_kstep(
         SolverOptions(**base, calculate_mse=True),
         shape, jnp.float32, None, True) == 0
@@ -182,6 +183,114 @@ def test_kstep_lossy_matches_k1_lossy():
                      SolverOptions(**base, temporal_k=3))
     np.testing.assert_array_equal(np.asarray(got["recon"]),
                                   np.asarray(want["recon"]))
+
+
+def _stop_case(shape, iters, seed, stop_at):
+    """(orig, li, lm, base, stopping) with a threshold landing between
+    recorded deltas ``stop_at-1`` and ``stop_at`` of the unblocked run
+    (same construction as tests/test_temporal.py::_stop_case)."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    orig, _, _, li, lm = _state(shape, True, seed=seed)
+    base = dict(ndim=len(shape), iterations_fista=iters[0],
+                iterations_unacc=iters[1], backend=Backend.PALLAS,
+                vmem_resident=False)
+    probe = run_solver(orig, li, lm,
+                       SolverOptions(**base, temporal_pairs=False))
+    d = np.asarray(probe["delta"])
+    assert d[stop_at] > 0 and d[stop_at] < d[stop_at - 1], d
+    stopping = float(np.sqrt(d[stop_at] * min(d[stop_at - 1],
+                                              d[stop_at] * 4)))
+    return orig, li, lm, base, stopping
+
+
+@pytest.mark.parametrize("iters,stop_at,tk", [
+    ((24, 0), 17, 3),    # stop mid-FISTA, forced K=3
+    ((0, 24), 18, 4),    # unaccelerated, forced K=4
+    ((24, 0), 17, None),  # auto depth
+])
+def test_stop_aware_kstep_matches_unblocked(iters, stop_at, tk):
+    """With stopping_relative_change set, the K-step engine must stop at
+    the SAME iteration as the unblocked run with bit-identical state:
+    the K-deep predictive guard hands the final approach to the exact
+    pairs/K=1 finishers."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (16, 6, 64)
+    orig, li, lm, base, stopping = _stop_case(shape, iters, 3, stop_at)
+    want = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping, temporal_pairs=False))
+    got = run_solver(orig, li, lm, SolverOptions(
+        **base, stopping_relative_change=stopping, temporal_k=tk))
+    assert int(want["iterations_run"]) == int(got["iterations_run"])
+    assert bool(want["early_stopped"]) == bool(got["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_allclose(np.asarray(got["delta"]),
+                               np.asarray(want["delta"]), rtol=1e-5)
+
+
+def test_stop_aware_kstep_actually_ksteps(monkeypatch):
+    """The stop-aware path must route iterations through the K-step
+    kernel (not silently fall back to pairs/K=1)."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    calls = []
+    real = KS.fused_kstep_iteration
+
+    def spy(*a, **kw):
+        calls.append(kw.get("k"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(KS, "fused_kstep_iteration", spy)
+    shape = (16, 6, 64)
+    orig, _, _, li, lm = _state(shape, True)
+    run_solver(orig, li, lm,
+               SolverOptions(ndim=3, iterations_fista=12,
+                             iterations_unacc=0,
+                             backend=Backend.PALLAS,
+                             vmem_resident=False,
+                             stopping_relative_change=1e-12))
+    assert calls and all(k == 8 for k in calls)
+
+
+def test_kstep_guard_beat_end_to_end_matches_unblocked():
+    """Full-run equivalence when the K-deep guard IS beaten: resuming
+    from a fabricated plateau history (recorded deltas 1.0, actual
+    deltas far below the threshold) the K-step engine must discard the
+    crossing block and stop at the identical iteration with
+    bit-identical recon and traces."""
+    from cytvdn_tpu.solver.engine import run_solver
+
+    shape = (8, 6, 64)
+    orig, _, _, li, lm = _state(shape, False, seed=9)
+    n = 12
+    base = dict(ndim=3, iterations_fista=0, iterations_unacc=n,
+                backend=Backend.PALLAS, stopping_relative_change=0.5,
+                vmem_resident=False)
+    state = {
+        "recon": orig + 0.0,
+        "accs": tuple(jnp.zeros(shape, jnp.float32) for _ in range(3)),
+        "ds": (),
+        "b_norm": jnp.zeros((n,), jnp.float32),
+        "delta": jnp.zeros((n,), jnp.float32).at[0].set(1.0).at[1]
+        .set(1.0),
+        "i": 2,
+    }
+    want = run_solver(orig, li, lm,
+                      SolverOptions(**base, temporal_pairs=False),
+                      state=dict(state))
+    got = run_solver(orig, li, lm,
+                     SolverOptions(**base, temporal_k=3),
+                     state=dict(state))
+    assert int(got["iterations_run"]) == int(want["iterations_run"])
+    assert bool(got["early_stopped"]) and bool(want["early_stopped"])
+    np.testing.assert_array_equal(np.asarray(got["recon"]),
+                                  np.asarray(want["recon"]))
+    np.testing.assert_array_equal(np.asarray(got["delta"]),
+                                  np.asarray(want["delta"]))
+    np.testing.assert_array_equal(np.asarray(got["b_norm"]),
+                                  np.asarray(want["b_norm"]))
 
 
 def test_kstep_chunked_resume_bitexact(tmp_path):
