@@ -101,16 +101,21 @@ KSTEP_CANDIDATES = (8, 6, 4, 3)
 _KSTEP_SLACK = 18
 
 
-def kstep_buffers(k: int, ndim: int, fista: bool) -> int:
+def kstep_buffers(k: int, ndim: int, fista: bool,
+                  with_sse: bool = False) -> int:
     """Conservative live block-buffer count of the K-step kernel: the
-    pipelined I/O blocks (double-buffered) plus the ring carries."""
+    pipelined I/O blocks (double-buffered) plus the ring carries.
+    ``with_sse`` charges the streamed reference-data block and its ring
+    (per-iteration MSE runs)."""
     nd = ndim
     n_in = 2 + nd + (nd if fista else 0)          # orig, r0, accs [, ds]
+    n_in += 1 if with_sse else 0                  # reference data
     n_out = 1 + nd + (nd if fista else 0)         # rK, bK [, dK]
     io = 2 * (n_in + n_out)
     carries = (
         1                                         # c_r0
         + (2 * k - 2)                             # orig ring
+        + ((2 * k - 2) if with_sse else 0)        # ref ring
         + (k - 1) * 2 * nd                        # b_t rings
         + ((k - 1) * 2 * nd if fista else 0)      # d_t rings
         + (k - 1) * 2                             # r_t rings
@@ -120,7 +125,7 @@ def kstep_buffers(k: int, ndim: int, fista: bool) -> int:
 
 
 def kstep_plan(shape: Tuple[int, ...], itemsize: int, k: int,
-               fista: bool):
+               fista: bool, with_sse: bool = False):
     """Single-strip block plan for a K-step run: the fused kernel's
     layout with axis 1 whole in one block and B0 = 1. Returns
     ``(work_shape, inblock_axes, flat)`` or None (strip-split shapes,
@@ -140,13 +145,14 @@ def kstep_plan(shape: Tuple[int, ...], itemsize: int, k: int,
     dims[-2] = -(-dims[-2] // 8) * 8
     block_pad = int(np.prod(dims)) * itemsize
     cap = (_VMEM_CAP - _SMALL_RESERVE) \
-        // kstep_buffers(k, len(shape), fista)
+        // kstep_buffers(k, len(shape), fista, with_sse)
     if block_pad > cap:
         return None
     return work_shape, inblock_axes, flat
 
 
-def kstep_supported(shape, dtype, bc, k: int, fista: bool) -> bool:
+def kstep_supported(shape, dtype, bc, k: int, fista: bool,
+                    with_sse: bool = False) -> bool:
     """Whether the K-step kernel covers this config (single-device
     Jia-Zhao anisotropic float32 on a single-strip layout)."""
     from cytvdn_tpu.config import BCMode
@@ -157,23 +163,25 @@ def kstep_supported(shape, dtype, bc, k: int, fista: bool) -> bool:
         return False
     if bc != BCMode.JIA_ZHAO:
         return False
-    return kstep_plan(tuple(shape), 4, k, fista) is not None
+    return kstep_plan(tuple(shape), 4, k, fista, with_sse) is not None
 
 
 def best_kstep(shape, dtype, bc, fista: bool,
-               forced: Optional[int] = None) -> int:
+               forced: Optional[int] = None,
+               with_sse: bool = False) -> int:
     """Largest viable staircase depth beyond the pair kernel (0 = none).
     ``forced`` pins a specific K (still validated against the plan)."""
     cands = (forced,) if forced else KSTEP_CANDIDATES
     for k in cands:
-        if k and k >= 3 and kstep_supported(shape, dtype, bc, k, fista):
+        if k and k >= 3 and kstep_supported(shape, dtype, bc, k, fista,
+                                            with_sse):
             return k
     return 0
 
 
 def _make_kstep_kernel(n_ax: int, inblock_axes: Tuple[int, ...],
                        flat: bool, fista: bool, k: int, n0: int,
-                       lossy: bool):
+                       lossy: bool, with_sse: bool = False):
     """Kernel body; operand order must match :func:`fused_kstep_iteration`.
 
     Stage guards (grid index ``ip`` in [0, n0 + 2k - 2]):
@@ -181,7 +189,14 @@ def _make_kstep_kernel(n_ax: int, inblock_axes: Tuple[int, ...],
     2t-1 <= ip <= n0-1+2t-1. Ring carries shift at the END of the step
     (reads happen first), so a carry read at step ``ip`` sees the value
     produced ``depth`` steps ago.
+
+    ``with_sse`` streams the reference datacube alongside ``orig`` (one
+    block at row ip-1, ringed exactly like the orig ring) and
+    accumulates each level's squared error against it at that level's
+    recon row — K per-iteration SSE scalars per pass, one reference
+    traversal per K iterations (reference cyTVDN/cyTVDN.py:176-181).
     """
+    n_sums = 3 * k + (k if with_sse else 0)
 
     def kernel(*refs):
         it = iter(refs)
@@ -190,13 +205,15 @@ def _make_kstep_kernel(n_ax: int, inblock_axes: Tuple[int, ...],
         r0 = next(it)                          # block @ ip
         acc0 = [next(it) for _ in range(n_ax)]     # blocks @ ip
         d0 = [next(it) for _ in range(n_ax)] if fista else None
+        ref_in = next(it) if with_sse else None    # block @ ip-1
         rK_out = next(it)                      # block @ ip-(2k-1)
         bK_out = [next(it) for _ in range(n_ax)]   # blocks @ ip-(2k-2)
         dK_out = [next(it) for _ in range(n_ax)] if fista else None
-        sums_o = [next(it) for _ in range(3 * k)]  # SMEM (1, 1) each
+        sums_o = [next(it) for _ in range(n_sums)]  # SMEM (1, 1) each
 
         c_r0 = next(it)                        # R0 row ip-1
         c_og = next(it)                        # orig ring, (2k-2, ...)
+        c_ref = next(it) if with_sse else None  # ref ring, (2k-2, ...)
         c_bs, c_ds, c_rs = [], [], []
         for _t in range(k - 1):                # levels 1..k-1
             c_bs.append([next(it) for _ in range(n_ax)])   # (2, ...)
@@ -204,7 +221,7 @@ def _make_kstep_kernel(n_ax: int, inblock_axes: Tuple[int, ...],
                 c_ds.append([next(it) for _ in range(n_ax)])
             c_rs.append(next(it))              # (2, ...)
         c_bK = [next(it) for _ in range(n_ax)]     # b_K rows ip-(2k-1)
-        s_sums = next(it)                      # SMEM (3k,)
+        s_sums = next(it)                      # SMEM (n_sums,)
 
         ip = pl.program_id(0)
         # Ring carries are CIRCULAR buffers — no per-step copy shifts
